@@ -1,0 +1,314 @@
+"""Text scalar functions: normalization, HTML→text extraction, analysis.
+
+Reference parity targets (cited file:line are into /root/reference):
+
+* ``normalize_surface`` — the surface-form normalizer that is the join
+  key for candidate lookup: strip whitespace, apostrophes and hyphens,
+  then lowercase (src/fr/lip6/reden/nelinker/DicoProcessingNEL.java:410-415).
+* ``sanitize_filename`` — the distinct cache-file-name sanitizer
+  (src/fr/lip6/reden/nelinker/Util.java:75-80): normalize + ``/``→``-``,
+  drop ``:``.
+* ``html_to_text`` — the deterministic HTML→text routine whose output
+  must be byte-identical per url (BASELINE.json input_hint). The
+  reference consumes pre-extracted TEI text; we pin one pure-Python
+  extraction with a frozen whitespace policy.
+
+All functions here are pure and deterministic; vectorized variants take
+pyarrow arrays where the kernel allows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import html as _htmllib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------------------
+# M1 — surface-form normalizer (join key on BOTH sides of candidate lookup)
+# ---------------------------------------------------------------------------
+
+_NORM_RE = re.compile(r"[\s'’-]+")
+
+
+def normalize_surface(s: str) -> str:
+    """Strip whitespace / apostrophes / hyphens, lowercase.
+
+    Parity: DicoProcessingNEL.java:410-415 (replaceAll("\\s|'|-","") +
+    toLowerCase). Also treats the Unicode right single quote as an
+    apostrophe so web text normalizes like the dictionary side.
+    """
+    return _NORM_RE.sub("", s).lower()
+
+
+def normalize_surface_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
+    """Vectorized M1 over an Arrow string array."""
+    out = pc.replace_substring_regex(arr, pattern=r"[\s'’-]+", replacement="")
+    return pc.utf8_lower(out)
+
+
+# ---------------------------------------------------------------------------
+# M2 — filename sanitizer (cache-file naming only; kept for API parity)
+# ---------------------------------------------------------------------------
+
+
+def sanitize_filename(s: str) -> str:
+    """Parity: Util.java:75-80 — normalize + '/'→'-', remove ':'."""
+    return normalize_surface(s).replace("/", "-").replace(":", "")
+
+
+# ---------------------------------------------------------------------------
+# HTML → text extraction (frozen policy; the per-row invariant)
+# ---------------------------------------------------------------------------
+# Policy (deterministic, documented, byte-stable):
+#   1. decode UTF-8 (errors="replace")
+#   2. drop <script>..</script>, <style>..</style>, <head>..</head>, <!--..-->
+#   3. replace block-level open/close tags with "\n"
+#   4. strip all remaining tags
+#   5. HTML-unescape entities
+#   6. per line: collapse internal whitespace to single spaces, strip ends
+#   7. drop empty lines; join with "\n"; no trailing newline
+
+_DROP_RE = re.compile(
+    rb"<script\b.*?</script\s*>|<style\b.*?</style\s*>|<head\b.*?</head\s*>|<!--.*?-->",
+    re.S | re.I,
+)
+_BLOCK_TAGS = (
+    "p|div|br|h1|h2|h3|h4|h5|h6|li|ul|ol|tr|td|th|table|title|body|html|article|"
+    "section|header|footer|blockquote|pre|nav|aside|main|figure|figcaption|hr"
+)
+_BLOCK_RE = re.compile(rb"</?(?:%s)\b[^>]*>" % _BLOCK_TAGS.encode(), re.I)
+_TAG_RE = re.compile(rb"<[^>]*>")
+_WS_RE = re.compile(r"[ \t\r\f\v ]+")
+
+
+def html_to_text(html: bytes | str) -> str:
+    """Deterministic HTML→text extraction (frozen whitespace policy)."""
+    if isinstance(html, str):
+        html = html.encode("utf-8")
+    html = _DROP_RE.sub(b"\n", html)
+    html = _BLOCK_RE.sub(b"\n", html)
+    html = _TAG_RE.sub(b"", html)
+    text = _htmllib.unescape(html.decode("utf-8", errors="replace"))
+    lines = []
+    for line in text.split("\n"):
+        line = _WS_RE.sub(" ", line).strip()
+        if line:
+            lines.append(line)
+    return "\n".join(lines)
+
+
+def text_to_html(text: str, title: str = "") -> bytes:
+    """Deterministic inverse-friendly HTML builder (fixtures + derived pages).
+
+    ``html_to_text(text_to_html(t)) == t`` holds for any ``t`` whose lines
+    are non-empty, single-spaced, and stripped — the invariant our
+    fixture generator maintains and tests freeze.
+    """
+    paras = "".join(f"<p>{_htmllib.escape(line)}</p>" for line in text.split("\n"))
+    doc = (
+        '<html><head><meta charset="utf-8"><title>'
+        + _htmllib.escape(title)
+        + '</title><style>p{margin:0}</style></head><body><div class="main">'
+        + paras
+        + '</div><script>var loaded=true;</script></body></html>'
+    )
+    return doc.encode("utf-8")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis for large-scale training-data pipelines
+# ---------------------------------------------------------------------------
+
+# Tiny deterministic stopword lists for n-gram-free language ID.
+_LANG_STOPWORDS: dict[str, frozenset[str]] = {
+    "en": frozenset("the a of and to in is that it for on with as are this".split()),
+    "fr": frozenset("le la les de des et un une est que pour dans sur avec ce".split()),
+    "de": frozenset("der die das und ist von zu mit den nicht ein eine auf des".split()),
+    "es": frozenset("el la los de y que en un una es por con para del se".split()),
+}
+
+_WORD_RE = re.compile(r"[^\W\d_]+", re.U)
+# BPE-ish token regex: words, numbers, or single non-space symbols
+# (public GPT-2-style pre-tokenization pattern, simplified).
+_BPE_RE = re.compile(r"[^\W\d_]+|\d+|[^\w\s]", re.U)
+
+
+def detect_language(text: str) -> str:
+    """Heuristic language ID: argmax of stopword hits; 'und' if no hits.
+
+    Ties break by language code order (deterministic).
+    """
+    words = [w.lower() for w in _WORD_RE.findall(text)]
+    if not words:
+        return "und"
+    best_lang, best_hits = "und", 0
+    for lang in sorted(_LANG_STOPWORDS):
+        hits = sum(1 for w in words if w in _LANG_STOPWORDS[lang])
+        if hits > best_hits:
+            best_lang, best_hits = lang, hits
+    return best_lang
+
+
+def quality_features(text: str) -> dict[str, float]:
+    """Deterministic quality-scoring features for a document.
+
+    Definitions are frozen so a SQL oracle can recompute them:
+      n_chars      = len(text)
+      n_tokens     = count of whitespace-delimited tokens
+      n_words      = count of alphabetic word matches
+      alpha_ratio  = alphabetic chars / max(1, n_chars)
+      punct_ratio  = non-alnum-non-space chars / max(1, n_chars)
+      stop_ratio   = English stopword hits / max(1, n_words)
+      mean_word_len= alphabetic chars in words / max(1, n_words)
+    """
+    n_chars = len(text)
+    toks = text.split()
+    words = _WORD_RE.findall(text)
+    n_words = len(words)
+    alpha = sum(len(w) for w in words)
+    punct = sum(1 for c in text if not c.isalnum() and not c.isspace())
+    stop = sum(1 for w in words if w.lower() in _LANG_STOPWORDS["en"])
+    return {
+        "n_chars": float(n_chars),
+        "n_tokens": float(len(toks)),
+        "n_words": float(n_words),
+        "alpha_ratio": alpha / max(1, n_chars),
+        "punct_ratio": punct / max(1, n_chars),
+        "stop_ratio": stop / max(1, n_words),
+        "mean_word_len": alpha / max(1, n_words),
+    }
+
+
+def count_tokens_ws(text: str) -> int:
+    """Whitespace token count."""
+    return len(text.split())
+
+
+def count_tokens_bpe(text: str) -> int:
+    """BPE-ish token count via the frozen pre-tokenization regex."""
+    return len(_BPE_RE.findall(text))
+
+
+def fingerprint_md5(text: str) -> str:
+    """Document fingerprint: md5 of the lowercased alpha-normalized text.
+
+    SQL-parity form: md5(lower(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))
+    trimmed) — keep in sync with oracle_sql.
+    """
+    norm = re.sub(r"[^a-zA-Z]+", " ", text).strip().lower()
+    return hashlib.md5(norm.encode("utf-8")).hexdigest()
+
+
+def rolling_fingerprints(text: str, window: int = 8, keep_every: int = 4) -> list[int]:
+    """Winnowing-style rolling-hash fingerprints over word shingles.
+
+    Deterministic polynomial rolling hash (base 1_000_003, mod 2^61-1)
+    over lowercase word ``window``-grams, keeping the minimum hash of
+    every ``keep_every`` consecutive shingles (a simplified winnowing
+    scheme per Schleimer et al. 2003).
+    """
+    mod = (1 << 61) - 1
+    base = 1_000_003
+    words = [w.lower() for w in _WORD_RE.findall(text)]
+    if len(words) < window:
+        words = words + ["_"] * (window - len(words))
+    hashes = []
+    for i in range(len(words) - window + 1):
+        h = 0
+        for w in words[i : i + window]:
+            for ch in w:
+                h = (h * base + ord(ch)) % mod
+            h = (h * base + 1) % mod
+        hashes.append(h)
+    out = []
+    for i in range(0, len(hashes), keep_every):
+        out.append(min(hashes[i : i + keep_every]))
+    return out
+
+
+def char_shingles(text: str, k: int = 5) -> set[str]:
+    """Set of k-character shingles of the lowercased text."""
+    t = _WS_RE.sub(" ", text.lower()).strip()
+    if len(t) < k:
+        return {t} if t else set()
+    return {t[i : i + k] for i in range(len(t) - k + 1)}
+
+
+def word_ngrams(text: str, n: int = 3) -> set[tuple[str, ...]]:
+    """Set of word n-grams (lowercased) for Jaccard similarity."""
+    words = [w.lower() for w in _WORD_RE.findall(text)]
+    if len(words) < n:
+        return {tuple(words)} if words else set()
+    return {tuple(words[i : i + n]) for i in range(len(words) - n + 1)}
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    inter = len(a & b)
+    union = len(a) + len(b) - inter
+    return inter / union if union else 0.0
+
+
+# ---------------------------------------------------------------------------
+# MinHash / SimHash primitives (vectorized, numpy)
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash64(strings: list[str]) -> np.ndarray:
+    """Stable 64-bit hashes of strings (blake2b-8; process-independent)."""
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
+            for s in strings
+        ),
+        dtype=np.uint64,
+        count=len(strings),
+    )
+
+
+def minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (a, b) parameters for num_perm universal hash fns."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(shingles: set[str], a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """MinHash signature (uint64[num_perm]) of a shingle set.
+
+    Universal hash family a*h+b with natural mod-2^64 wraparound —
+    vectorized uint64 arithmetic, no Python loop over permutations.
+    """
+    if not shingles:
+        return np.full(a.shape[0], np.iinfo(np.uint64).max, dtype=np.uint64)
+    hv = _hash64(sorted(shingles))
+    prod = hv[:, None] * a[None, :] + b[None, :]  # uint64 wraparound
+    return prod.min(axis=0)
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word unigram hashes (unweighted)."""
+    words = [w.lower() for w in _WORD_RE.findall(text)]
+    if not words:
+        return 0
+    hv = _hash64(sorted(set(words)))
+    bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    counts = bits.sum(axis=0)
+    vote = counts * 2 - len(hv)
+    out = 0
+    for i in range(64):
+        if vote[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")

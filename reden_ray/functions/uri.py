@@ -1,0 +1,29 @@
+"""URI scalar functions.
+
+* ``decompose`` — vertex-identity function of the fusion graph
+  (reference: src/fr/lip6/reden/nelinker/Util.java:88-99): URL-decode a
+  URI iff it starts with ``http:`` / ``https:``; otherwise return as-is.
+* ``normalize_uri`` — ingestion-time canonicalization replacing the
+  reference's runtime ASCII re-encode fallback
+  (GraphHandlerNEL.java:293-330): decode percent-escapes once so the
+  same resource never appears under two spellings.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import unquote
+
+
+def decompose(uri: str) -> str:
+    """URL-decode http(s) URIs; identity otherwise (Util.java:88-99)."""
+    if uri.startswith("http:") or uri.startswith("https:"):
+        try:
+            return unquote(uri, encoding="utf-8", errors="replace")
+        except Exception:
+            return uri
+    return uri
+
+
+def normalize_uri(uri: str) -> str:
+    """One-time ingestion normalization: strip whitespace + decompose."""
+    return decompose(uri.strip())

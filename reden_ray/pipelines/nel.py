@@ -1,0 +1,104 @@
+"""End-to-end NEL / KG-construction pipeline (reference Mode 1,
+src/fr/lip6/reden/MainNELApp.java:79-373 — SURVEY.md §3.1/§3.4).
+
+    read_parquet(pages)
+      -> map_batches(extract_text)              stateless, drops html
+      -> map_batches(GazetteerNER, actors)      mentions
+      -> map_batches(CandidateGen, actors)      candidates
+      -> groupby(url).map_groups(link)          fusion graph + argmax
+      -> canonical_labels + emit_triples        dedup'd (subj,pred,obj)
+
+Everything is lazy; the caller consumes (write_parquet / to_pandas on
+small results). Ray is NEVER initialised here — sessions belong to the
+caller.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import ray.data as rd
+
+from ..stages.candidates import generate_candidates
+from ..stages.canonicalize import canonical_labels, emit_triples
+from ..stages.extract import extract_pages
+from ..stages.linker import link_documents
+from ..stages.ner import detect_mentions
+from ..state.broadcast import (
+    load_dictionary_index,
+    load_gazetteer_surfaces,
+    load_kb_index,
+    load_sameas_index,
+    put_broadcast,
+)
+
+
+@dataclass
+class NELConfig:
+    """Typed replacement for the reference's 16-key .properties contract
+    (MainNELApp.java:104-123)."""
+
+    measure: str = "degree"            # centralityMeasure
+    prefered_uri_order: str = "ALL"    # preferedURIOrder
+    rels: dict = field(default_factory=dict)  # -relsFile predicate weights
+    # Autoscaling actor pools (min, max): min=1 so several pools coexist
+    # on small CPU budgets without deadlocking each other; max sized to
+    # the node at bench time.
+    ner_concurrency: int | tuple = (1, 4)
+    cand_concurrency: int | tuple = (1, 4)
+    extract_batch_size: int = 256
+    ner_batch_size: int = 512
+
+
+class NELPipeline:
+    """Holds the broadcast side-state refs and composes the Dataset plan."""
+
+    def __init__(self, fixture_dir: str, config: NELConfig | None = None):
+        self.cfg = config or NELConfig()
+        self.dir = fixture_dir
+        self.dico_ref = put_broadcast(load_dictionary_index(f"{fixture_dir}/dictionary.parquet"))
+        self.gaz_ref = put_broadcast(load_gazetteer_surfaces(f"{fixture_dir}/gazetteer.parquet"))
+        self.kb_ref = put_broadcast(load_kb_index(f"{fixture_dir}/kb_triples.parquet"))
+        self.sameas_ref = put_broadcast(load_sameas_index(f"{fixture_dir}/sameas.parquet"))
+
+    # --- staged plans (each lazy) -------------------------------------
+    def pages(self, pages_path: str | None = None):
+        return rd.read_parquet(pages_path or f"{self.dir}/pages.parquet")
+
+    def texts(self, pages_ds=None):
+        ds = pages_ds if pages_ds is not None else self.pages()
+        return extract_pages(ds, batch_size=self.cfg.extract_batch_size)
+
+    def mentions(self, texts_ds=None):
+        ds = texts_ds if texts_ds is not None else self.texts()
+        return detect_mentions(
+            ds, self.gaz_ref,
+            concurrency=self.cfg.ner_concurrency, batch_size=self.cfg.ner_batch_size,
+        )
+
+    def candidates(self, mentions_ds=None):
+        ds = mentions_ds if mentions_ds is not None else self.mentions()
+        return generate_candidates(ds, self.dico_ref, concurrency=self.cfg.cand_concurrency)
+
+    def links(self, candidates_ds=None):
+        ds = candidates_ds if candidates_ds is not None else self.candidates()
+        return link_documents(
+            ds, self.kb_ref, self.sameas_ref, rels=self.cfg.rels,
+            measure=self.cfg.measure, prefered_uri_order=self.cfg.prefered_uri_order,
+        )
+
+    def triples(self, links_ds=None):
+        ds = links_ds if links_ds is not None else self.links()
+        # links feed two consumers (labels + triple emission): pin the
+        # narrow link rows once instead of re-running the linker twice.
+        # The at-scale production path checkpoints links to partitioned
+        # Parquet instead (state/manifest.py) — that is also the resume
+        # point.
+        ds = ds.materialize()
+        labels = canonical_labels(ds)
+        return emit_triples(ds, labels, self.kb_ref, self.sameas_ref)
+
+
+def run_nel(fixture_dir: str, config: NELConfig | None = None):
+    """Convenience: returns the lazy triples Dataset for a fixture dir."""
+    return NELPipeline(fixture_dir, config).triples()

@@ -1,0 +1,125 @@
+"""Candidate generation: exact-match dictionary lookup (J1/ST1/K2/D1).
+
+Reference semantics (all parity-cited into /root/reference):
+* exact match on the M1-normalized surface form, case-insensitive —
+  NOT fuzzy (src/fr/lip6/reden/nelinker/DicoProcessingNEL.java:144-183,
+  KeywordAnalyzer term query :316).
+* duplicate candidate URI lists are dropped (D1, :163-175).
+* candidate set capped at 100 per mention (K2, ``searcher.search(query,
+  100)`` :319).
+
+The dictionary index is the Lucene-index replacement: a plain dict
+``surface_norm -> [(entity_id, uris, ne_type)]`` loaded ONCE per actor
+from a ``ray.put`` broadcast (the reference reopens the index per call).
+At web scale with a dictionary too large to broadcast, the same output
+is produced by the hash-partitioned join path in
+``candidates_via_join`` (mentions ⋈ dictionary on surface_norm).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..state.broadcast import get_broadcast
+
+MAX_CANDIDATES = 100  # K2 parity: DicoProcessingNEL.java:319
+
+
+class CandidateGen:
+    """Actor-pool stage: mentions batches -> candidates table."""
+
+    def __init__(self, dico_ref):
+        self.index = get_broadcast(dico_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls, mids, surfs, norms, ranks, ents, uris_col = [], [], [], [], [], [], []
+        for url, mid, surface, norm in zip(
+            batch.column("url").to_pylist(),
+            batch.column("mention_id").to_pylist(),
+            batch.column("surface").to_pylist(),
+            batch.column("surface_norm").to_pylist(),
+        ):
+            cands = self.index.get(norm)
+            if not cands:
+                continue
+            seen: set[tuple[str, ...]] = set()  # D1 dedup of identical URI lists
+            rank = 0
+            for entity_id, uris, _ne in cands:
+                if uris in seen:
+                    continue
+                seen.add(uris)
+                urls.append(url)
+                mids.append(mid)
+                surfs.append(surface)
+                norms.append(norm)
+                ranks.append(rank)
+                ents.append(entity_id)
+                uris_col.append(list(uris))
+                rank += 1
+                if rank >= MAX_CANDIDATES:  # K2 cap
+                    break
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "mention_id": pa.array(mids, pa.int64()),
+                "surface": pa.array(surfs, pa.string()),
+                "surface_norm": pa.array(norms, pa.string()),
+                "cand_rank": pa.array(ranks, pa.int32()),
+                "entity_id": pa.array(ents, pa.string()),
+                "uris": pa.array(uris_col, pa.list_(pa.string())),
+            }
+        )
+
+
+def generate_candidates(mentions_ds, dico_ref, concurrency: int | tuple = (1, 4), batch_size: int = 4096):
+    """mentions Dataset -> candidates Dataset via a CandidateGen actor pool."""
+    return mentions_ds.map_batches(
+        CandidateGen,
+        fn_constructor_args=(dico_ref,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def candidates_via_join(mentions_ds, dictionary_ds, num_partitions: int = 64):
+    """Scale path: hash-partitioned equi-join on ``surface_norm`` (J1).
+
+    For dictionaries too large to broadcast. Produces the same rows as
+    ``CandidateGen`` minus the per-mention rank/cap (applied in a
+    post-join per-mention pass). Both sides shuffle once on the join key.
+    """
+    joined = mentions_ds.join(
+        dictionary_ds,
+        join_type="inner",
+        on=("surface_norm",),
+        num_partitions=num_partitions,
+    )
+
+    def rank_per_mention(df):
+        import pandas as pd  # noqa: F401
+
+        df = df.sort_values(["url", "mention_id"], kind="stable")
+        out = []
+        for (_u, _m), g in df.groupby(["url", "mention_id"], sort=True):
+            seen = set()
+            rank = 0
+            for _, row in g.iterrows():
+                key = tuple(row["uris"])
+                if key in seen:
+                    continue
+                seen.add(key)
+                rec = dict(row)
+                rec["cand_rank"] = rank
+                out.append(rec)
+                rank += 1
+                if rank >= MAX_CANDIDATES:
+                    break
+        import pandas as pd
+
+        return pd.DataFrame(out)
+
+    return joined.groupby(["url", "mention_id"]).map_groups(
+        rank_per_mention, batch_format="pandas"
+    )

@@ -1,0 +1,156 @@
+"""Canonicalization + KG triple materialization (north_rule deliverable).
+
+* ``canonical_labels`` — groupby-aggregate surface-form clustering:
+  for every linked entity URI, the canonical surface form is the most
+  frequent raw surface across the corpus (ties -> lexicographically
+  largest). Head entities ("France"-like) dominate web text, so the
+  count is computed in TWO phases: a per-batch combiner collapses each
+  batch to at most one (uri, surface) partial-count row — the salted /
+  pre-aggregated pattern that bounds what the groupby shuffle moves to
+  |distinct keys| per batch instead of one row per mention — then a
+  small global groupby merges partials (SURVEY.md §4.2, skew note
+  MainNELApp.java:255-257).
+* ``emit_triples`` — materializes the final KG:
+    (url,        reden:mentions,       entity base uri)   per linked mention
+    (entity uri, kb:canonicalLabel,    canonical surface) per linked entity
+    (entity uri, pred, obj)            KB neighborhood of every linked
+                                       entity, re-rooted at the base URI
+                                       (sameAs-equivalent subjects fold in,
+                                       GraphHandlerNEL.java:251-333)
+  followed by exact (subj, pred, obj) dedup (D5): per-batch pre-dedup
+  combiner, then a hash-partitioned groupby keeping the first row.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import CANONICAL_LABEL_PRED, MENTIONS_PRED, SAMEAS_PRED
+from ..state.broadcast import get_broadcast
+
+TRIPLE_SCHEMA = pa.schema({"subj": pa.string(), "pred": pa.string(), "obj": pa.string()})
+
+
+# ---------------------------------------------------------------------------
+# Canonical labels (salted / combiner two-phase count + per-key argmax)
+# ---------------------------------------------------------------------------
+
+
+def _partial_label_counts(batch: pa.Table) -> pa.Table:
+    """Combiner: (uri, surface) -> partial count within this batch."""
+    t = batch.select(["uri", "surface"])
+    return t.group_by(["uri", "surface"]).aggregate([("surface", "count")]).rename_columns(
+        ["uri", "surface", "cnt"]
+    )
+
+
+def _label_argmax(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-uri argmax over merged counts; ties -> largest surface."""
+    total = df.groupby("surface", as_index=False)["cnt"].sum()
+    best = total.sort_values(["cnt", "surface"], ascending=[False, False], kind="stable").iloc[0]
+    return pd.DataFrame(
+        {"uri": [df["uri"].iloc[0]], "canonical_label": [best["surface"]]}
+    )
+
+
+def canonical_labels(links_ds):
+    """links Dataset -> (uri, canonical_label) Dataset."""
+    partials = links_ds.map_batches(_partial_label_counts, batch_format="pyarrow")
+    return partials.groupby("uri").map_groups(_label_argmax, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Triple emission
+# ---------------------------------------------------------------------------
+
+
+def _mention_triples(batch: pa.Table) -> pa.Table:
+    n = batch.num_rows
+    return pa.table(
+        {
+            "subj": batch.column("url"),
+            "pred": pa.array([MENTIONS_PRED] * n, pa.string()),
+            "obj": batch.column("uri"),
+        },
+        schema=TRIPLE_SCHEMA,
+    )
+
+
+def _label_triples(batch: pa.Table) -> pa.Table:
+    n = batch.num_rows
+    return pa.table(
+        {
+            "subj": batch.column("uri"),
+            "pred": pa.array([CANONICAL_LABEL_PRED] * n, pa.string()),
+            "obj": batch.column("canonical_label"),
+        },
+        schema=TRIPLE_SCHEMA,
+    )
+
+
+class EntityTripleEmitter:
+    """Actor-pool stage: distinct linked-uri batches -> KB neighborhood
+    triples re-rooted at the base URI (subject-side sameAs folding)."""
+
+    def __init__(self, kb_ref, sameas_ref):
+        self.kb = get_broadcast(kb_ref)
+        self.sameas = get_broadcast(sameas_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        subs, preds, objs = [], [], []
+        for base in batch.column("uri").to_pylist():
+            probe = [base, *self.sameas.get(base, ())]
+            for u in probe:
+                for pred, obj, _lit, _w in self.kb.get(u, ()):
+                    if pred == SAMEAS_PRED:
+                        continue
+                    subs.append(base)
+                    preds.append(pred)
+                    objs.append(obj)
+        return pa.table(
+            {
+                "subj": pa.array(subs, pa.string()),
+                "pred": pa.array(preds, pa.string()),
+                "obj": pa.array(objs, pa.string()),
+            },
+            schema=TRIPLE_SCHEMA,
+        )
+
+
+def _batch_unique(cols: list[str]):
+    def inner(batch: pa.Table) -> pa.Table:
+        return batch.select(cols).group_by(cols).aggregate([])
+
+    return inner
+
+
+def exact_dedup(ds, cols: list[str]):
+    """D5: exact dedup on ``cols`` — per-batch combiner, then
+    hash-partitioned groupby keeping one row per key."""
+    pre = ds.map_batches(_batch_unique(cols), batch_format="pyarrow")
+    return pre.groupby(cols).map_groups(
+        lambda df: df.head(1), batch_format="pandas"
+    )
+
+
+def distinct_linked_entities(links_ds):
+    """links -> distinct (uri) Dataset (combiner + groupby dedup)."""
+    return exact_dedup(links_ds.select_columns(["uri"]), ["uri"])
+
+
+def emit_triples(links_ds, labels_ds, kb_ref, sameas_ref, concurrency: int | tuple = (1, 2)):
+    """links + labels -> deduplicated (subj, pred, obj) triples Dataset."""
+    mention_t = links_ds.map_batches(_mention_triples, batch_format="pyarrow")
+    label_t = labels_ds.map_batches(_label_triples, batch_format="pyarrow")
+    entities = distinct_linked_entities(links_ds)
+    entity_t = entities.map_batches(
+        EntityTripleEmitter,
+        fn_constructor_args=(kb_ref, sameas_ref),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    all_t = mention_t.union(label_t).union(entity_t)
+    return exact_dedup(all_t, ["subj", "pred", "obj"])

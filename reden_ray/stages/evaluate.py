@@ -1,0 +1,118 @@
+"""Evaluation harness (J5 + A7): links vs gold, triples vs gold.
+
+Parity rules ported from the reference:
+* correctness of a link = the gold URI is SUBSTRING-contained in the
+  emitted URI list (src/fr/lip6/reden/nelinker/ResultsAndEvaluationNEL.java:291);
+  candidate recall uses case-insensitive containment (:282).
+* alignment is on the stable (url, mention_id) key instead of the
+  reference's positional DOM alignment (:251-257).
+* metric families follow computeFinalResults (:393-557; Hachey et al.
+  2011): candidate cardinality, candidate precision/recall, NIL
+  precision/recall, disambiguation accuracy, overall linking accuracy.
+
+Gold sets are evaluation-sized (the reference's largest is 3,404
+mentions), so the join + scalar aggregation run driver-side in pandas
+after materializing the two small frames.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+
+def _to_pandas(obj) -> pd.DataFrame:
+    if isinstance(obj, pd.DataFrame):
+        return obj
+    if hasattr(obj, "to_pandas"):
+        return obj.to_pandas()
+    raise TypeError(type(obj))
+
+
+def evaluate_links(links, gold_links, candidates=None) -> dict[str, float]:
+    """A7 metric suite. ``links``/``gold_links``/``candidates`` are
+    Datasets or DataFrames; gold rows with null gold_uri are NIL."""
+    links = _to_pandas(links)
+    gold = _to_pandas(gold_links)
+    links = links.copy()
+    links["emitted"] = links["all_uris"].map(lambda us: " ".join(us))
+    merged = gold.merge(
+        links[["url", "mention_id", "uri", "emitted"]],
+        on=["url", "mention_id"],
+        how="left",
+    )
+    is_nil_gold = merged["gold_uri"].isna()
+    has_link = merged["emitted"].notna()
+
+    def contains(row) -> bool:
+        return isinstance(row["emitted"], str) and row["gold_uri"] in row["emitted"]
+
+    correct_link = merged[~is_nil_gold & has_link].apply(contains, axis=1)
+    n_gold_linkable = int((~is_nil_gold).sum())
+    n_gold_nil = int(is_nil_gold.sum())
+    n_correct_links = int(correct_link.sum()) if len(correct_link) else 0
+    n_sys_links = int(has_link.sum())
+    n_correct_nil = int((is_nil_gold & ~has_link).sum())
+    n_sys_nil = int((~has_link).sum())
+
+    metrics: dict[str, float] = {
+        "n_gold_mentions": float(len(merged)),
+        "n_gold_linkable": float(n_gold_linkable),
+        "n_gold_nil": float(n_gold_nil),
+        "n_sys_links": float(n_sys_links),
+        "link_precision": n_correct_links / n_sys_links if n_sys_links else 0.0,
+        "link_recall": n_correct_links / n_gold_linkable if n_gold_linkable else 0.0,
+        "nil_precision": n_correct_nil / n_sys_nil if n_sys_nil else 0.0,
+        "nil_recall": n_correct_nil / n_gold_nil if n_gold_nil else 0.0,
+        "linking_accuracy": (n_correct_links + n_correct_nil) / len(merged)
+        if len(merged)
+        else 0.0,
+    }
+
+    if candidates is not None:
+        cands = _to_pandas(candidates)
+        per_mention = (
+            cands.groupby(["url", "mention_id"])
+            .agg(n_cand=("cand_rank", "size"), cand_uris=("uris", lambda s: " ".join(u for us in s for u in us)))
+            .reset_index()
+        )
+        cm = gold.merge(per_mention, on=["url", "mention_id"], how="left")
+        cm["n_cand"] = cm["n_cand"].fillna(0)
+        linkable = cm[cm["gold_uri"].notna()]
+        in_cand = linkable.apply(
+            lambda r: isinstance(r["cand_uris"], str)
+            and r["gold_uri"].lower() in r["cand_uris"].lower(),
+            axis=1,
+        )
+        metrics["candidate_count_mean"] = float(cm["n_cand"].mean()) if len(cm) else 0.0
+        metrics["candidate_recall"] = (
+            float(in_cand.sum()) / len(linkable) if len(linkable) else 0.0
+        )
+        # disambiguation accuracy: among >=2-candidate mentions whose
+        # candidate set contains gold, fraction linked correctly.
+        ambig = linkable[(linkable["n_cand"] >= 2) & in_cand]
+        if len(ambig):
+            am = ambig.merge(
+                links[["url", "mention_id", "emitted"]], on=["url", "mention_id"], how="left"
+            )
+            ok = am.apply(
+                lambda r: isinstance(r["emitted"], str) and r["gold_uri"] in r["emitted"],
+                axis=1,
+            )
+            metrics["disambiguation_accuracy"] = float(ok.sum()) / len(am)
+        else:
+            metrics["disambiguation_accuracy"] = 1.0
+    return metrics
+
+
+def triple_prf(emitted, gold) -> dict[str, float]:
+    """Exact-set precision / recall / F1 over (subj, pred, obj)."""
+    e = _to_pandas(emitted)
+    g = _to_pandas(gold)
+    eset = set(zip(e["subj"], e["pred"], e["obj"]))
+    gset = set(zip(g["subj"], g["pred"], g["obj"]))
+    inter = len(eset & gset)
+    p = inter / len(eset) if eset else 0.0
+    r = inter / len(gset) if gset else 0.0
+    f1 = 2 * p * r / (p + r) if (p + r) else 0.0
+    return {"precision": p, "recall": r, "f1": f1,
+            "n_emitted": float(len(eset)), "n_gold": float(len(gset))}

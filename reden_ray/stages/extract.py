@@ -1,0 +1,54 @@
+"""HTML→text extraction stage (S1/S2 analog).
+
+The reference DOM-parses TEI files and selects XPath context windows
+(src/fr/lip6/reden/MainNELApp.java:183-231). Our corpus is a Parquet
+``pages`` table (url, warc_ts, html, text, lang); the context window is
+the whole page (the reference's ``xpathExpresion=//body`` configuration,
+config/config-places-dbpedia.properties:63).
+
+``extract_text`` is a stateless ``map_batches`` transform over Arrow
+batches producing the frozen, deterministic extraction whose output must
+be byte-identical per url. The wide ``html`` binary column is DROPPED
+here (select-after-extract) so every downstream exchange moves narrow
+rows only.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.text import html_to_text
+
+
+def extract_text_batch(batch: pa.Table) -> pa.Table:
+    """(url, warc_ts, html, lang) -> (url, warc_ts, text, lang).
+
+    Per-row regex extraction over the binary payload (compiled patterns
+    are module-level constants — no per-batch setup); the html column is
+    dropped from the output so shuffles never move page payloads.
+    """
+    texts = pa.array(
+        [html_to_text(h) for h in batch.column("html").to_pylist()],
+        type=pa.large_string(),
+    )
+    cols, names = [], []
+    for name in batch.column_names:
+        if name in ("html", "text"):
+            continue
+        cols.append(batch.column(name))
+        names.append(name)
+    cols.append(texts)
+    names.append("text")
+    return pa.Table.from_arrays(cols, names=names)
+
+
+def extract_pages(pages_ds, batch_size: int = 256):
+    """pages Dataset -> (url, warc_ts, lang, text) Dataset.
+
+    ``batch_size`` is deliberately small: rows carry a wide binary html
+    payload, so batch_size × html_size must fit a worker heap (128 MiB
+    blocks ÷ ~0.5 MiB pages ≈ 256).
+    """
+    return pages_ds.map_batches(
+        extract_text_batch, batch_format="pyarrow", batch_size=batch_size
+    )

@@ -1,0 +1,343 @@
+"""Per-document fusion graph + pruning + centrality + argmax (A1-A4).
+
+This is the algorithmic core of the reference, re-expressed as a
+``groupby("url").map_groups`` over the candidates table:
+
+* A1 graph fusion — union of all candidate-neighborhood edges into one
+  simple directed labeled weighted graph per context; parallel edges
+  collapse (first predicate wins) and self-loops are skipped
+  (src/fr/lip6/reden/nelinker/GraphHandlerNEL.java:211-343; vertex
+  identity = URL-decoded URI, Util.java:88-99). Statements of a
+  candidate's sameAs-equivalents are re-rooted at the base URI
+  (GraphHandlerNEL.java:251-333); the sameAs predicate itself is never
+  an edge. One-hop sameAs expansion = J4 (GraphHandlerNEL.java:114-197).
+* A2 pruning — delete every non-candidate vertex whose candidate
+  neighbors cover < 2 distinct mentions; candidate vertices are never
+  deleted (CentralityHandler.java:100-122; mention lookup via the J2
+  inverted index, DicoProcessingNEL.java:387-401, last-writer-wins on
+  URI collisions — we fix the iteration order to (mention_id, cand_rank)
+  so the collision winner is deterministic).
+* A3 centrality — degree (default) / closeness / eigenvector /
+  betweenness over the pruned graph (CentralityHandler.java:136-171;
+  the reference recomputes per candidate — we compute once per graph).
+* A4 per-mention argmax — max score; ties break on the
+  lexicographically LARGEST base URI (deterministic replacement for the
+  reference's JVM-hash-order tie-break, Util.java:53-68 — documented
+  divergence, SURVEY.md §7.6). ``prefered_uri_order="ALL"`` emits the
+  winner's whole equivalence list (CentralityHandler.java:196-212).
+* M11 eligibility — a context with no multi-candidate mention takes the
+  NoAmbiguity fast path: first candidate assigned directly, score null
+  (MainNELApp.java:418-442; ResultsAndEvaluationNEL.java:138-190).
+
+Scale note: with a broadcast KB index this stage is a single shuffle of
+narrow candidate rows on ``url``. When the KB no longer fits in one
+broadcast object, use ``explode_candidate_uris`` + a hash join against
+the ``kb_triples`` Dataset (J3) and regroup on ``url`` — same group
+function, edges arriving as rows.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from .. import SAMEAS_PRED
+from ..functions.uri import decompose
+from ..state.broadcast import get_broadcast
+
+
+# ---------------------------------------------------------------------------
+# Graph assembly (A1)
+# ---------------------------------------------------------------------------
+
+
+def build_fusion_graph(
+    cand_rows: list[dict],
+    kb: dict[str, list[tuple[str, str, bool, float]]],
+    sameas: dict[str, list[str]],
+    rels: dict[str, float] | None = None,
+):
+    """Build the per-context fusion graph.
+
+    ``cand_rows``: candidate dicts sorted by (mention_id, cand_rank).
+    Returns (edges, adj, cand_vertex_of_row, inverted) where
+      edges: {(src, dst): (pred, weight)}  — simple digraph
+      adj:   {vertex: set(neighbor)}       — undirected adjacency
+      inverted: {candidate_vertex: mention_id}  (J2, last-writer-wins)
+    """
+    rels = rels or {}
+    edges: dict[tuple[str, str], tuple[str, float]] = {}
+    adj: dict[str, set[str]] = {}
+    cand_vertices: set[str] = set()
+    inverted: dict[str, int] = {}
+
+    def add_edge(src: str, dst: str, pred: str, w: float) -> None:
+        if src == dst:
+            return  # self-loops skipped (GraphHandlerNEL vertex1!=vertex2)
+        key = (src, dst)
+        if key not in edges:  # SimpleDirectedGraph: first edge wins
+            edges[key] = (pred, w)
+            adj.setdefault(src, set()).add(dst)
+            adj.setdefault(dst, set()).add(src)
+
+    for row in cand_rows:
+        base = row["entity_id"]
+        vb = decompose(base)
+        cand_vertices.add(vb)
+        adj.setdefault(vb, set())
+        inverted[vb] = row["mention_id"]  # last-writer-wins (J2)
+        probe: list[str] = [base]
+        for u in row["uris"]:
+            if u != base:
+                probe.append(u)
+        for u in sameas.get(base, ()):  # J4: one hop, non-transitive
+            if u not in probe:
+                probe.append(u)
+        for u in probe:
+            for pred, obj, _is_lit, w in kb.get(u, ()):
+                if pred == SAMEAS_PRED:
+                    continue
+                weight = rels.get(pred, w)
+                add_edge(vb, decompose(obj), pred, weight)
+    return edges, adj, cand_vertices, inverted
+
+
+def prune_graph(edges, adj, cand_vertices, inverted):
+    """A2: delete non-candidate vertices adjacent to candidates of < 2
+    distinct mentions (CentralityHandler.java:100-122). In place."""
+    doomed = []
+    for v, neigh in adj.items():
+        if v in cand_vertices:
+            continue
+        mentions = {inverted[n] for n in neigh if n in inverted}
+        if len(mentions) < 2:
+            doomed.append(v)
+    for v in doomed:
+        for n in adj.pop(v, ()):  # remove incident edges
+            adj[n].discard(v)
+            edges.pop((v, n), None)
+            edges.pop((n, v), None)
+    return edges, adj
+
+
+# ---------------------------------------------------------------------------
+# Centrality measures (A3) — computed once per pruned graph
+# ---------------------------------------------------------------------------
+
+
+def degree_scores(edges) -> dict[str, float]:
+    """Degree = number of incident directed edges (in + out)."""
+    deg: dict[str, float] = {}
+    for src, dst in edges:
+        deg[src] = deg.get(src, 0.0) + 1.0
+        deg[dst] = deg.get(dst, 0.0) + 1.0
+    return deg
+
+
+def closeness_scores(adj) -> dict[str, float]:
+    """Freeman closeness: 1 / sum of BFS distances to reachable vertices."""
+    out: dict[str, float] = {}
+    for s in adj:
+        dist = {s: 0}
+        frontier = [s]
+        total = 0
+        while frontier:
+            nxt = []
+            for v in frontier:
+                for n in adj[v]:
+                    if n not in dist:
+                        dist[n] = dist[v] + 1
+                        total += dist[n]
+                        nxt.append(n)
+            frontier = nxt
+        out[s] = 1.0 / total if total else 0.0
+    return out
+
+
+def eigenvector_scores(adj, iters: int = 50) -> dict[str, float]:
+    """Power iteration on the undirected adjacency."""
+    verts = sorted(adj)
+    if not verts:
+        return {}
+    x = {v: 1.0 for v in verts}
+    for _ in range(iters):
+        nx = {v: sum(x[n] for n in adj[v]) for v in verts}
+        norm = math.sqrt(sum(val * val for val in nx.values())) or 1.0
+        x = {v: val / norm for v, val in nx.items()}
+    return x
+
+
+def betweenness_scores(adj) -> dict[str, float]:
+    """Brandes betweenness (unweighted, undirected). Small graphs only —
+    the reference itself flags it 'avoid it, too long'
+    (config/config-authors-bnf.properties:25)."""
+    verts = sorted(adj)
+    cb = {v: 0.0 for v in verts}
+    for s in verts:
+        stack: list[str] = []
+        pred: dict[str, list[str]] = {v: [] for v in verts}
+        sigma = {v: 0.0 for v in verts}
+        sigma[s] = 1.0
+        dist = {v: -1 for v in verts}
+        dist[s] = 0
+        queue = [s]
+        while queue:
+            v = queue.pop(0)
+            stack.append(v)
+            for w in adj[v]:
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    queue.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    pred[w].append(v)
+        delta = {v: 0.0 for v in verts}
+        while stack:
+            w = stack.pop()
+            for v in pred[w]:
+                delta[v] += (sigma[v] / sigma[w]) * (1 + delta[w])
+            if w != s:
+                cb[w] += delta[w]
+    return cb
+
+
+_MEASURES = {
+    "degree": lambda edges, adj: degree_scores(edges),
+    "closeness": lambda edges, adj: closeness_scores(adj),
+    "eigenvector": lambda edges, adj: eigenvector_scores(adj),
+    "betweenness": lambda edges, adj: betweenness_scores(adj),
+}
+
+
+# ---------------------------------------------------------------------------
+# Per-context linking (M11 + A4)
+# ---------------------------------------------------------------------------
+
+
+def link_context(
+    cand_rows: list[dict],
+    kb,
+    sameas,
+    rels=None,
+    measure: str = "degree",
+    prefered_uri_order: str = "ALL",
+) -> list[dict]:
+    """Link one context's mentions. Returns link dicts."""
+    if not cand_rows:
+        return []
+    by_mention: dict[int, list[dict]] = {}
+    for row in cand_rows:
+        by_mention.setdefault(row["mention_id"], []).append(row)
+    for rows in by_mention.values():
+        rows.sort(key=lambda r: r["cand_rank"])
+
+    # M11 eligibility: NoAmbiguity fast path (no mention has >1 candidate)
+    if all(len(rows) <= 1 for rows in by_mention.values()):
+        out = []
+        for mid in sorted(by_mention):
+            row = by_mention[mid][0]
+            out.append(_emit(row, None, prefered_uri_order))
+        return out
+
+    edges, adj, cand_vertices, inverted = build_fusion_graph(cand_rows, kb, sameas, rels)
+    prune_graph(edges, adj, cand_vertices, inverted)
+    scores = _MEASURES[measure](edges, adj)
+
+    out = []
+    for mid in sorted(by_mention):
+        rows = by_mention[mid]
+        best_row, best_key = None, None
+        for row in rows:
+            vb = decompose(row["entity_id"])
+            s = scores.get(vb, 0.0)
+            key = (s, row["entity_id"])  # tie -> lexicographically largest URI
+            if best_key is None or key > best_key:
+                best_row, best_key = row, key
+        out.append(_emit(best_row, best_key[0], prefered_uri_order))
+    return out
+
+
+def _emit(row: dict, score: float | None, prefered_uri_order: str) -> dict:
+    uris = list(row["uris"])
+    if prefered_uri_order == "ALL":
+        emitted = uris  # whole equivalence list (CentralityHandler.java:205-211)
+    else:
+        emitted = [u for u in uris if prefered_uri_order in u] or [row["entity_id"]]
+    return {
+        "url": row["url"],
+        "mention_id": row["mention_id"],
+        "surface": row["surface"],
+        "surface_norm": row["surface_norm"],
+        "uri": row["entity_id"],
+        "all_uris": emitted,
+        "score": float("nan") if score is None else float(score),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Dataset-level stage
+# ---------------------------------------------------------------------------
+
+_LINK_COLUMNS = ["url", "mention_id", "surface", "surface_norm", "uri", "all_uris", "score"]
+
+
+def make_link_groups_fn(kb_ref, sameas_ref, rels=None, measure="degree",
+                        prefered_uri_order="ALL"):
+    """Group fn for ``candidates.groupby("url").map_groups``; broadcast
+    state fetched (and per-worker cached) on first call."""
+
+    def link_group(df: pd.DataFrame) -> pd.DataFrame:
+        kb = get_broadcast(kb_ref)
+        sameas = get_broadcast(sameas_ref)
+        rows = df.sort_values(["mention_id", "cand_rank"], kind="stable").to_dict("records")
+        links = link_context(rows, kb, sameas, rels, measure, prefered_uri_order)
+        return pd.DataFrame(links, columns=_LINK_COLUMNS)
+
+    return link_group
+
+
+def link_documents(candidates_ds, kb_ref, sameas_ref, rels=None,
+                   measure: str = "degree", prefered_uri_order: str = "ALL"):
+    """candidates Dataset -> links Dataset (one shuffle, keyed on url)."""
+    fn = make_link_groups_fn(kb_ref, sameas_ref, rels, measure, prefered_uri_order)
+    return candidates_ds.groupby("url").map_groups(fn, batch_format="pandas")
+
+
+def make_edges_groups_fn(kb_ref, sameas_ref, rels=None, pruned: bool = True):
+    """Group fn emitting the (optionally pruned) fusion-graph edge list
+    per url — the S11 debug dump / S13 predicate-frequency feed."""
+
+    def edges_group(df: pd.DataFrame) -> pd.DataFrame:
+        kb = get_broadcast(kb_ref)
+        sameas = get_broadcast(sameas_ref)
+        rows = df.sort_values(["mention_id", "cand_rank"], kind="stable").to_dict("records")
+        by_mention: dict[int, int] = {}
+        for r in rows:
+            by_mention[r["mention_id"]] = by_mention.get(r["mention_id"], 0) + 1
+        url = rows[0]["url"] if rows else ""
+        if not rows or all(v <= 1 for v in _dedup_counts(rows).values()):
+            return pd.DataFrame(columns=["url", "src", "pred", "dst", "weight"])
+        edges, adj, cand_vertices, inverted = build_fusion_graph(rows, kb, sameas, rels)
+        if pruned:
+            prune_graph(edges, adj, cand_vertices, inverted)
+        recs = [
+            {"url": url, "src": s, "pred": p, "dst": d, "weight": w}
+            for (s, d), (p, w) in sorted(edges.items())
+        ]
+        return pd.DataFrame(recs, columns=["url", "src", "pred", "dst", "weight"])
+
+    return edges_group
+
+
+def _dedup_counts(rows: list[dict]) -> dict[int, int]:
+    counts: dict[int, int] = {}
+    for r in rows:
+        counts[r["mention_id"]] = counts.get(r["mention_id"], 0) + 1
+    return counts
+
+
+def fusion_edges(candidates_ds, kb_ref, sameas_ref, rels=None, pruned: bool = True):
+    """candidates Dataset -> per-url fusion-graph edges Dataset."""
+    fn = make_edges_groups_fn(kb_ref, sameas_ref, rels, pruned)
+    return candidates_ds.groupby("url").map_groups(fn, batch_format="pandas")

@@ -1,0 +1,131 @@
+"""Mention detection: gazetteer NER as an actor-pool ``map_batches`` stage.
+
+The reference consumes pre-annotated TEI (mentions are ``persName`` /
+``placeName`` elements, src/fr/lip6/reden/MainNELApp.java:233-258); our
+web pages are raw text, so mention detection is an explicit stateful
+stage (SURVEY.md ST6): a token-trie gazetteer matcher whose trie is
+built ONCE per actor in ``__init__`` from a broadcast surface list,
+then applied per batch — the actor-pool pattern replacing the
+reference's per-call index reopening.
+
+Matching semantics mirror the reference's candidate lookup (J1):
+token-level, case-insensitive, greedy longest match; the emitted
+``surface_norm`` uses the M1 normalizer so both join sides agree
+(DicoProcessingNEL.java:410-415). ``mention_id`` is the 0-based rank of
+the mention's byte offset within its url — the stable positional id
+replacing the reference's DOM-order alignment
+(ResultsAndEvaluationNEL.java:251-257).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+from ..functions.text import normalize_surface
+from ..state.broadcast import get_broadcast
+
+_TOKEN_RE = re.compile(r"\w+", re.U)
+
+_TERMINAL = "\0"  # trie terminal marker -> ne_type
+
+
+def build_trie(surfaces: list[tuple[str, str]]) -> dict:
+    """Token trie: nested dicts keyed by lowercased tokens.
+
+    ``surfaces`` is [(surface, ne_type)]; first entry wins on duplicate
+    token sequences (callers pass a sorted list -> deterministic).
+    """
+    root: dict = {}
+    for surface, ne_type in surfaces:
+        toks = [t.lower() for t in _TOKEN_RE.findall(surface)]
+        if not toks:
+            continue
+        node = root
+        for t in toks:
+            node = node.setdefault(t, {})
+        node.setdefault(_TERMINAL, ne_type)
+    return root
+
+
+def find_mentions(text: str, trie: dict) -> list[tuple[int, int, str, str]]:
+    """Greedy longest-match scan. Returns [(begin, end, surface, ne_type)]
+    in offset order; offsets are character offsets into ``text``."""
+    tokens = [(m.start(), m.end(), m.group(0).lower()) for m in _TOKEN_RE.finditer(text)]
+    out: list[tuple[int, int, str, str]] = []
+    i, n = 0, len(tokens)
+    while i < n:
+        node = trie.get(tokens[i][2])
+        if node is None:
+            i += 1
+            continue
+        best_j, best_ne = -1, ""
+        j = i
+        while True:
+            if _TERMINAL in node:
+                best_j, best_ne = j, node[_TERMINAL]
+            j += 1
+            if j >= n:
+                break
+            nxt = node.get(tokens[j][2])
+            if nxt is None:
+                break
+            node = nxt
+        if best_j >= 0:
+            begin, end = tokens[i][0], tokens[best_j][1]
+            out.append((begin, end, text[begin:end], best_ne))
+            i = best_j + 1
+        else:
+            i += 1
+    return out
+
+
+class GazetteerNER:
+    """Actor-pool stage: (url, text) batches -> mentions table.
+
+    Use: ``ds.map_batches(GazetteerNER, fn_constructor_args=(ref,),
+    batch_format="pyarrow", concurrency=N, batch_size=B)`` where ``ref``
+    is a ``ray.put`` of [(surface, ne_type)].
+    """
+
+    def __init__(self, gazetteer_ref):
+        surfaces = get_broadcast(gazetteer_ref)
+        self.trie = build_trie(surfaces)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls, mids, surfs, norms, nes, begins, ends = [], [], [], [], [], [], []
+        for url, text in zip(
+            batch.column("url").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for mid, (b, e, surface, ne) in enumerate(find_mentions(text, self.trie)):
+                urls.append(url)
+                mids.append(mid)
+                surfs.append(surface)
+                norms.append(normalize_surface(surface))
+                nes.append(ne)
+                begins.append(b)
+                ends.append(e)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "mention_id": pa.array(mids, pa.int64()),
+                "surface": pa.array(surfs, pa.string()),
+                "surface_norm": pa.array(norms, pa.string()),
+                "ne_type": pa.array(nes, pa.string()),
+                "begin": pa.array(begins, pa.int32()),
+                "end": pa.array(ends, pa.int32()),
+            }
+        )
+
+
+def detect_mentions(text_ds, gazetteer_ref, concurrency: int | tuple = (1, 4), batch_size: int = 512):
+    """text Dataset -> mentions Dataset via a GazetteerNER actor pool."""
+    return text_ds.map_batches(
+        GazetteerNER,
+        fn_constructor_args=(gazetteer_ref,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -1,0 +1,169 @@
+"""Unit tests for scalar functions (M1-M10 parity + text analysis)."""
+
+import numpy as np
+import pyarrow as pa
+
+from reden_ray.functions.alias import make_aliases, normalized_display_name
+from reden_ray.functions.dates import clean_year, date_overlap, parse_year
+from reden_ray.functions.text import (
+    char_shingles,
+    count_tokens_bpe,
+    count_tokens_ws,
+    detect_language,
+    fingerprint_md5,
+    hamming64,
+    html_to_text,
+    jaccard,
+    minhash_params,
+    minhash_signature,
+    normalize_surface,
+    normalize_surface_array,
+    quality_features,
+    rolling_fingerprints,
+    sanitize_filename,
+    simhash64,
+    text_to_html,
+    word_ngrams,
+)
+from reden_ray.functions.uri import decompose, normalize_uri
+
+
+class TestNormalizer:
+    """M1 — DicoProcessingNEL.java:410-415 byte cases."""
+
+    def test_strips_ws_apostrophe_hyphen_lowercases(self):
+        assert normalize_surface("Jean-Paul d'Arc") == "jeanpauldarc"
+        assert normalize_surface("  A  B  ") == "ab"
+        assert normalize_surface("O’Neil") == "oneil"
+        assert normalize_surface("Dumas") == "dumas"
+        assert normalize_surface("") == ""
+
+    def test_vectorized_matches_scalar(self):
+        vals = ["Jean-Paul d'Arc", "  A  B ", "O’Neil", "M. X", ""]
+        arr = normalize_surface_array(pa.array(vals))
+        assert arr.to_pylist() == [normalize_surface(v) for v in vals]
+
+    def test_sanitize_distinct_from_normalize(self):
+        # M2 — Util.java:75-80: also '/'->'-' and drop ':'
+        assert sanitize_filename("http://a b/c:d") == "http--ab-cd"
+
+
+class TestUri:
+    def test_decompose_decodes_http_only(self):
+        assert decompose("http://x/a%20b") == "http://x/a b"
+        assert decompose("not-a-uri%20x") == "not-a-uri%20x"
+        assert normalize_uri(" http://x/a%C3%A9 ") == "http://x/aé"
+
+
+class TestDates:
+    def test_parse_year(self):
+        assert parse_year("1802-07-24") == 1802
+        assert parse_year("1850") == 1850
+        assert parse_year("noyear") is None
+        assert parse_year(None) is None
+
+    def test_overlap(self):
+        assert date_overlap(1800, 1870, 1850, 1900) == 20
+        assert date_overlap(1800, 1820, 1850, 1900) == 0
+
+    def test_clean_year(self):
+        assert clean_year("1802-07-24") == "1802"
+        assert clean_year("1844") == "1844"
+        assert clean_year("18..") == "18"
+        assert clean_year("junk") == "-"
+        assert clean_year(None) == "-"
+
+
+class TestAliases:
+    """M9 — AuthorBNF.makeAliases semantics, table-driven."""
+
+    def test_patterns(self):
+        a = set(make_aliases("Alexandre", "Dumas", gender="M"))
+        assert {"Dumas", "Alexandre Dumas", "Dumas, Alexandre",
+                "A. Dumas", "A Dumas", "M. Dumas", "M Dumas"} <= a
+
+    def test_particle(self):
+        a = set(make_aliases("Alfred", "Vigny", gender="M", particle="de"))
+        assert "de Vigny" in a and "Alfred de Vigny" in a
+        b = set(make_aliases("Jeanne", "Arc", gender="F", particle="d'"))
+        assert "d'Arc" in b
+
+    def test_deterministic_sorted(self):
+        assert make_aliases("A", "B") == sorted(make_aliases("A", "B"))
+
+    def test_display_name(self):
+        assert normalized_display_name("Alexandre", "Dumas", "1802", "1870") == \
+            "Dumas, Alexandre (1802-1870)"
+
+
+class TestHtmlToText:
+    def test_roundtrip(self):
+        text = "line one here\nsecond line"
+        assert html_to_text(text_to_html(text, title="T")) == text
+
+    def test_drops_head_script_style(self):
+        html = b"<html><head><title>NO</title></head><body><style>x</style>" \
+               b"<script>var a=1;</script><p>keep me</p></body></html>"
+        assert html_to_text(html) == "keep me"
+
+    def test_entities_and_whitespace(self):
+        assert html_to_text(b"<p>a &amp; b</p><p>  c   d </p>") == "a & b\nc d"
+
+    def test_block_vs_inline(self):
+        assert html_to_text(b"<div>a</div><div>b</div>") == "a\nb"
+        assert html_to_text(b"x <b>y</b> z") == "x y z"
+
+    def test_deterministic_bytes(self):
+        h = text_to_html("alpha beta\ngamma")
+        assert h == text_to_html("alpha beta\ngamma")
+
+
+class TestTextAnalysis:
+    def test_langid(self):
+        assert detect_language("the cat and the hat is on the mat") == "en"
+        assert detect_language("le chat est dans la maison et il dort") == "fr"
+        assert detect_language("") == "und"
+
+    def test_quality(self):
+        f = quality_features("Hello world, this is a test.")
+        assert f["n_tokens"] == 6.0
+        assert f["n_words"] == 6.0
+        assert 0 < f["alpha_ratio"] < 1
+        assert f["punct_ratio"] > 0
+
+    def test_token_counts(self):
+        assert count_tokens_ws("a b  c") == 3
+        assert count_tokens_bpe("don't stop") == 4  # don / ' / t / stop
+
+    def test_fingerprints(self):
+        assert fingerprint_md5("Ab, c!") == fingerprint_md5("ab c")
+        fp = rolling_fingerprints("one two three four five six seven eight nine ten")
+        assert fp == rolling_fingerprints("one two three four five six seven eight nine ten")
+        assert all(isinstance(x, int) for x in fp)
+
+    def test_shingles_jaccard(self):
+        a, b = char_shingles("abcdef", 3), char_shingles("abcdeg", 3)
+        assert 0 < jaccard(a, b) < 1
+        assert jaccard(set(), set()) == 1.0
+        assert word_ngrams("a b c d", 3) == {("a", "b", "c"), ("b", "c", "d")}
+
+
+class TestSketches:
+    def test_minhash_similarity(self):
+        a, b = minhash_params(128)
+        s1 = char_shingles("the quick brown fox jumps over the lazy dog " * 3)
+        s2 = char_shingles("the quick brown fox jumps over the lazy cat " * 3)
+        s3 = char_shingles("completely different text about other things " * 3)
+        m1 = minhash_signature(s1, a, b)
+        m2 = minhash_signature(s2, a, b)
+        m3 = minhash_signature(s3, a, b)
+        sim12 = float(np.mean(m1 == m2))
+        sim13 = float(np.mean(m1 == m3))
+        assert sim12 > 0.5 > sim13
+
+    def test_simhash(self):
+        h1 = simhash64("the quick brown fox jumps over the lazy dog")
+        h2 = simhash64("the quick brown fox jumps over the lazy cat")
+        h3 = simhash64("entirely unrelated words appear here instead now")
+        assert hamming64(h1, h2) < hamming64(h1, h3)
+        assert simhash64("") == 0

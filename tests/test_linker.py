@@ -1,0 +1,177 @@
+"""Unit tests for the fusion-graph linker core (A1-A4, M11, J2/J4).
+
+Hand-built graphs with analytically known pruning / degree / argmax
+outcomes; parity semantics cited in reden_ray.stages.linker.
+"""
+
+import math
+
+from reden_ray import SAMEAS_PRED
+from reden_ray.stages.linker import (
+    betweenness_scores,
+    build_fusion_graph,
+    closeness_scores,
+    degree_scores,
+    eigenvector_scores,
+    link_context,
+    prune_graph,
+)
+
+
+def cand(url, mid, surface, entity, uris=None, rank=0):
+    return {
+        "url": url,
+        "mention_id": mid,
+        "surface": surface,
+        "surface_norm": surface.lower(),
+        "cand_rank": rank,
+        "entity_id": entity,
+        "uris": uris or [entity],
+    }
+
+
+HUB = "http://kb/hub"
+E1, E2, D1 = "http://kb/e1", "http://kb/e2", "http://kb/d1"
+MEMBER = "http://kb/onto#member"
+
+
+def kb_of(**triples):
+    """kb index {subj: [(pred, obj, is_lit, w)]}"""
+    return {s: [(p, o, False, 1.0) for (p, o) in lst] for s, lst in triples.items()}
+
+
+class TestGraphBuild:
+    def test_simple_graph_no_parallel_edges_no_self_loops(self):
+        kb = {E1: [(MEMBER, HUB, False, 1.0), (MEMBER, HUB, False, 2.0),
+                   ("p2", E1, False, 1.0)]}
+        edges, adj, cv, inv = build_fusion_graph([cand("u", 0, "a", E1)], kb, {})
+        assert list(edges) == [(E1, HUB)]
+        assert edges[(E1, HUB)] == (MEMBER, 1.0)  # first edge wins
+
+    def test_sameas_predicate_skipped(self):
+        kb = {E1: [(SAMEAS_PRED, E2, False, 1.0)]}
+        edges, *_ = build_fusion_graph([cand("u", 0, "a", E1)], kb, {})
+        assert edges == {}
+
+    def test_equivalent_statements_rerooted_at_base(self):
+        # J4: triples under an equivalent URI become edges from the base.
+        eq = "http://dbp/e1"
+        kb = {eq: [(MEMBER, HUB, False, 1.0)]}
+        edges, *_ = build_fusion_graph(
+            [cand("u", 0, "a", E1, uris=[E1, eq])], kb, {})
+        assert list(edges) == [(E1, HUB)]
+
+    def test_sameas_table_expansion_one_hop(self):
+        eq = "http://dbp/e1"
+        kb = {eq: [(MEMBER, HUB, False, 1.0)]}
+        edges, *_ = build_fusion_graph(
+            [cand("u", 0, "a", E1)], kb, {E1: [eq]})
+        assert list(edges) == [(E1, HUB)]
+
+    def test_vertex_identity_is_decoded(self):
+        kb = {E1: [(MEMBER, "http://kb/a%20b", False, 1.0)]}
+        edges, *_ = build_fusion_graph([cand("u", 0, "a", E1)], kb, {})
+        assert list(edges) == [(E1, "http://kb/a b")]
+
+    def test_rels_weight_override(self):
+        kb = {E1: [(MEMBER, HUB, False, 1.0)]}
+        edges, *_ = build_fusion_graph(
+            [cand("u", 0, "a", E1)], kb, {}, rels={MEMBER: 5.0})
+        assert edges[(E1, HUB)] == (MEMBER, 5.0)
+
+
+class TestPruning:
+    def test_hub_kept_when_two_mentions(self):
+        kb = kb_of(**{E1: [(MEMBER, HUB)], E2: [(MEMBER, HUB)]})
+        rows = [cand("u", 0, "a", E1), cand("u", 1, "b", E2)]
+        edges, adj, cv, inv = build_fusion_graph(rows, kb, {})
+        prune_graph(edges, adj, cv, inv)
+        assert HUB in adj and len(edges) == 2
+
+    def test_hub_pruned_when_one_mention(self):
+        kb = kb_of(**{E1: [(MEMBER, HUB)], D1: []})
+        rows = [cand("u", 0, "a", E1), cand("u", 1, "b", D1)]
+        edges, adj, cv, inv = build_fusion_graph(rows, kb, {})
+        prune_graph(edges, adj, cv, inv)
+        assert HUB not in adj and edges == {}
+
+    def test_hub_pruned_when_two_candidates_same_mention(self):
+        # two candidates of the SAME mention -> 1 distinct mention -> prune
+        kb = kb_of(**{E1: [(MEMBER, HUB)], D1: [(MEMBER, HUB)]})
+        rows = [cand("u", 0, "a", E1, rank=0), cand("u", 0, "a", D1, rank=1),
+                cand("u", 1, "b", E2)]
+        edges, adj, cv, inv = build_fusion_graph(rows, kb, {})
+        prune_graph(edges, adj, cv, inv)
+        assert HUB not in adj
+
+    def test_candidates_never_pruned(self):
+        kb = kb_of(**{E1: [("knows", E2)]})
+        rows = [cand("u", 0, "a", E1), cand("u", 1, "b", E2)]
+        edges, adj, cv, inv = build_fusion_graph(rows, kb, {})
+        prune_graph(edges, adj, cv, inv)
+        assert E1 in adj and E2 in adj and (E1, E2) in edges
+
+
+class TestCentrality:
+    def test_degree(self):
+        edges = {("a", "b"): ("p", 1.0), ("c", "b"): ("p", 1.0)}
+        d = degree_scores(edges)
+        assert d == {"a": 1.0, "b": 2.0, "c": 1.0}
+
+    def test_closeness_path(self):
+        adj = {"a": {"b"}, "b": {"a", "c"}, "c": {"b"}}
+        c = closeness_scores(adj)
+        assert c["b"] == 0.5 and math.isclose(c["a"], 1 / 3)
+
+    def test_eigenvector_star(self):
+        adj = {"h": {"a", "b", "c"}, "a": {"h"}, "b": {"h"}, "c": {"h"}}
+        e = eigenvector_scores(adj)
+        assert e["h"] > e["a"] and math.isclose(e["a"], e["b"])
+
+    def test_betweenness_path(self):
+        adj = {"a": {"b"}, "b": {"a", "c"}, "c": {"b"}}
+        b = betweenness_scores(adj)
+        assert b["b"] > b["a"] == b["c"] == 0.0
+
+
+class TestLinkContext:
+    def test_gold_beats_decoy(self):
+        kb = kb_of(**{
+            E1: [(MEMBER, HUB)], E2: [(MEMBER, HUB)],
+            D1: [(MEMBER, "http://kb/otherhub")],
+        })
+        rows = [cand("u", 0, "Shared", E1, rank=0), cand("u", 0, "Shared", D1, rank=1),
+                cand("u", 1, "Other", E2)]
+        links = link_context(rows, kb, {})
+        by_mid = {l["mention_id"]: l for l in links}
+        assert by_mid[0]["uri"] == E1
+        assert by_mid[0]["score"] == 1.0
+        assert by_mid[1]["uri"] == E2
+
+    def test_tie_breaks_to_lexicographically_largest(self):
+        rows = [cand("u", 0, "s", "http://kb/aa", rank=0),
+                cand("u", 0, "s", "http://kb/zz", rank=1),
+                cand("u", 1, "t", E2)]
+        links = link_context(rows, {}, {})
+        assert links[0]["uri"] == "http://kb/zz"
+
+    def test_no_ambiguity_fast_path(self):
+        # M11: no mention has >1 candidate -> direct assignment, NaN score
+        rows = [cand("u", 0, "a", E1, uris=[E1, "http://eq/1"]),
+                cand("u", 1, "b", E2)]
+        links = link_context(rows, {}, {})
+        assert [l["uri"] for l in links] == [E1, E2]
+        assert all(math.isnan(l["score"]) for l in links)
+        assert links[0]["all_uris"] == [E1, "http://eq/1"]
+
+    def test_prefered_uri_order_filters(self):
+        rows = [cand("u", 0, "a", E1, uris=[E1, "http://dbp/x"]),
+                cand("u", 1, "b", E2)]
+        links = link_context(rows, {}, {}, prefered_uri_order="dbp")
+        assert links[0]["all_uris"] == ["http://dbp/x"]
+        # no match -> fall back to winning vertex
+        links = link_context(rows, {}, {}, prefered_uri_order="zzz")
+        assert links[0]["all_uris"] == [E1]
+
+    def test_empty(self):
+        assert link_context([], {}, {}) == []

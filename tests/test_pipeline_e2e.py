@@ -1,0 +1,108 @@
+"""Golden end-to-end test: fixture corpus -> triples, parity gates.
+
+Mirrors the reference's gold-standard mechanism (run with -printEval
+against *-gold.xml, ResultsAndEvaluationNEL.java:201-557) with the
+BASELINE.md gates: link P/R >= 0.95, byte-identical extracted text,
+triple P/R >= 0.95, determinism.
+"""
+
+import pyarrow.parquet as pq
+import pytest
+
+from reden_ray.fixtures import generate_fixture
+from reden_ray.pipelines.nel import NELConfig, NELPipeline
+from reden_ray.stages.evaluate import evaluate_links, triple_prf
+
+
+@pytest.fixture(scope="module")
+def pipeline(unit_fixture):
+    p = NELPipeline(unit_fixture)
+    links = p.links().materialize()
+    return p, links
+
+
+class TestExtraction:
+    def test_text_byte_identical_per_url(self, unit_fixture, pipeline):
+        p, _ = pipeline
+        got = {r["url"]: r["text"] for r in p.texts().take_all()}
+        exp = pq.read_table(f"{unit_fixture}/pages.parquet", columns=["url", "text"])
+        for url, text in zip(exp["url"].to_pylist(), exp["text"].to_pylist()):
+            assert got[url] == text, f"text drift for {url}"
+
+    def test_html_column_dropped(self, pipeline):
+        p, _ = pipeline
+        assert "html" not in p.texts().schema().names
+
+
+class TestLinking:
+    def test_link_parity_gates(self, unit_fixture, pipeline):
+        p, links = pipeline
+        gold = pq.read_table(f"{unit_fixture}/gold_links.parquet")
+        cands = p.candidates()
+        m = evaluate_links(links, gold, cands)
+        assert m["link_precision"] >= 0.95, m
+        assert m["link_recall"] >= 0.95, m
+        assert m["nil_precision"] >= 0.95, m
+        assert m["nil_recall"] >= 0.95, m
+        assert m["candidate_recall"] >= 0.95, m
+        assert m["disambiguation_accuracy"] >= 0.95, m
+
+    def test_mention_inventory_matches_gold(self, unit_fixture, pipeline):
+        p, _ = pipeline
+        got = {(r["url"], r["mention_id"]): r["surface"] for r in p.mentions().take_all()}
+        gold = pq.read_table(f"{unit_fixture}/gold_links.parquet")
+        exp = {
+            (u, m): s
+            for u, m, s in zip(
+                gold["url"].to_pylist(),
+                gold["mention_id"].to_pylist(),
+                gold["surface"].to_pylist(),
+            )
+        }
+        assert got == exp
+
+
+class TestTriples:
+    def test_triple_parity(self, unit_fixture, pipeline):
+        p, links = pipeline
+        triples = p.triples(links)
+        gold = pq.read_table(f"{unit_fixture}/gold_triples.parquet")
+        m = triple_prf(triples, gold)
+        assert m["precision"] >= 0.95, m
+        assert m["recall"] >= 0.95, m
+
+    def test_triples_are_deduplicated(self, pipeline):
+        p, links = pipeline
+        t = p.triples(links).to_pandas()
+        assert not t.duplicated(["subj", "pred", "obj"]).any()
+
+
+class TestDeterminism:
+    def test_fixture_generation_is_byte_stable(self, tmp_path):
+        a = tmp_path / "a"
+        b = tmp_path / "b"
+        generate_fixture(a, n_pages=30, n_entities=64, seed=7)
+        generate_fixture(b, n_pages=30, n_entities=64, seed=7)
+        for name in ["pages", "dictionary", "kb_triples", "sameas", "gold_links", "gold_triples"]:
+            ta = pq.read_table(f"{a}/{name}.parquet")
+            tb = pq.read_table(f"{b}/{name}.parquet")
+            assert ta.equals(tb), name
+
+    def test_links_stable_across_runs(self, unit_fixture, pipeline):
+        p, links = pipeline
+        first = sorted(
+            (r["url"], r["mention_id"], r["uri"]) for r in links.take_all()
+        )
+        second = sorted(
+            (r["url"], r["mention_id"], r["uri"])
+            for r in NELPipeline(unit_fixture).links().take_all()
+        )
+        assert first == second
+
+
+class TestCentralityConfig:
+    def test_other_measures_run(self, unit_fixture):
+        # measure is pluggable (CentralityHandler.java:137-152)
+        for measure in ["closeness", "eigenvector"]:
+            p = NELPipeline(unit_fixture, NELConfig(measure=measure))
+            assert p.links().count() > 0
