@@ -1,16 +1,18 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data REDEN-capability engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initialises Ray BEFORE importing this module; nothing here
+(or in ``reden_ray``) calls ``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+* ``entry()`` — flagship KG-construction pipeline over pages derived
+  from /root/testdata/sf0.001 (documents -> html -> extract -> NER ->
+  candidates -> fusion-graph linking -> canonicalized dedup'd triples).
+* ``queries()`` — one entry per implemented operator/pipeline from
+  SURVEY.md §2 (+ the training-data operators: dedup family,
+  similarity search, text analysis, multimodal plumbing).
+* ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible
+  query, on the pre-registered views. Non-SQL-expressible pipelines
+  (graph linking, LSH/simhash near-dup, approximate ANN, multimodal)
+  are intentionally omitted -> rows-only checks.
 """
 
 from __future__ import annotations
@@ -20,25 +22,267 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: returns the final
+    deduplicated (subj, pred, obj) triples as a pandas DataFrame."""
+    from reden_ray.pipelines.webdemo import nel_pipeline_over_documents
+
+    p, pages = nel_pipeline_over_documents("/root/testdata/sf0.001")
+    links = p.links(p.candidates(p.mentions(p.texts(pages))))
+    return p.triples(links).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_extract_text(sf_dir: str):
+    from reden_ray.pipelines.webdemo import pages_from_documents
+    from reden_ray.stages.extract import extract_pages
+
+    return extract_pages(pages_from_documents(sf_dir)).select_columns(["url", "text"])
+
+
+def _q_mention_counts(sf_dir: str):
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from reden_ray.pipelines.webdemo import vocab_fixture
+    from reden_ray.stages.ner import detect_mentions
+    from reden_ray.state.broadcast import load_gazetteer_surfaces, put_broadcast
+
+    fx = vocab_fixture()
+    gaz_ref = put_broadcast(load_gazetteer_surfaces(f"{fx}/gazetteer.parquet"))
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def as_pages(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": pa.array([str(i) for i in t["doc_id"].to_pylist()], pa.string()),
+            "text": t["text"].cast(pa.large_string()),
+        })
+
+    pages = ds.map_batches(as_pages, batch_format="pyarrow")
+    mentions = detect_mentions(pages, gaz_ref)
+    return mentions.groupby("surface").aggregate(Count(alias_name="n_mentions"))
+
+
+def _nel_parts(sf_dir: str):
+    from reden_ray.pipelines.webdemo import nel_pipeline_over_documents
+
+    p, pages = nel_pipeline_over_documents(sf_dir)
+    cands = p.candidates(p.mentions(p.texts(pages)))
+    return p, cands
+
+
+def _q_nel_links(sf_dir: str):
+    p, cands = _nel_parts(sf_dir)
+    links = p.links(cands)
+    # all_uris is list-typed; project to scalar columns for the driver
+    return links.select_columns(["url", "mention_id", "surface", "uri", "score"])
+
+
+def _q_nel_triples(sf_dir: str):
+    p, cands = _nel_parts(sf_dir)
+    return p.triples(p.links(cands))
+
+
+def _q_nel_ambiguity(sf_dir: str):
+    from reden_ray.stages.reports import ambiguity_report
+
+    p, cands = _nel_parts(sf_dir)
+    return ambiguity_report(cands)
+
+
+def _q_nel_predicate_frequency(sf_dir: str):
+    from reden_ray.stages.linker import fusion_edges
+    from reden_ray.stages.reports import predicate_frequency
+
+    p, cands = _nel_parts(sf_dir)
+    edges = fusion_edges(cands, p.kb_ref, p.sameas_ref)
+    return predicate_frequency(edges)
+
+
+def _q_minhash_dedup(sf_dir: str):
+    from reden_ray.pipelines.webdemo import duplicated_documents
+    from reden_ray.stages.dedup import minhash_lsh_clusters
+
+    ds = duplicated_documents(sf_dir)
+    return minhash_lsh_clusters(ds, threshold=0.9)
+
+
+def _q_minhash_exact_clusters(sf_dir: str):
+    from reden_ray.pipelines.webdemo import duplicated_documents
+    from reden_ray.stages.dedup import minhash_lsh_clusters
+
+    ds = duplicated_documents(sf_dir)
+    return minhash_lsh_clusters(ds, verify="exact")
+
+
+def _q_simhash_dedup(sf_dir: str):
+    from reden_ray.pipelines.webdemo import duplicated_documents
+    from reden_ray.stages.dedup import simhash_clusters
+
+    return simhash_clusters(duplicated_documents(sf_dir), max_hamming=0)
+
+
+def _q_ngram_jaccard_dedup(sf_dir: str):
+    from reden_ray.pipelines.webdemo import duplicated_documents
+    from reden_ray.stages.dedup import ngram_jaccard_clusters
+
+    return ngram_jaccard_clusters(duplicated_documents(sf_dir), threshold=0.9)
+
+
+def _q_embedding_dedup(sf_dir: str):
+    from reden_ray.pipelines.webdemo import duplicated_embeddings
+    from reden_ray.stages.dedup import embedding_dedup_clusters
+
+    return embedding_dedup_clusters(duplicated_embeddings(sf_dir), threshold=0.999)
+
+
+def _q_ann_ivf(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from reden_ray.stages.similarity import ivf_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    queries = {
+        int(v): e
+        for v, e in zip(emb["vec_id"].to_pylist(), emb["embedding"].to_pylist())
+        if int(v) in (0, 1)
+    }
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = ivf_topk(ds, queries, k=10)
+    return out[["query_id", "vec_id"]]
+
+
+def _q_multimodal(sf_dir: str):
+    import ray.data as rd
+
+    from reden_ray.stages.multimodal import decode_features, synth_media_table
+
+    media = rd.from_arrow(synth_media_table(n=48))
+    return decode_features(media, feature_dim=8, fake=True).select_columns(
+        ["media_id", "kind"]
+    )
+
+
+def _q_text_quality(sf_dir: str):
+    import ray.data as rd
+
+    from reden_ray.stages.reports import text_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return text_stats(ds).select_columns(
+        ["doc_id", "n_words", "alpha_ratio", "stop_ratio", "lang_detected"]
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from reden_ray.pipelines import relational as R
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational / operator inventory (SQL-checked)
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "q2_top_orders": R.q2_top_orders,
+        "q3_segment_revenue": R.q3_segment_revenue,
+        "q4_order_priority_revenue": R.q4_order_priority_revenue,
+        "q5_distinct_flags": R.q5_distinct_flags,
+        "q6_event_type_counts": R.q6_event_type_counts,
+        "q7_exact_dedup_docs": R.q7_exact_dedup_docs,
+        "q8_text_stats": R.q8_text_stats,
+        "q9_token_totals": R.q9_token_totals,
+        "q10_topk_cosine": R.q10_topk_cosine,
+        "q11_extract_text": _q_extract_text,
+        "q12_mention_counts": _q_mention_counts,
+        "q13_lang_stats": R.q13_lang_stats,
+        "q14_nation_revenue": R.q14_nation_revenue,
+        "q15_running_user_value": R.q15_running_user_value,
+        "q16_user_sessions": R.q16_user_sessions,
+        # dedup family over the duplicated corpus. The testdata contains
+        # PLANTED near-duplicates, so threshold-based near-dup results
+        # are approximate by design (rows-only); the exact-verify LSH
+        # route and embedding dedup are SQL-checked.
+        "q17_minhash_dedup": _q_minhash_dedup,
+        "q17b_minhash_exact_clusters": _q_minhash_exact_clusters,
+        "q18_simhash_dedup": _q_simhash_dedup,
+        "q19_ngram_jaccard_dedup": _q_ngram_jaccard_dedup,
+        "q20_embedding_dedup": _q_embedding_dedup,
+        # similarity search / multimodal / text analysis (rows-only where
+        # approximate or not SQL-expressible)
+        "q21_ann_ivf": _q_ann_ivf,
+        "q22_multimodal_features": _q_multimodal,
+        "q23_text_quality": _q_text_quality,
+        # flagship NEL / KG construction over derived pages (rows-only:
+        # graph algorithm not SQL-expressible; parity is gated in pytest
+        # against analytic gold fixtures instead)
+        "nel_links": _q_nel_links,
+        "nel_triples": _q_nel_triples,
+        "nel_ambiguity": _q_nel_ambiguity,
+        "nel_predicate_frequency": _q_nel_predicate_frequency,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+_DUP_DOC_CLUSTERS_SQL = """
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents
+), g AS (
+  SELECT text, MIN(doc_id) AS cluster, COUNT(*) AS c FROM u GROUP BY text
+)
+SELECT u.doc_id, g.cluster FROM u JOIN g USING (text) WHERE g.c > 1
+"""
+
+_DUP_EMB_CLUSTERS_SQL = """
+WITH u AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings
+), g AS (
+  SELECT embedding, MIN(vec_id) AS cluster, COUNT(*) AS c FROM u GROUP BY embedding
+)
+SELECT u.vec_id, g.cluster FROM u JOIN g USING (embedding) WHERE g.c > 1
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from reden_ray.pipelines import relational as R
+    from reden_ray.pipelines.webdemo import GAZETTEER_WORDS, URL_PREFIX
+
+    values = ", ".join(f"('{w}')" for w in GAZETTEER_WORDS)
+    return {
+        "q1_pricing_summary": R.Q1_SQL,
+        "q2_top_orders": R.Q2_SQL,
+        "q3_segment_revenue": R.Q3_SQL,
+        "q4_order_priority_revenue": R.Q4_SQL,
+        "q5_distinct_flags": R.Q5_SQL,
+        "q6_event_type_counts": R.Q6_SQL,
+        "q7_exact_dedup_docs": R.Q7_SQL,
+        "q8_text_stats": R.Q8_SQL,
+        "q9_token_totals": R.Q9_SQL,
+        "q10_topk_cosine": R.Q10_SQL,
+        "q11_extract_text": (
+            f"SELECT '{URL_PREFIX}' || CAST(doc_id AS VARCHAR) AS url, text FROM documents"
+        ),
+        "q12_mention_counts": (
+            "SELECT a.surface, "
+            "SUM(len(regexp_extract_all(d.text, '\\b' || a.surface || '\\b')))::BIGINT"
+            " AS n_mentions "
+            f"FROM documents d CROSS JOIN (VALUES {values}) a(surface) "
+            "GROUP BY a.surface HAVING n_mentions > 0"
+        ),
+        "q13_lang_stats": R.Q13_SQL,
+        "q14_nation_revenue": R.Q14_SQL,
+        "q15_running_user_value": R.Q15_SQL,
+        "q16_user_sessions": R.Q16_SQL,
+        "q17b_minhash_exact_clusters": _DUP_DOC_CLUSTERS_SQL,
+        "q20_embedding_dedup": _DUP_EMB_CLUSTERS_SQL,
+    }

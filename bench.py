@@ -1,0 +1,157 @@
+"""Benchmark: headline KG-construction pipeline + operator queries.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "pages": P, "triples": T, "triples_per_sec": ...}
+
+Env:
+  GRAFT_SF_DIR     input dir (default /root/testdata/sf0.1)
+  RAY_GRAFT_CPUS   num_cpus for ray.init (default 32)
+  GRAFT_REPLICATE  page replication factor (default 20 -> sf0.1 gives
+                   100k pages; same corpus at every CPU level)
+
+`python bench.py --scaling` runs the headline twice in fresh processes
+(num_cpus=8 then 32) on the same input and reports throughputs plus
+scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "20"))
+
+
+def _replicated_pages(sf_dir: str, factor: int):
+    """documents -> pages, replicated ``factor``x with distinct urls."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from reden_ray.functions.text import text_to_html
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        urls, ts, htmls, texts, langs = [], [], [], [], []
+        for i, x, lang in zip(t["doc_id"].to_pylist(), t["text"].to_pylist(),
+                              t["lang"].to_pylist()):
+            h = text_to_html(x, title=f"Doc {i}")
+            for r in range(factor):
+                urls.append(f"https://docs.example/{r}/{i}")
+                ts.append(1_700_000_000_000 + i * 1000 + r)
+                htmls.append(h)
+                texts.append(x)
+                langs.append(lang)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("ms")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.large_string()),
+            "lang": pa.array(langs, pa.string()),
+        })
+
+    return ds.map_batches(to_pages, batch_format="pyarrow", batch_size=256)
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from reden_ray.pipelines import relational as R
+    from reden_ray.pipelines.nel import NELConfig, NELPipeline
+    from reden_ray.pipelines.webdemo import vocab_fixture
+
+    timings: dict[str, float] = {}
+
+    # Warm the OS page cache (untimed) so we measure compute + shuffle.
+    pages = _replicated_pages(SF_DIR, REPLICATE)
+    n_pages = pages.count()
+
+    pool_max = max(2, NUM_CPUS // 2)
+    cfg = NELConfig(ner_concurrency=(1, pool_max), cand_concurrency=(1, pool_max))
+    fx = vocab_fixture()
+    p = NELPipeline(fx, cfg)
+
+    # headline: full KG construction, extract -> ... -> dedup'd triples
+    t0 = time.perf_counter()
+    links = p.links(p.candidates(p.mentions(p.texts(_replicated_pages(SF_DIR, REPLICATE)))))
+    triples = p.triples(links)
+    n_triples = triples.count()
+    timings["nel_kg_construction"] = round(time.perf_counter() - t0, 3)
+
+    # component benchmarks
+    t0 = time.perf_counter()
+    p.texts(_replicated_pages(SF_DIR, REPLICATE)).count()
+    timings["extract_text"] = round(time.perf_counter() - t0, 3)
+
+    for name, fn in [
+        ("q1_pricing_summary", R.q1_pricing_summary),
+        ("q4_order_priority_revenue", R.q4_order_priority_revenue),
+        ("q10_topk_cosine", R.q10_topk_cosine),
+        ("q15_running_user_value", R.q15_running_user_value),
+    ]:
+        t0 = time.perf_counter()
+        fn(SF_DIR)
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    headline = timings["nel_kg_construction"]
+    out = {
+        "metric": "end-to-end KG-construction seconds (replicated corpus)",
+        "value": headline,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "pages": n_pages,
+        "triples": n_triples,
+        "triples_per_sec": round(n_triples / headline, 1) if headline else None,
+        "pages_per_sec": round(n_pages / headline, 1) if headline else None,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        res = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                             capture_output=True, text=True, check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(res.stdout.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    speedup = lo["value"] / hi["value"] if hi["value"] else 0.0
+    eff = speedup / (32 / 8)
+    return {
+        "metric": "N->4N scaling (num_cpus 8 vs 32, same input)",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "pages_per_sec_8": lo["pages_per_sec"],
+        "pages_per_sec_32": hi["pages_per_sec"],
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(eff, 3),
+        "pages": lo["pages"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

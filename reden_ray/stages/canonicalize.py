@@ -38,6 +38,14 @@ TRIPLE_SCHEMA = pa.schema({"subj": pa.string(), "pred": pa.string(), "obj": pa.s
 # ---------------------------------------------------------------------------
 
 
+DEFAULT_KEY_BUCKETS = 64
+
+
+def _bucket_of(series: pd.Series, num_buckets: int) -> pd.Series:
+    """Stable hash bucket (process-independent, vectorized)."""
+    return (pd.util.hash_pandas_object(series, index=False) % num_buckets).astype("int64")
+
+
 def _partial_label_counts(batch: pa.Table) -> pa.Table:
     """Combiner: (uri, surface) -> partial count within this batch."""
     t = batch.select(["uri", "surface"])
@@ -46,19 +54,34 @@ def _partial_label_counts(batch: pa.Table) -> pa.Table:
     )
 
 
-def _label_argmax(df: pd.DataFrame) -> pd.DataFrame:
-    """Per-uri argmax over merged counts; ties -> largest surface."""
-    total = df.groupby("surface", as_index=False)["cnt"].sum()
-    best = total.sort_values(["cnt", "surface"], ascending=[False, False], kind="stable").iloc[0]
-    return pd.DataFrame(
-        {"uri": [df["uri"].iloc[0]], "canonical_label": [best["surface"]]}
-    )
+def _label_argmax_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-uri argmax over merged counts within one hash bucket of uris;
+    ties -> largest surface. Vectorized pandas, no per-uri dispatch."""
+    total = df.groupby(["uri", "surface"], as_index=False)["cnt"].sum()
+    total = total.sort_values(["uri", "cnt", "surface"],
+                              ascending=[True, False, False], kind="stable")
+    best = total.groupby("uri", as_index=False).head(1)
+    best = best.rename(columns={"surface": "canonical_label"})
+    return best[["uri", "canonical_label"]]
 
 
-def canonical_labels(links_ds):
-    """links Dataset -> (uri, canonical_label) Dataset."""
+def canonical_labels(links_ds, num_buckets: int = DEFAULT_KEY_BUCKETS):
+    """links Dataset -> (uri, canonical_label) Dataset.
+
+    Phase 1 combiner collapses each batch to distinct (uri, surface)
+    partial counts (bounds what the shuffle moves for head surfaces);
+    phase 2 shuffles on hash(uri) buckets and finishes vectorized."""
     partials = links_ds.map_batches(_partial_label_counts, batch_format="pyarrow")
-    return partials.groupby("uri").map_groups(_label_argmax, batch_format="pandas")
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = _bucket_of(df["uri"], num_buckets)
+        return df
+
+    bucketed = partials.map_batches(add_bucket, batch_format="pandas")
+    return bucketed.groupby("__bucket").map_groups(
+        _label_argmax_bucket, batch_format="pandas"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -126,13 +149,26 @@ def _batch_unique(cols: list[str]):
     return inner
 
 
-def exact_dedup(ds, cols: list[str]):
-    """D5: exact dedup on ``cols`` — per-batch combiner, then
-    hash-partitioned groupby keeping one row per key."""
+def exact_dedup(ds, cols: list[str], num_buckets: int = DEFAULT_KEY_BUCKETS):
+    """D5: exact dedup on ``cols`` — per-batch combiner, then a
+    hash-bucket shuffle with a vectorized drop_duplicates per bucket
+    (no per-key UDF dispatch)."""
     pre = ds.map_batches(_batch_unique(cols), batch_format="pyarrow")
-    return pre.groupby(cols).map_groups(
-        lambda df: df.head(1), batch_format="pandas"
-    )
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        key = df[cols[0]].astype(str)
+        for c in cols[1:]:
+            key = key + "\x00" + df[c].astype(str)
+        df["__bucket"] = _bucket_of(key, num_buckets)
+        return df
+
+    bucketed = pre.map_batches(add_bucket, batch_format="pandas")
+
+    def dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(cols)[cols]
+
+    return bucketed.groupby("__bucket").map_groups(dedup_bucket, batch_format="pandas")
 
 
 def distinct_linked_entities(links_ds):

@@ -152,13 +152,18 @@ def minhash_lsh_clusters(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.7,
+    verify: str = "jaccard",
     concurrency: int | tuple = (1, 4),
 ) -> pd.DataFrame:
     """Returns DataFrame (doc_id, cluster) for docs in near-dup clusters.
 
     shingle -> minhash (actor pool) -> (band, sig) groupby (the LSH
-    bucket shuffle) -> per-bucket candidate pairs -> driver verify with
-    true Jaccard over shingle sets of ONLY the candidate docs.
+    bucket shuffle) -> per-bucket candidate pairs -> driver verify over
+    ONLY the candidate docs. ``verify="jaccard"`` keeps pairs with true
+    shingle-Jaccard >= threshold (near-dup); ``verify="exact"`` keeps
+    byte-identical texts only (exact dedup routed through the LSH
+    plumbing — recall 1.0 since identical docs collide in every band,
+    and SQL-recomputable for the oracle gate).
     """
     sigs = ds.map_batches(
         MinHashSignatures,
@@ -182,16 +187,22 @@ def minhash_lsh_clusters(
     if not pairs:
         return pd.DataFrame(columns=[id_col, "cluster"])
 
-    # Verify with true Jaccard on the candidate docs only (small side).
+    # Verify on the candidate docs only (small side).
     cand_ids = sorted({x for p in pairs for x in p})
     texts = _collect_texts(ds, id_col, text_col, cand_ids)
-    shingle_cache = {i: char_shingles(texts[i], shingle_k) for i in cand_ids if i in texts}
-    good = [
-        (a, b)
-        for a, b in pairs
-        if a in shingle_cache and b in shingle_cache
-        and jaccard(shingle_cache[a], shingle_cache[b]) >= threshold
-    ]
+    if verify == "exact":
+        good = [
+            (a, b) for a, b in pairs
+            if a in texts and b in texts and texts[a] == texts[b]
+        ]
+    else:
+        shingle_cache = {i: char_shingles(texts[i], shingle_k) for i in cand_ids if i in texts}
+        good = [
+            (a, b)
+            for a, b in pairs
+            if a in shingle_cache and b in shingle_cache
+            and jaccard(shingle_cache[a], shingle_cache[b]) >= threshold
+        ]
     comp = _connected_components(good)
     return pd.DataFrame(
         sorted((doc, rep) for doc, rep in comp.items()), columns=[id_col, "cluster"]

@@ -278,66 +278,118 @@ def _emit(row: dict, score: float | None, prefered_uri_order: str) -> dict:
 # ---------------------------------------------------------------------------
 # Dataset-level stage
 # ---------------------------------------------------------------------------
+# The shuffle key is hash(url) % num_buckets rather than raw url: one
+# map_groups invocation then handles a whole BUCKET of documents with a
+# plain pandas groupby loop inside, instead of paying Ray's per-group
+# UDF dispatch for millions of tiny per-url groups. Bucket count bounds
+# task count and is the explicit partitioning knob for a cluster run.
 
 _LINK_COLUMNS = ["url", "mention_id", "surface", "surface_norm", "uri", "all_uris", "score"]
 
+DEFAULT_URL_BUCKETS = 64
 
-def make_link_groups_fn(kb_ref, sameas_ref, rels=None, measure="degree",
+
+def add_url_bucket(df: pd.DataFrame, num_buckets: int) -> pd.DataFrame:
+    """Stable (process-independent) hash bucket of the url column."""
+    df = df.copy()
+    df["__bucket"] = (
+        pd.util.hash_pandas_object(df["url"], index=False) % num_buckets
+    ).astype("int64")
+    return df
+
+
+def make_link_bucket_fn(kb_ref, sameas_ref, rels=None, measure="degree",
                         prefered_uri_order="ALL"):
-    """Group fn for ``candidates.groupby("url").map_groups``; broadcast
+    """Bucket fn: links every url group inside one bucket; broadcast
     state fetched (and per-worker cached) on first call."""
 
-    def link_group(df: pd.DataFrame) -> pd.DataFrame:
+    def link_bucket(df: pd.DataFrame) -> pd.DataFrame:
         kb = get_broadcast(kb_ref)
         sameas = get_broadcast(sameas_ref)
-        rows = df.sort_values(["mention_id", "cand_rank"], kind="stable").to_dict("records")
-        links = link_context(rows, kb, sameas, rels, measure, prefered_uri_order)
-        return pd.DataFrame(links, columns=_LINK_COLUMNS)
+        df = df.sort_values(["url", "mention_id", "cand_rank"], kind="stable")
+        out: list[dict] = []
+        cur_url, cur_rows = None, []
+        # itertuples + manual run-length grouping: ~10x cheaper than
+        # df.groupby + to_dict("records") on millions of tiny groups.
+        for t in df.itertuples(index=False):
+            if t.url != cur_url:
+                if cur_rows:
+                    out.extend(link_context(cur_rows, kb, sameas, rels, measure,
+                                            prefered_uri_order))
+                cur_url, cur_rows = t.url, []
+            cur_rows.append(
+                {"url": t.url, "mention_id": t.mention_id, "surface": t.surface,
+                 "surface_norm": t.surface_norm, "cand_rank": t.cand_rank,
+                 "entity_id": t.entity_id, "uris": t.uris}
+            )
+        if cur_rows:
+            out.extend(link_context(cur_rows, kb, sameas, rels, measure,
+                                    prefered_uri_order))
+        return pd.DataFrame(out, columns=_LINK_COLUMNS)
 
-    return link_group
+    return link_bucket
 
 
 def link_documents(candidates_ds, kb_ref, sameas_ref, rels=None,
-                   measure: str = "degree", prefered_uri_order: str = "ALL"):
-    """candidates Dataset -> links Dataset (one shuffle, keyed on url)."""
-    fn = make_link_groups_fn(kb_ref, sameas_ref, rels, measure, prefered_uri_order)
-    return candidates_ds.groupby("url").map_groups(fn, batch_format="pandas")
+                   measure: str = "degree", prefered_uri_order: str = "ALL",
+                   num_buckets: int = DEFAULT_URL_BUCKETS):
+    """candidates Dataset -> links Dataset (one shuffle, keyed on
+    hash(url) bucket)."""
+    fn = make_link_bucket_fn(kb_ref, sameas_ref, rels, measure, prefered_uri_order)
+    bucketed = candidates_ds.map_batches(
+        lambda df: add_url_bucket(df, num_buckets), batch_format="pandas"
+    )
+    return (
+        bucketed.groupby("__bucket")
+        .map_groups(fn, batch_format="pandas")
+    )
 
 
-def make_edges_groups_fn(kb_ref, sameas_ref, rels=None, pruned: bool = True):
-    """Group fn emitting the (optionally pruned) fusion-graph edge list
+def make_edges_bucket_fn(kb_ref, sameas_ref, rels=None, pruned: bool = True):
+    """Bucket fn emitting the (optionally pruned) fusion-graph edge list
     per url — the S11 debug dump / S13 predicate-frequency feed."""
 
-    def edges_group(df: pd.DataFrame) -> pd.DataFrame:
+    def edges_bucket(df: pd.DataFrame) -> pd.DataFrame:
         kb = get_broadcast(kb_ref)
         sameas = get_broadcast(sameas_ref)
-        rows = df.sort_values(["mention_id", "cand_rank"], kind="stable").to_dict("records")
-        by_mention: dict[int, int] = {}
-        for r in rows:
-            by_mention[r["mention_id"]] = by_mention.get(r["mention_id"], 0) + 1
-        url = rows[0]["url"] if rows else ""
-        if not rows or all(v <= 1 for v in _dedup_counts(rows).values()):
-            return pd.DataFrame(columns=["url", "src", "pred", "dst", "weight"])
-        edges, adj, cand_vertices, inverted = build_fusion_graph(rows, kb, sameas, rels)
-        if pruned:
-            prune_graph(edges, adj, cand_vertices, inverted)
-        recs = [
-            {"url": url, "src": s, "pred": p, "dst": d, "weight": w}
-            for (s, d), (p, w) in sorted(edges.items())
-        ]
+        df = df.sort_values(["url", "mention_id", "cand_rank"], kind="stable")
+        recs: list[dict] = []
+
+        def flush(url: str, rows: list[dict]) -> None:
+            counts: dict[int, int] = {}
+            for r in rows:
+                counts[r["mention_id"]] = counts.get(r["mention_id"], 0) + 1
+            if all(v <= 1 for v in counts.values()):
+                return  # M11 NoAmbiguity contexts build no graph
+            edges, adj, cand_vertices, inverted = build_fusion_graph(rows, kb, sameas, rels)
+            if pruned:
+                prune_graph(edges, adj, cand_vertices, inverted)
+            for (s, d), (p, w) in sorted(edges.items()):
+                recs.append({"url": url, "src": s, "pred": p, "dst": d, "weight": w})
+
+        cur_url, cur_rows = None, []
+        for t in df.itertuples(index=False):
+            if t.url != cur_url:
+                if cur_rows:
+                    flush(cur_url, cur_rows)
+                cur_url, cur_rows = t.url, []
+            cur_rows.append(
+                {"url": t.url, "mention_id": t.mention_id, "surface": t.surface,
+                 "surface_norm": t.surface_norm, "cand_rank": t.cand_rank,
+                 "entity_id": t.entity_id, "uris": t.uris}
+            )
+        if cur_rows:
+            flush(cur_url, cur_rows)
         return pd.DataFrame(recs, columns=["url", "src", "pred", "dst", "weight"])
 
-    return edges_group
+    return edges_bucket
 
 
-def _dedup_counts(rows: list[dict]) -> dict[int, int]:
-    counts: dict[int, int] = {}
-    for r in rows:
-        counts[r["mention_id"]] = counts.get(r["mention_id"], 0) + 1
-    return counts
-
-
-def fusion_edges(candidates_ds, kb_ref, sameas_ref, rels=None, pruned: bool = True):
+def fusion_edges(candidates_ds, kb_ref, sameas_ref, rels=None, pruned: bool = True,
+                 num_buckets: int = DEFAULT_URL_BUCKETS):
     """candidates Dataset -> per-url fusion-graph edges Dataset."""
-    fn = make_edges_groups_fn(kb_ref, sameas_ref, rels, pruned)
-    return candidates_ds.groupby("url").map_groups(fn, batch_format="pandas")
+    fn = make_edges_bucket_fn(kb_ref, sameas_ref, rels, pruned)
+    bucketed = candidates_ds.map_batches(
+        lambda df: add_url_bucket(df, num_buckets), batch_format="pandas"
+    )
+    return bucketed.groupby("__bucket").map_groups(fn, batch_format="pandas")

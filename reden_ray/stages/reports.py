@@ -1,0 +1,153 @@
+"""Side-report pipelines (reference S11-S14 analogs) + text analytics.
+
+* ``ambiguity_report`` — #candidate URIs per mention (S12,
+  src/fr/lip6/reden/MainNELApp.java:266-275).
+* ``predicate_frequency`` — global fusion-graph edge-label counts
+  (S13, ResultsAndEvaluationNEL.java:371-387 fed by
+  CentralityHandler.java:126-134) — expressed as a proper groupby
+  aggregation instead of the reference's mutable static map
+  (MainNELApp.java:56).
+* ``uri_occurrences`` — linked-URI counts (A9,
+  EnrichmentHandler.java:80-94).
+* ``correct_mention_counts`` — per-surface correct-link counts (A8,
+  ResultsAndEvaluationNEL.java:295-301).
+* ``enrich_links`` — J7 enrichment join: first matching property value
+  per configured property list (EnrichmentHandler.java:162-187,
+  GeodataGeneration.java:43-65; property lists config/latlong.properties,
+  config/authors.properties).
+* Text analytics (langid / quality / token counts / fingerprints) as
+  vectorizable ``map_batches`` stages over a documents table.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from ray.data.aggregate import Count, Sum
+
+from ..functions.text import (
+    count_tokens_bpe,
+    count_tokens_ws,
+    detect_language,
+    fingerprint_md5,
+    quality_features,
+    simhash64,
+)
+from ..state.broadcast import get_broadcast
+
+
+def ambiguity_report(candidates_ds):
+    """(url, mention_id, surface) -> n_candidates."""
+    return (
+        candidates_ds.groupby(["url", "mention_id"])
+        .aggregate(Count(alias_name="n_candidates"))
+    )
+
+
+def predicate_frequency(edges_ds):
+    """fusion edges -> (pred, freq) sorted descending."""
+    return (
+        edges_ds.groupby("pred")
+        .aggregate(Count(alias_name="freq"))
+        .sort("freq", descending=True)
+    )
+
+
+def uri_occurrences(links_ds):
+    return links_ds.groupby("uri").aggregate(Count(alias_name="occurrences"))
+
+
+def correct_mention_counts(links_ds, gold_df: pd.DataFrame):
+    """Per-surface correct counts (driver-side small join, like eval)."""
+    links = links_ds.to_pandas()
+    links["emitted"] = links["all_uris"].map(lambda us: " ".join(us))
+    m = gold_df.merge(links[["url", "mention_id", "emitted"]], on=["url", "mention_id"])
+    m = m[m["gold_uri"].notna()]
+    ok = m.apply(lambda r: isinstance(r["emitted"], str) and r["gold_uri"] in r["emitted"], axis=1)
+    out = m[ok].groupby("surface").size().reset_index(name="n_correct")
+    return out.sort_values(["n_correct", "surface"], ascending=[False, True]).reset_index(drop=True)
+
+
+class EnrichLinks:
+    """J7: links batches -> + one column per (name, [property prefs]),
+    taking the FIRST matching property value in list order (coalesce)."""
+
+    def __init__(self, kb_ref, prop_lists: dict[str, list[str]]):
+        self.kb = get_broadcast(kb_ref)
+        self.prop_lists = prop_lists
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        uris = batch.column("uri").to_pylist()
+        for name, prefs in self.prop_lists.items():
+            vals = []
+            for uri in uris:
+                triples = self.kb.get(uri, ())
+                val = None
+                for pref in prefs:  # list order = preference order
+                    for pred, obj, _lit, _w in triples:
+                        if pred == pref:
+                            val = obj
+                            break
+                    if val is not None:
+                        break
+                vals.append(val)
+            batch = batch.append_column(name, pa.array(vals, pa.string()))
+        return batch
+
+
+def enrich_links(links_ds, kb_ref, prop_lists: dict[str, list[str]],
+                 concurrency: int | tuple = (1, 2)):
+    return links_ds.map_batches(
+        EnrichLinks, fn_constructor_args=(kb_ref, prop_lists),
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analytics over a documents table (doc_id, text, ...)
+# ---------------------------------------------------------------------------
+
+
+def text_stats_batch(batch: pa.Table) -> pa.Table:
+    """doc_id + frozen quality/token/fingerprint features per document."""
+    texts = batch.column("text").to_pylist()
+    feats = [quality_features(t) for t in texts]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pa.array([int(f["n_chars"]) for f in feats], pa.int64()),
+            "n_tokens": pa.array([int(f["n_tokens"]) for f in feats], pa.int64()),
+            "n_words": pa.array([int(f["n_words"]) for f in feats], pa.int64()),
+            "n_bpe_tokens": pa.array([count_tokens_bpe(t) for t in texts], pa.int64()),
+            "alpha_ratio": pa.array([f["alpha_ratio"] for f in feats], pa.float64()),
+            "punct_ratio": pa.array([f["punct_ratio"] for f in feats], pa.float64()),
+            "stop_ratio": pa.array([f["stop_ratio"] for f in feats], pa.float64()),
+            "mean_word_len": pa.array([f["mean_word_len"] for f in feats], pa.float64()),
+            "fingerprint": pa.array([fingerprint_md5(t) for t in texts], pa.string()),
+            "simhash": pa.array([simhash64(t) for t in texts], pa.uint64()),
+            "lang_detected": pa.array([detect_language(t) for t in texts], pa.string()),
+        }
+    )
+
+
+def text_stats(documents_ds, batch_size: int = 1024):
+    return documents_ds.map_batches(text_stats_batch, batch_format="pyarrow",
+                                    batch_size=batch_size)
+
+
+def token_count_totals(documents_ds):
+    """Corpus-wide token totals: per-batch combiner + single-row aggregate."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table({
+            "ws_tokens": pa.array([sum(count_tokens_ws(t) for t in texts)], pa.int64()),
+            "bpe_tokens": pa.array([sum(count_tokens_bpe(t) for t in texts)], pa.int64()),
+            "docs": pa.array([len(texts)], pa.int64()),
+        })
+
+    parts = documents_ds.map_batches(partial, batch_format="pyarrow")
+    return parts.aggregate(Sum("ws_tokens", alias_name="ws_tokens"),
+                           Sum("bpe_tokens", alias_name="bpe_tokens"),
+                           Sum("docs", alias_name="docs"))

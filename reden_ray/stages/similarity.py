@@ -1,0 +1,181 @@
+"""Similarity search over an embedding column (list<float>).
+
+* ``brute_force_topk`` — baseline exact cosine top-k: the query matrix
+  is broadcast once (``ray.put``); each batch computes a vectorized
+  numpy matmul against it and emits per-batch partial top-k rows; the
+  global top-k merge runs over the tiny partial set. No full shuffle —
+  the only data movement is |queries| x k rows per batch.
+* ``ivf_topk`` — the scale path: deterministic k-means (seeded init,
+  few Lloyd iterations via per-batch partial sums) assigns each vector
+  to a centroid; queries probe only the ``nprobe`` nearest centroid
+  partitions. Recall < 1.0 by construction; exactness is traded for a
+  |probed partitions| / |all partitions| read fraction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from ..state.broadcast import get_broadcast
+
+
+def _as_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    return np.array(batch.column(vec_col).to_pylist(), dtype=np.float32)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-12)
+
+
+class BatchTopK:
+    """Actor-pool stage: per-batch exact cosine vs broadcast queries."""
+
+    def __init__(self, queries_ref, id_col: str, vec_col: str, k: int):
+        q = get_broadcast(queries_ref)  # dict {query_id: vector} or ndarray rows
+        self.qids = sorted(q)
+        self.qmat = _normalize(np.array([q[i] for i in self.qids], dtype=np.float32))
+        self.id_col, self.vec_col, self.k = id_col, vec_col, k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        if not ids:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             self.id_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        m = _normalize(_as_matrix(batch, self.vec_col))
+        sims = self.qmat @ m.T  # (nq, nb)
+        k = min(self.k, sims.shape[1])
+        out_q, out_i, out_s = [], [], []
+        # partial top-k per query within this batch
+        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        for qi, qid in enumerate(self.qids):
+            for j in idx[qi]:
+                out_q.append(qid)
+                out_i.append(ids[j])
+                out_s.append(float(sims[qi, j]))
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         self.id_col: pa.array(out_i, pa.int64()),
+                         "score": pa.array(out_s, pa.float64())})
+
+
+def brute_force_topk(ds, queries: dict[int, list[float]], k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     concurrency: int | tuple = (1, 4)) -> pd.DataFrame:
+    """Exact cosine top-k. Returns DataFrame (query_id, id_col, score)
+    sorted by (query_id, -score, id_col); |result| = |queries| * k."""
+    qref = ray.put(queries)
+    partials = ds.map_batches(
+        BatchTopK,
+        fn_constructor_args=(qref, id_col, vec_col, k),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    df = partials.to_pandas()  # tiny: |queries| * k * n_batches
+    df = df.sort_values(["query_id", "score", id_col], ascending=[True, False, True],
+                        kind="stable")
+    out = df.groupby("query_id", as_index=False, sort=True).head(k)
+    return out.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) approximate search
+# ---------------------------------------------------------------------------
+
+
+def kmeans_fit(ds, vec_col: str = "embedding", n_clusters: int = 16,
+               iters: int = 5, seed: int = 3) -> np.ndarray:
+    """Deterministic distributed k-means via per-batch partial sums.
+
+    Init: first batch's rows hashed by a seeded RNG choice. Each Lloyd
+    iteration is one pass: map_batches emits (cluster, sum_vec, count)
+    partials; the driver merges (centroid count x dim — tiny).
+    """
+    first = ds.limit(max(n_clusters * 4, 64)).to_pandas()
+    m = np.array(first[vec_col].tolist(), dtype=np.float32)
+    rng = np.random.RandomState(seed)
+    centroids = m[rng.choice(len(m), size=n_clusters, replace=len(m) < n_clusters)]
+
+    for _ in range(iters):
+        cref = ray.put(centroids)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = _normalize(get_broadcast(cref))
+            v = _as_matrix(batch, vec_col)
+            if v.size == 0:
+                return pa.table({"cluster": pa.array([], pa.int32()),
+                                 "vsum": pa.array([], pa.list_(pa.float64())),
+                                 "cnt": pa.array([], pa.int64())})
+            assign = np.argmax(_normalize(v) @ c.T, axis=1)
+            out_c, out_s, out_n = [], [], []
+            for ci in np.unique(assign):
+                sel = v[assign == ci]
+                out_c.append(int(ci))
+                out_s.append(sel.sum(axis=0).astype("float64").tolist())
+                out_n.append(int(sel.shape[0]))
+            return pa.table({"cluster": pa.array(out_c, pa.int32()),
+                             "vsum": pa.array(out_s, pa.list_(pa.float64())),
+                             "cnt": pa.array(out_n, pa.int64())})
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        new = centroids.copy()
+        for ci, g in parts.groupby("cluster"):
+            tot = np.sum(np.array(g["vsum"].tolist()), axis=0)
+            n = g["cnt"].sum()
+            if n:
+                new[int(ci)] = (tot / n).astype(np.float32)
+        centroids = new
+    return centroids
+
+
+def ivf_topk(ds, queries: dict[int, list[float]], k: int = 10, n_clusters: int = 16,
+             nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
+             seed: int = 3) -> pd.DataFrame:
+    """Approximate top-k: probe only the nprobe nearest IVF partitions."""
+    centroids = kmeans_fit(ds, vec_col, n_clusters, seed=seed)
+    cn = _normalize(centroids)
+    qids = sorted(queries)
+    qmat = _normalize(np.array([queries[i] for i in qids], dtype=np.float32))
+    probed = np.argsort(-(qmat @ cn.T), axis=1)[:, :nprobe]
+    probe_sets = {qid: set(map(int, probed[i])) for i, qid in enumerate(qids)}
+    allowed = set().union(*probe_sets.values()) if probe_sets else set()
+    cref = ray.put(centroids)
+    qref = ray.put(queries)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        c = _normalize(get_broadcast(cref))
+        q = get_broadcast(qref)
+        qids_l = sorted(q)
+        qm = _normalize(np.array([q[i] for i in qids_l], dtype=np.float32))
+        ids = batch.column(id_col).to_pylist()
+        if not ids:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        v = _normalize(_as_matrix(batch, vec_col))
+        assign = np.argmax(v @ c.T, axis=1)
+        keep = np.array([int(a) in allowed for a in assign])
+        out_q, out_i, out_s = [], [], []
+        if keep.any():
+            sims = qm @ v[keep].T
+            kept_ids = [i for i, kf in zip(ids, keep) if kf]
+            kept_assign = assign[keep]
+            for qi, qid in enumerate(qids_l):
+                pset = probe_sets[qid]
+                for j, (vid, a) in enumerate(zip(kept_ids, kept_assign)):
+                    if int(a) in pset:
+                        out_q.append(qid)
+                        out_i.append(vid)
+                        out_s.append(float(sims[qi, j]))
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         id_col: pa.array(out_i, pa.int64()),
+                         "score": pa.array(out_s, pa.float64())})
+
+    df = ds.map_batches(scan, batch_format="pyarrow").to_pandas()
+    df = df.sort_values(["query_id", "score", id_col], ascending=[True, False, True],
+                        kind="stable")
+    return df.groupby("query_id", as_index=False, sort=True).head(k).reset_index(drop=True)
