@@ -58,14 +58,18 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
         .aggregate(
             Sum("l_quantity", alias_name="sum_qty"),
             Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
+            Sum("disc_price", alias_name="sum_disc_price_e4"),
             Mean("l_quantity", alias_name="avg_qty"),
             Mean("l_discount", alias_name="avg_disc"),
             Count(alias_name="count_order"),
         )
         .to_pandas()
     )
-    return _round_cols(out, {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2,
+    # disc_price carries 4 decimal places, so its sum sits EXACTLY on
+    # .xx5 2dp-rounding boundaries -> report as exact integer 1e-4 units
+    # (float noise ~1e-8 << 0.5). Plain 2dp-valued sums round stably.
+    out["sum_disc_price_e4"] = (out["sum_disc_price_e4"] * 10000).round().astype("int64")
+    return _round_cols(out, {"sum_qty": 2, "sum_base_price": 2,
                              "avg_qty": 6, "avg_disc": 6})
 
 
@@ -73,7 +77,8 @@ Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 2)                              AS sum_qty,
        ROUND(SUM(l_extendedprice), 2)                         AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)      AS sum_disc_price,
+       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)
+                                                              AS sum_disc_price_e4,
        ROUND(AVG(l_quantity), 6)                              AS avg_qty,
        ROUND(AVG(l_discount), 6)                              AS avg_disc,
        COUNT(*)                                               AS count_order
@@ -142,16 +147,19 @@ def q4_order_priority_revenue(sf_dir: str) -> pd.DataFrame:
                      on=("l_orderkey",), right_on=("o_orderkey",))
     out = (
         joined.groupby("o_orderpriority")
-        .aggregate(Sum("revenue_part", alias_name="revenue"),
+        .aggregate(Sum("revenue_part", alias_name="revenue_e4"),
                    Count(alias_name="n_items"))
         .to_pandas()
     )
-    return _round_cols(out, {"revenue": 2})
+    # 4dp-valued revenue -> exact integer 1e-4 units (see q1 note)
+    out["revenue_e4"] = (out["revenue_e4"] * 10000).round().astype("int64")
+    return out
 
 
 Q4_SQL = """
 SELECT o_orderpriority,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)
+           AS revenue_e4,
        COUNT(*) AS n_items
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority

@@ -1,0 +1,67 @@
+"""Driver-contract smoke tests: entry(), queries(), oracle_sql().
+
+Runs the way the driver does (Ray already initialised by conftest),
+plus DuckDB oracle cross-checks for a fast subset at sf0.001.
+"""
+
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+import __ray_entry__ as E  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def to_pandas(obj):
+    return obj if isinstance(obj, pd.DataFrame) else obj.to_pandas()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+class TestEntry:
+    def test_entry_runs_with_stable_schema(self):
+        out = E.entry()
+        df = to_pandas(out)
+        assert len(df) >= 0
+        assert list(df.columns) == ["subj", "pred", "obj"]
+        assert len(df) > 0
+
+    def test_every_query_has_callable(self):
+        qs = E.queries()
+        assert len(qs) >= 25
+        for name, fn in qs.items():
+            assert callable(fn), name
+
+    def test_oracle_keys_subset_of_queries(self):
+        assert set(E.oracle_sql()) <= set(E.queries())
+
+
+@pytest.mark.parametrize("name", ["q1_pricing_summary", "q5_distinct_flags",
+                                  "q8_text_stats", "q11_extract_text",
+                                  "q16_user_sessions"])
+class TestOracleSubset:
+    def test_matches_duckdb(self, con, name):
+        ray_df = to_pandas(E.queries()[name](SF))
+        sql_df = con.sql(E.oracle_sql()[name]).df()
+        a, b = canon(ray_df), canon(sql_df)
+        pd.testing.assert_frame_equal(a, b)

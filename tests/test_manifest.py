@@ -1,0 +1,73 @@
+"""Tests for resumable partitioned output (manifests + resume)."""
+
+import json
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from reden_ray.state.manifest import (
+    manifest_path,
+    partition_complete,
+    read_output,
+    run_partitioned,
+)
+
+
+def _make_pages(tmp_path, n=40):
+    t = pa.table({
+        "url": pa.array([f"https://x/{i}" for i in range(n)], pa.string()),
+        "val": pa.array(list(range(n)), pa.int64()),
+    })
+    p = tmp_path / "pages.parquet"
+    pq.write_table(t, p)
+    return str(p)
+
+
+def _double(ds):
+    import pyarrow.compute as pc
+
+    return ds.map_batches(
+        lambda b: pa.table({"url": b["url"], "val2": pc.multiply(b["val"], 2)}),
+        batch_format="pyarrow",
+    )
+
+
+class TestRunPartitioned:
+    def test_full_run_covers_all_rows(self, tmp_path):
+        pages = _make_pages(tmp_path)
+        out = tmp_path / "out"
+        m = run_partitioned(pages, out, _double, n_partitions=4)
+        assert m["ran"] == 4 and m["skipped"] == 0 and m["rows"] == 40
+        got = read_output(out).to_pandas()
+        assert sorted(got["val2"]) == [2 * i for i in range(40)]
+
+    def test_resume_skips_completed_partitions(self, tmp_path):
+        pages = _make_pages(tmp_path)
+        out = tmp_path / "out"
+        run_partitioned(pages, out, _double, n_partitions=4)
+        m2 = run_partitioned(pages, out, _double, n_partitions=4)
+        assert m2["skipped"] == 4 and m2["ran"] == 0
+
+    def test_incomplete_partition_recomputed_and_output_identical(self, tmp_path):
+        pages = _make_pages(tmp_path)
+        out = tmp_path / "out"
+        run_partitioned(pages, out, _double, n_partitions=4)
+        before = read_output(out).to_pandas().sort_values("url").reset_index(drop=True)
+        # simulate a crash mid-partition: delete partition 2's manifest
+        manifest_path(out, 2).unlink()
+        m = run_partitioned(pages, out, _double, n_partitions=4)
+        assert m["ran"] == 1 and m["skipped"] == 3
+        after = read_output(out).to_pandas().sort_values("url").reset_index(drop=True)
+        assert before.equals(after)
+
+    def test_corrupt_manifest_detected(self, tmp_path):
+        pages = _make_pages(tmp_path)
+        out = tmp_path / "out"
+        run_partitioned(pages, out, _double, n_partitions=2)
+        mp = manifest_path(out, 0)
+        m = json.loads(mp.read_text())
+        m["checksum"] = "bogus"
+        mp.write_text(json.dumps(m))
+        assert not partition_complete(out, 0)
+        m2 = run_partitioned(pages, out, _double, n_partitions=2)
+        assert m2["ran"] == 1

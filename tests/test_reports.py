@@ -1,0 +1,96 @@
+"""Tests for report pipelines, enrichment join, and text analytics."""
+
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from reden_ray.stages.reports import (
+    ambiguity_report,
+    correct_mention_counts,
+    enrich_links,
+    predicate_frequency,
+    text_stats,
+    token_count_totals,
+    uri_occurrences,
+)
+
+
+def _cand_ds():
+    rows = [
+        {"url": "u1", "mention_id": 0, "cand_rank": 0},
+        {"url": "u1", "mention_id": 0, "cand_rank": 1},
+        {"url": "u1", "mention_id": 1, "cand_rank": 0},
+        {"url": "u2", "mention_id": 0, "cand_rank": 0},
+    ]
+    return rd.from_arrow(pa.Table.from_pylist(rows))
+
+
+class TestReports:
+    def test_ambiguity(self):
+        out = ambiguity_report(_cand_ds()).to_pandas()
+        m = {(r.url, r.mention_id): r.n_candidates for r in out.itertuples()}
+        assert m == {("u1", 0): 2, ("u1", 1): 1, ("u2", 0): 1}
+
+    def test_predicate_frequency_sorted(self):
+        rows = [{"pred": "p1"}, {"pred": "p2"}, {"pred": "p1"}, {"pred": "p1"}]
+        out = predicate_frequency(rd.from_arrow(pa.Table.from_pylist(rows))).to_pandas()
+        assert out.iloc[0]["pred"] == "p1" and out.iloc[0]["freq"] == 3
+
+    def test_uri_occurrences(self):
+        rows = [{"uri": "a"}, {"uri": "a"}, {"uri": "b"}]
+        out = uri_occurrences(rd.from_arrow(pa.Table.from_pylist(rows))).to_pandas()
+        assert dict(zip(out.uri, out.occurrences)) == {"a": 2, "b": 1}
+
+    def test_correct_mention_counts(self):
+        links = rd.from_arrow(pa.Table.from_pylist([
+            {"url": "u1", "mention_id": 0, "surface": "X", "all_uris": ["http://kb/x"]},
+            {"url": "u1", "mention_id": 1, "surface": "Y", "all_uris": ["http://kb/wrong"]},
+        ]))
+        gold = pd.DataFrame({
+            "url": ["u1", "u1"], "mention_id": [0, 1],
+            "surface": ["X", "Y"], "gold_uri": ["http://kb/x", "http://kb/y"],
+        })
+        out = correct_mention_counts(links, gold)
+        assert out.to_dict("records") == [{"surface": "X", "n_correct": 1}]
+
+
+class TestEnrichment:
+    def test_first_matching_property_wins(self):
+        kb = {
+            "http://kb/e1": [("geo:lat", "48.85", True, 1.0), ("alt:lat", "0", True, 1.0)],
+            "http://kb/e2": [("alt:lat", "51.5", True, 1.0)],
+        }
+        ref = ray.put(kb)
+        links = rd.from_arrow(pa.Table.from_pylist([
+            {"url": "u1", "uri": "http://kb/e1"},
+            {"url": "u2", "uri": "http://kb/e2"},
+            {"url": "u3", "uri": "http://kb/none"},
+        ]))
+        out = enrich_links(links, ref, {"lat": ["geo:lat", "alt:lat"]}).to_pandas()
+        m = dict(zip(out.uri, out.lat))
+        assert m["http://kb/e1"] == "48.85"  # preferred property
+        assert m["http://kb/e2"] == "51.5"   # fallback property
+        assert m["http://kb/none"] is None
+
+
+class TestTextAnalytics:
+    def test_stats_columns_and_values(self):
+        docs = rd.from_arrow(pa.Table.from_pylist([
+            {"doc_id": 0, "text": "The cat sat, happily."},
+            {"doc_id": 1, "text": ""},
+        ]))
+        out = text_stats(docs).to_pandas().set_index("doc_id")
+        assert out.loc[0, "n_tokens"] == 4
+        assert out.loc[0, "n_words"] == 4
+        assert out.loc[1, "n_chars"] == 0
+        assert len(out.loc[0, "fingerprint"]) == 32
+
+    def test_token_totals(self):
+        docs = rd.from_arrow(pa.Table.from_pylist([
+            {"doc_id": 0, "text": "one two three"},
+            {"doc_id": 1, "text": "four five"},
+        ]))
+        row = token_count_totals(docs)
+        assert row["ws_tokens"] == 5 and row["docs"] == 2

@@ -1,0 +1,59 @@
+"""Tests for similarity search (brute-force exact + IVF approximate)."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from reden_ray.stages.similarity import brute_force_topk, ivf_topk, kmeans_fit
+
+
+def _make_ds(n=200, dim=16, seed=13):
+    rng = np.random.RandomState(seed)
+    vecs = rng.randn(n, dim).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+    })
+    return rd.from_arrow(t), vecs
+
+
+class TestBruteForce:
+    def test_matches_numpy_oracle(self):
+        ds, vecs = _make_ds()
+        q = {0: vecs[0].tolist(), 7: vecs[7].tolist()}
+        out = brute_force_topk(ds, q, k=5)
+        norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        for qid in (0, 7):
+            sims = norm @ norm[qid]
+            expect = set(np.argsort(-sims)[:5].tolist())
+            got = set(out[out["query_id"] == qid]["vec_id"])
+            assert got == expect
+
+    def test_self_is_top1(self):
+        ds, vecs = _make_ds()
+        out = brute_force_topk(ds, {3: vecs[3].tolist()}, k=3)
+        assert out.iloc[0]["vec_id"] == 3
+        assert abs(out.iloc[0]["score"] - 1.0) < 1e-5
+
+    def test_k_larger_than_n(self):
+        ds, vecs = _make_ds(n=4)
+        out = brute_force_topk(ds, {0: vecs[0].tolist()}, k=10)
+        assert len(out) == 4
+
+
+class TestIVF:
+    def test_kmeans_deterministic(self):
+        ds, _ = _make_ds()
+        c1 = kmeans_fit(ds, n_clusters=4, iters=2)
+        c2 = kmeans_fit(ds, n_clusters=4, iters=2)
+        assert np.allclose(c1, c2)
+
+    def test_recall_reasonable_and_self_found(self):
+        ds, vecs = _make_ds()
+        q = {0: vecs[0].tolist()}
+        exact = set(brute_force_topk(ds, q, k=10)["vec_id"])
+        approx = ivf_topk(ds, q, k=10, n_clusters=8, nprobe=4)
+        got = set(approx["vec_id"])
+        assert 0 in got  # self always in a probed partition
+        assert len(got & exact) >= 5  # recall@10 >= 0.5 with half the cells probed
