@@ -70,9 +70,15 @@ def evaluate_links(links, gold_links, candidates=None) -> dict[str, float]:
 
     if candidates is not None:
         cands = _to_pandas(candidates)
+        uris_col = "uris_str" if "uris_str" in cands.columns else "uris"
+        joiner = (
+            (lambda s: " ".join(s))
+            if uris_col == "uris_str"
+            else (lambda s: " ".join(u for us in s for u in us))
+        )
         per_mention = (
             cands.groupby(["url", "mention_id"])
-            .agg(n_cand=("cand_rank", "size"), cand_uris=("uris", lambda s: " ".join(u for us in s for u in us)))
+            .agg(n_cand=("cand_rank", "size"), cand_uris=(uris_col, joiner))
             .reset_index()
         )
         cm = gold.merge(per_mention, on=["url", "mention_id"], how="left")

@@ -320,7 +320,7 @@ def make_link_bucket_fn(kb_ref, sameas_ref, rels=None, measure="degree",
             cur_rows.append(
                 {"url": t.url, "mention_id": t.mention_id, "surface": t.surface,
                  "surface_norm": t.surface_norm, "cand_rank": t.cand_rank,
-                 "entity_id": t.entity_id, "uris": t.uris}
+                 "entity_id": t.entity_id, "uris": t.uris_str.split(" ")}
             )
         if cur_rows:
             out.extend(link_context(cur_rows, kb, sameas, rels, measure,
@@ -376,7 +376,7 @@ def make_edges_bucket_fn(kb_ref, sameas_ref, rels=None, pruned: bool = True):
             cur_rows.append(
                 {"url": t.url, "mention_id": t.mention_id, "surface": t.surface,
                  "surface_norm": t.surface_norm, "cand_rank": t.cand_rank,
-                 "entity_id": t.entity_id, "uris": t.uris}
+                 "entity_id": t.entity_id, "uris": t.uris_str.split(" ")}
             )
         if cur_rows:
             flush(cur_url, cur_rows)

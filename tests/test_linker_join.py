@@ -1,0 +1,43 @@
+"""Equivalence test: distributed-join linking (J3) vs broadcast path."""
+
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from reden_ray.pipelines.nel import NELPipeline
+from reden_ray.stages.linker_join import link_documents_via_join
+
+
+@pytest.fixture(scope="module")
+def both_links(unit_fixture):
+    p = NELPipeline(unit_fixture)
+    cands = p.candidates().materialize()
+    broadcast = p.links(cands).to_pandas()
+    kb = rd.read_parquet(f"{unit_fixture}/kb_triples.parquet")
+    sameas = rd.read_parquet(f"{unit_fixture}/sameas.parquet")
+    joined = link_documents_via_join(cands, kb, sameas_ds=sameas,
+                                     num_partitions=2).to_pandas()
+    return broadcast, joined
+
+
+class TestJoinPathEquivalence:
+    def test_same_links_as_broadcast(self, both_links):
+        broadcast, joined = both_links
+        key = ["url", "mention_id"]
+        b = broadcast.sort_values(key).reset_index(drop=True)
+        j = joined.sort_values(key).reset_index(drop=True)
+        assert len(b) == len(j)
+        assert (b["uri"].values == j["uri"].values).all()
+        assert (b["surface"].values == j["surface"].values).all()
+
+    def test_scores_match(self, both_links):
+        broadcast, joined = both_links
+        key = ["url", "mention_id"]
+        b = broadcast.sort_values(key).reset_index(drop=True)
+        j = joined.sort_values(key).reset_index(drop=True)
+        import numpy as np
+
+        bn = b["score"].isna()
+        assert (bn.values == j["score"].isna().values).all()
+        assert np.allclose(b["score"][~bn], j["score"][~bn.values])
