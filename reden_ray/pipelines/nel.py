@@ -96,7 +96,11 @@ class NELPipeline:
         # point.
         ds = ds.materialize()
         labels = canonical_labels(ds)
-        return emit_triples(ds, labels, self.kb_ref, self.sameas_ref)
+        # links come straight from the url-bucketed linker, so the
+        # structured fast path (no global D5 shuffle) is exact here —
+        # asserted against the strict path in tests.
+        return emit_triples(ds, labels, self.kb_ref, self.sameas_ref,
+                            global_dedup=False)
 
 
 def run_nel(fixture_dir: str, config: NELConfig | None = None):

@@ -90,12 +90,16 @@ def canonical_labels(links_ds, num_buckets: int = DEFAULT_KEY_BUCKETS):
 
 
 def _mention_triples(batch: pa.Table) -> pa.Table:
-    n = batch.num_rows
+    # distinct (url, uri) within the batch; link blocks are url-bucket
+    # aligned, so this is globally exact when links come straight from
+    # the linker (see emit_triples global_dedup note).
+    t = batch.select(["url", "uri"]).group_by(["url", "uri"]).aggregate([])
+    n = t.num_rows
     return pa.table(
         {
-            "subj": batch.column("url"),
+            "subj": t.column("url"),
             "pred": pa.array([MENTIONS_PRED] * n, pa.string()),
-            "obj": batch.column("uri"),
+            "obj": t.column("uri"),
         },
         schema=TRIPLE_SCHEMA,
     )
@@ -125,10 +129,12 @@ class EntityTripleEmitter:
         subs, preds, objs = [], [], []
         for base in batch.column("uri").to_pylist():
             probe = [base, *self.sameas.get(base, ())]
+            seen: set[tuple[str, str]] = set()  # local (pred, obj) dedup
             for u in probe:
                 for pred, obj, _lit, _w in self.kb.get(u, ()):
-                    if pred == SAMEAS_PRED:
+                    if pred == SAMEAS_PRED or (pred, obj) in seen:
                         continue
+                    seen.add((pred, obj))
                     subs.append(base)
                     preds.append(pred)
                     objs.append(obj)
@@ -157,10 +163,9 @@ def exact_dedup(ds, cols: list[str], num_buckets: int = DEFAULT_KEY_BUCKETS):
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        key = df[cols[0]].astype(str)
-        for c in cols[1:]:
-            key = key + "\x00" + df[c].astype(str)
-        df["__bucket"] = _bucket_of(key, num_buckets)
+        # bucketing by the FIRST key column alone is dedup-correct
+        # (equal composite keys share it) and skips a row-wise concat
+        df["__bucket"] = _bucket_of(df[cols[0]], num_buckets)
         return df
 
     bucketed = pre.map_batches(add_bucket, batch_format="pandas")
@@ -176,8 +181,21 @@ def distinct_linked_entities(links_ds):
     return exact_dedup(links_ds.select_columns(["uri"]), ["uri"])
 
 
-def emit_triples(links_ds, labels_ds, kb_ref, sameas_ref, concurrency: int | tuple = (1, 2)):
-    """links + labels -> deduplicated (subj, pred, obj) triples Dataset."""
+def emit_triples(links_ds, labels_ds, kb_ref, sameas_ref,
+                 concurrency: int | tuple = (1, 2), global_dedup: bool = True):
+    """links + labels -> deduplicated (subj, pred, obj) triples Dataset.
+
+    ``global_dedup=False`` is the structured fast path: it skips the D5
+    all-to-all on the full triple stream because each branch is already
+    locally distinct AND the branches are disjoint —
+      * mention triples: distinct (url, uri) per batch, and link blocks
+        are url-bucket aligned so a url never spans batches;
+      * entity triples: emitted once per globally-distinct uri with
+        per-uri (pred, obj) dedup;
+      * label triples: one per uri; predicates disjoint across branches.
+    Use the default (True) whenever links arrive with arbitrary
+    partitioning (e.g. re-read from Parquet with unknown layout).
+    """
     mention_t = links_ds.map_batches(_mention_triples, batch_format="pyarrow")
     label_t = labels_ds.map_batches(_label_triples, batch_format="pyarrow")
     entities = distinct_linked_entities(links_ds)
@@ -189,4 +207,6 @@ def emit_triples(links_ds, labels_ds, kb_ref, sameas_ref, concurrency: int | tup
         num_cpus=1,
     )
     all_t = mention_t.union(label_t).union(entity_t)
-    return exact_dedup(all_t, ["subj", "pred", "obj"])
+    if global_dedup:
+        return exact_dedup(all_t, ["subj", "pred", "obj"])
+    return all_t

@@ -76,6 +76,19 @@ class TestTriples:
         t = p.triples(links).to_pandas()
         assert not t.duplicated(["subj", "pred", "obj"]).any()
 
+    def test_fast_path_equals_strict_global_dedup(self, pipeline):
+        from reden_ray.stages.canonicalize import canonical_labels, emit_triples
+
+        p, links = pipeline
+        labels = canonical_labels(links)
+        fast = emit_triples(links, labels, p.kb_ref, p.sameas_ref,
+                            global_dedup=False).to_pandas()
+        strict = emit_triples(links, canonical_labels(links), p.kb_ref,
+                              p.sameas_ref, global_dedup=True).to_pandas()
+        a = set(map(tuple, fast[["subj", "pred", "obj"]].itertuples(index=False)))
+        b = set(map(tuple, strict[["subj", "pred", "obj"]].itertuples(index=False)))
+        assert a == b and len(fast) == len(a)
+
 
 class TestDeterminism:
     def test_fixture_generation_is_byte_stable(self, tmp_path):
