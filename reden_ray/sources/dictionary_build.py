@@ -1,0 +1,116 @@
+"""Dictionary construction pipeline (reference Mode 2 analog).
+
+The reference builds its alias dictionary by crawling SPARQL endpoints
+per letter shard (src/fr/lip6/reden/ldextractor/AppAdhoc.java:49-292,
+per-source classes under ldextractor/per and ldextractor/loc), merging
+rows per entity and generating ~15 alias patterns
+(per/AuthorBNF.java:138-192). In a sealed, network-free pipeline the
+crawl is replaced by a deterministic builder over an ENTITY TABLE —
+`(entity_id, first, last, gender, particle, birth, death, uris...)` —
+expressed Ray-Data-first:
+
+    read entities -> flat_map(make_aliases rows) -> dictionary parquet
+
+The per-letter shard loop becomes the Dataset's natural block
+partitioning; the skip-if-output-exists checkpoint becomes the
+partitioned-write manifest (state/manifest.py). The TSV alias format
+(`alternative_name \t normalized_name \t uri1 [\t uri2...]`,
+config/config-authors-bnf.properties:45-46) is also supported as a
+reader for drop-in compatibility.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.alias import make_aliases, normalized_display_name
+from ..functions.dates import clean_year
+from ..functions.text import normalize_surface
+
+DICTIONARY_SCHEMA = pa.schema(
+    {
+        "surface": pa.string(),
+        "surface_norm": pa.string(),
+        "canonical_name": pa.string(),
+        "entity_id": pa.string(),
+        "uris": pa.list_(pa.string()),
+        "ne_type": pa.string(),
+    }
+)
+
+
+def explode_entity_batch(batch: pa.Table) -> pa.Table:
+    """entities batch -> dictionary rows (one per alias)."""
+    cols = {name: batch.column(name).to_pylist() for name in batch.column_names}
+    n = batch.num_rows
+    surf, norm, canon, ent, uris_col, ne = [], [], [], [], [], []
+    for i in range(n):
+        first = cols.get("first", [""] * n)[i] or ""
+        last = cols.get("last", [""] * n)[i] or ""
+        gender = cols.get("gender", [""] * n)[i] or ""
+        particle = cols.get("particle", [""] * n)[i] or ""
+        birth = clean_year(cols.get("birth", [None] * n)[i])
+        death = clean_year(cols.get("death", [None] * n)[i])
+        entity_id = cols["entity_id"][i]
+        uris = list(cols.get("uris", [[]] * n)[i] or [])
+        if entity_id not in uris:
+            uris = [entity_id, *uris]
+        ne_type = cols.get("ne_type", ["PER"] * n)[i]
+        canonical = normalized_display_name(first, last, birth, death)
+        for alias in make_aliases(first, last, gender, particle):
+            surf.append(alias)
+            norm.append(normalize_surface(alias))
+            canon.append(canonical)
+            ent.append(entity_id)
+            uris_col.append(uris)
+            ne.append(ne_type)
+    return pa.table(
+        {
+            "surface": pa.array(surf, pa.string()),
+            "surface_norm": pa.array(norm, pa.string()),
+            "canonical_name": pa.array(canon, pa.string()),
+            "entity_id": pa.array(ent, pa.string()),
+            "uris": pa.array(uris_col, pa.list_(pa.string())),
+            "ne_type": pa.array(ne, pa.string()),
+        },
+        schema=DICTIONARY_SCHEMA,
+    )
+
+
+def build_dictionary(entities_ds):
+    """entities Dataset -> dictionary Dataset (alias-exploded)."""
+    return entities_ds.map_batches(explode_entity_batch, batch_format="pyarrow")
+
+
+def read_tsv_dictionary(path: str):
+    """Read the reference's ragged TSV alias format into the dictionary
+    schema (reader parity: DicoProcessingNEL.java:82-97 — tab separator,
+    no quoting, URIs from column 2 onward)."""
+    import ray.data as rd
+
+    def parse(batch: pa.Table) -> pa.Table:
+        surf, norm, canon, ent, uris_col, ne = [], [], [], [], [], []
+        for line in batch.column("text").to_pylist():
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) < 3:
+                continue
+            alias, canonical, uris = parts[0], parts[1], parts[2:]
+            surf.append(alias)
+            norm.append(normalize_surface(alias))
+            canon.append(canonical)
+            ent.append(uris[0])
+            uris_col.append(uris)
+            ne.append("PER")
+        return pa.table(
+            {
+                "surface": pa.array(surf, pa.string()),
+                "surface_norm": pa.array(norm, pa.string()),
+                "canonical_name": pa.array(canon, pa.string()),
+                "entity_id": pa.array(ent, pa.string()),
+                "uris": pa.array(uris_col, pa.list_(pa.string())),
+                "ne_type": pa.array(ne, pa.string()),
+            },
+            schema=DICTIONARY_SCHEMA,
+        )
+
+    return rd.read_text(path).map_batches(parse, batch_format="pyarrow")

@@ -1,0 +1,98 @@
+"""Annotated-output writer + visualization data (S10/S15, Mode 3).
+
+* ``annotate_pages`` — the Parquet analog of the reference's DOM
+  mutation + re-serialization (`ref_auto` attributes,
+  src/fr/lip6/reden/nelinker/ResultsAndEvaluationNEL.java:79-111): a
+  url-bucket join of pages x links producing one row per page with an
+  ``annotations`` JSON column ``[{mention_id, surface, begin, end,
+  uri}]`` sorted by mention_id.
+* ``produce_visu_data`` — Mode 3 (MainNELApp.java:126-150): linked-URI
+  occurrence counts enriched with configured properties, rendered as a
+  GeoJSON-style FeatureCollection
+  (enrichne/EnrichmentHandler.java:122-153; property lists like
+  config/latlong.properties).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+
+from .linker import DEFAULT_URL_BUCKETS, add_url_bucket
+from .reports import enrich_links, uri_occurrences
+
+
+def annotate_pages(texts_ds, links_ds, num_buckets: int = DEFAULT_URL_BUCKETS):
+    """(url, text) x links -> (url, text, annotations JSON).
+
+    Both sides shuffle once on the url hash bucket; pages without links
+    get an empty annotation list (left-join semantics).
+    """
+
+    def tag_pages(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__kind"] = "page"
+        return add_url_bucket(df, num_buckets)
+
+    def tag_links(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["url", "mention_id", "surface", "uri"]].copy()
+        df["__kind"] = "link"
+        return add_url_bucket(df, num_buckets)
+
+    pages_b = texts_ds.select_columns(["url", "text"]).map_batches(
+        tag_pages, batch_format="pandas"
+    )
+    links_b = links_ds.map_batches(tag_links, batch_format="pandas")
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        pages = df[df["__kind"] == "page"]
+        links = df[df["__kind"] == "link"]
+        ann: dict[str, list[dict]] = {}
+        if len(links):
+            for t in links.sort_values(["url", "mention_id"]).itertuples(index=False):
+                ann.setdefault(t.url, []).append(
+                    {"mention_id": int(t.mention_id), "surface": t.surface, "uri": t.uri}
+                )
+        out = pages[["url", "text"]].copy()
+        out["annotations"] = out["url"].map(lambda u: json.dumps(ann.get(u, [])))
+        return out
+
+    return pages_b.union(links_b).groupby("__bucket").map_groups(
+        join_bucket, batch_format="pandas"
+    )
+
+
+def produce_visu_data(links_ds, kb_ref, prop_lists: dict[str, list[str]]) -> dict:
+    """links -> GeoJSON-ish FeatureCollection dict (driver-side small).
+
+    Occurrence counts per linked URI + first-matching property values
+    (J7 coalesce order). Features with both lat/lon properties get a
+    Point geometry; others carry properties only.
+    """
+    occ = uri_occurrences(links_ds).to_pandas()
+    one_per_uri = links_ds.groupby("uri").map_groups(
+        lambda df: df.head(1), batch_format="pandas"
+    )
+    enriched = enrich_links(one_per_uri, kb_ref, prop_lists).to_pandas()
+    merged = occ.merge(enriched.drop(columns=[c for c in enriched.columns
+                                              if c in ("occurrences",)],
+                                     errors="ignore"),
+                       on="uri", how="left")
+    features = []
+    for t in merged.sort_values("uri").itertuples(index=False):
+        props = {"uri": t.uri, "occurrences": int(t.occurrences)}
+        for name in prop_lists:
+            props[name] = getattr(t, name, None)
+        feature = {"type": "Feature", "properties": props, "geometry": None}
+        lat, lon = props.get("lat"), props.get("lon")
+        if lat is not None and lon is not None:
+            try:
+                feature["geometry"] = {
+                    "type": "Point",
+                    "coordinates": [float(lon), float(lat)],
+                }
+            except (TypeError, ValueError):
+                pass
+        features.append(feature)
+    return {"type": "FeatureCollection", "features": features}

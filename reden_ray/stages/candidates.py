@@ -32,9 +32,16 @@ class CandidateGen:
         self.index = get_broadcast(dico_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        urls, mids, surfs, norms, ranks, ents, uris_col = [], [], [], [], [], [], []
-        for url, mid, surface, norm in zip(
+        has_hash = "url_hash" in batch.column_names
+        hash_in = (
+            batch.column("url_hash").to_pylist()
+            if has_hash
+            else [0] * batch.num_rows
+        )
+        urls, hashes, mids, surfs, norms, ranks, ents, uris_col = [], [], [], [], [], [], [], []
+        for url, uh, mid, surface, norm in zip(
             batch.column("url").to_pylist(),
+            hash_in,
             batch.column("mention_id").to_pylist(),
             batch.column("surface").to_pylist(),
             batch.column("surface_norm").to_pylist(),
@@ -49,6 +56,7 @@ class CandidateGen:
                     continue
                 seen.add(uris)
                 urls.append(url)
+                hashes.append(uh)
                 mids.append(mid)
                 surfs.append(surface)
                 norms.append(norm)
@@ -64,6 +72,7 @@ class CandidateGen:
         return pa.table(
             {
                 "url": pa.array(urls, pa.string()),
+                "url_hash": pa.array(hashes, pa.int64()),
                 "mention_id": pa.array(mids, pa.int64()),
                 "surface": pa.array(surfs, pa.string()),
                 "surface_norm": pa.array(norms, pa.string()),

@@ -78,7 +78,10 @@ def canonical_labels(links_ds, num_buckets: int = DEFAULT_KEY_BUCKETS):
         df["__bucket"] = _bucket_of(df["uri"], num_buckets)
         return df
 
-    bucketed = partials.map_batches(add_bucket, batch_format="pandas")
+    # partials are tiny (distinct keys per batch); coalesce the many
+    # small blocks before the groupby so the sort's per-block sampling
+    # overhead doesn't dominate.
+    bucketed = partials.map_batches(add_bucket, batch_format="pandas").repartition(8)
     return bucketed.groupby("__bucket").map_groups(
         _label_argmax_bucket, batch_format="pandas"
     )
@@ -118,8 +121,11 @@ def _label_triples(batch: pa.Table) -> pa.Table:
 
 
 class EntityTripleEmitter:
-    """Actor-pool stage: distinct linked-uri batches -> KB neighborhood
-    triples re-rooted at the base URI (subject-side sameAs folding)."""
+    """Distinct linked-uri batches -> KB neighborhood triples re-rooted
+    at the base URI (subject-side sameAs folding). Used as a plain
+    task-pool callable via ``make_entity_emitter`` — broadcast state is
+    fetched through the per-worker cache, so no actor pool (and no
+    actor ramp-up) is needed."""
 
     def __init__(self, kb_ref, sameas_ref):
         self.kb = get_broadcast(kb_ref)
@@ -176,9 +182,30 @@ def exact_dedup(ds, cols: list[str], num_buckets: int = DEFAULT_KEY_BUCKETS):
     return bucketed.groupby("__bucket").map_groups(dedup_bucket, batch_format="pandas")
 
 
+def make_entity_emitter(kb_ref, sameas_ref):
+    def emit(batch: pa.Table) -> pa.Table:
+        emitter = EntityTripleEmitter(kb_ref, sameas_ref)
+        return emitter(batch)
+
+    return emit
+
+
 def distinct_linked_entities(links_ds):
-    """links -> distinct (uri) Dataset (combiner + groupby dedup)."""
-    return exact_dedup(links_ds.select_columns(["uri"]), ["uri"])
+    """links -> distinct (uri) Dataset (combiner + groupby dedup).
+    Per-batch-unique rows are tiny; coalesce before the shuffle."""
+    pre = links_ds.select_columns(["uri"]).map_batches(
+        _batch_unique(["uri"]), batch_format="pyarrow"
+    ).repartition(8)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = _bucket_of(df["uri"], 8)
+        return df
+
+    bucketed = pre.map_batches(add_bucket, batch_format="pandas")
+    return bucketed.groupby("__bucket").map_groups(
+        lambda df: df.drop_duplicates(["uri"])[["uri"]], batch_format="pandas"
+    )
 
 
 def emit_triples(links_ds, labels_ds, kb_ref, sameas_ref,
@@ -200,11 +227,7 @@ def emit_triples(links_ds, labels_ds, kb_ref, sameas_ref,
     label_t = labels_ds.map_batches(_label_triples, batch_format="pyarrow")
     entities = distinct_linked_entities(links_ds)
     entity_t = entities.map_batches(
-        EntityTripleEmitter,
-        fn_constructor_args=(kb_ref, sameas_ref),
-        batch_format="pyarrow",
-        concurrency=concurrency,
-        num_cpus=1,
+        make_entity_emitter(kb_ref, sameas_ref), batch_format="pyarrow"
     )
     all_t = mention_t.union(label_t).union(entity_t)
     if global_dedup:

@@ -290,12 +290,29 @@ DEFAULT_URL_BUCKETS = 64
 
 
 def add_url_bucket(df: pd.DataFrame, num_buckets: int) -> pd.DataFrame:
-    """Stable (process-independent) hash bucket of the url column."""
+    """Stable (process-independent) hash bucket of the url column
+    (pandas fallback for inputs without a precomputed url_hash)."""
     df = df.copy()
     df["__bucket"] = (
         pd.util.hash_pandas_object(df["url"], index=False) % num_buckets
     ).astype("int64")
     return df
+
+
+def add_bucket_arrow(num_buckets: int):
+    """Arrow-native bucketing from the precomputed ``url_hash`` column:
+    a vectorized bit-and (num_buckets must be a power of two). Keeps
+    blocks in Arrow — pandas blocks of object strings serialize ~3x
+    larger through the shuffle."""
+    assert num_buckets & (num_buckets - 1) == 0, "num_buckets must be a power of 2"
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def add(t: pa.Table) -> pa.Table:
+        b = pc.bit_wise_and(t.column("url_hash"), pa.scalar(num_buckets - 1, pa.int64()))
+        return t.append_column("__bucket", b)
+
+    return add
 
 
 def make_link_bucket_fn(kb_ref, sameas_ref, rels=None, measure="degree",
@@ -325,9 +342,24 @@ def make_link_bucket_fn(kb_ref, sameas_ref, rels=None, measure="degree",
         if cur_rows:
             out.extend(link_context(cur_rows, kb, sameas, rels, measure,
                                     prefered_uri_order))
-        return pd.DataFrame(out, columns=_LINK_COLUMNS)
+        return _links_arrow(out)
 
     return link_bucket
+
+
+def _links_arrow(out: list[dict]):
+    """Arrow links table (zero-copy-friendly downstream blocks)."""
+    import pyarrow as pa
+
+    return pa.table({
+        "url": pa.array([r["url"] for r in out], pa.string()),
+        "mention_id": pa.array([r["mention_id"] for r in out], pa.int64()),
+        "surface": pa.array([r["surface"] for r in out], pa.string()),
+        "surface_norm": pa.array([r["surface_norm"] for r in out], pa.string()),
+        "uri": pa.array([r["uri"] for r in out], pa.string()),
+        "all_uris": pa.array([r["all_uris"] for r in out], pa.list_(pa.string())),
+        "score": pa.array([r["score"] for r in out], pa.float64()),
+    })
 
 
 def link_documents(candidates_ds, kb_ref, sameas_ref, rels=None,
@@ -337,7 +369,7 @@ def link_documents(candidates_ds, kb_ref, sameas_ref, rels=None,
     hash(url) bucket)."""
     fn = make_link_bucket_fn(kb_ref, sameas_ref, rels, measure, prefered_uri_order)
     bucketed = candidates_ds.map_batches(
-        lambda df: add_url_bucket(df, num_buckets), batch_format="pandas"
+        add_bucket_arrow(num_buckets), batch_format="pyarrow"
     )
     return (
         bucketed.groupby("__bucket")
@@ -390,6 +422,6 @@ def fusion_edges(candidates_ds, kb_ref, sameas_ref, rels=None, pruned: bool = Tr
     """candidates Dataset -> per-url fusion-graph edges Dataset."""
     fn = make_edges_bucket_fn(kb_ref, sameas_ref, rels, pruned)
     bucketed = candidates_ds.map_batches(
-        lambda df: add_url_bucket(df, num_buckets), batch_format="pandas"
+        add_bucket_arrow(num_buckets), batch_format="pyarrow"
     )
     return bucketed.groupby("__bucket").map_groups(fn, batch_format="pandas")

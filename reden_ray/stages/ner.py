@@ -19,6 +19,7 @@ replacing the reference's DOM-order alignment
 
 from __future__ import annotations
 
+import hashlib
 import re
 
 import pyarrow as pa
@@ -27,6 +28,16 @@ from ..functions.text import normalize_surface
 from ..state.broadcast import get_broadcast
 
 _TOKEN_RE = re.compile(r"\w+", re.U)
+
+
+def stable_url_hash(url: str) -> int:
+    """Process-independent 63-bit url hash, computed ONCE PER PAGE here
+    and carried as a column so every later bucketing is a vectorized
+    Arrow bit-and instead of a per-row re-hash (or a pandas block
+    conversion, which triples shuffle bytes)."""
+    return int.from_bytes(
+        hashlib.blake2b(url.encode("utf-8"), digest_size=8).digest(), "big"
+    ) & 0x7FFF_FFFF_FFFF_FFFF
 
 _TERMINAL = "\0"  # trie terminal marker -> ne_type
 
@@ -94,12 +105,14 @@ class GazetteerNER:
         self.trie = build_trie(surfaces)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        urls, mids, surfs, norms, nes, begins, ends = [], [], [], [], [], [], []
+        urls, hashes, mids, surfs, norms, nes, begins, ends = [], [], [], [], [], [], [], []
         for url, text in zip(
             batch.column("url").to_pylist(), batch.column("text").to_pylist()
         ):
+            uh = stable_url_hash(url)
             for mid, (b, e, surface, ne) in enumerate(find_mentions(text, self.trie)):
                 urls.append(url)
+                hashes.append(uh)
                 mids.append(mid)
                 surfs.append(surface)
                 norms.append(normalize_surface(surface))
@@ -109,6 +122,7 @@ class GazetteerNER:
         return pa.table(
             {
                 "url": pa.array(urls, pa.string()),
+                "url_hash": pa.array(hashes, pa.int64()),
                 "mention_id": pa.array(mids, pa.int64()),
                 "surface": pa.array(surfs, pa.string()),
                 "surface_norm": pa.array(norms, pa.string()),

@@ -1,0 +1,77 @@
+"""Tests for dictionary build (Mode 2), annotation writer, visu (Mode 3)."""
+
+import json
+
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from reden_ray.sources.dictionary_build import build_dictionary, read_tsv_dictionary
+from reden_ray.stages.annotate import annotate_pages, produce_visu_data
+
+
+class TestDictionaryBuild:
+    def test_alias_explosion(self):
+        ents = rd.from_arrow(pa.Table.from_pylist([
+            {"entity_id": "http://kb/d", "first": "Alexandre", "last": "Dumas",
+             "gender": "M", "particle": "", "birth": "1802-07-24", "death": "1870",
+             "uris": ["http://eq/d"], "ne_type": "PER"},
+        ]))
+        out = build_dictionary(ents).to_pandas()
+        assert "Dumas" in set(out["surface"])
+        assert "Alexandre Dumas" in set(out["surface"])
+        row = out[out["surface"] == "Dumas"].iloc[0]
+        assert row["canonical_name"] == "Dumas, Alexandre (1802-1870)"
+        assert list(row["uris"]) == ["http://kb/d", "http://eq/d"]
+        assert row["surface_norm"] == "dumas"
+
+    def test_tsv_reader_ragged_rows(self, tmp_path):
+        p = tmp_path / "dico.tsv"
+        p.write_text(
+            "Dumas\tDumas, Alexandre (1802-1870)\thttp://kb/d\thttp://eq/d\n"
+            "Vigny\tVigny, Alfred de (1797-1863)\thttp://kb/v\n"
+            "bad-row\n",
+            encoding="utf-8",
+        )
+        out = read_tsv_dictionary(str(p)).to_pandas()
+        assert len(out) == 2
+        d = out[out["surface"] == "Dumas"].iloc[0]
+        assert list(d["uris"]) == ["http://kb/d", "http://eq/d"]
+        assert d["entity_id"] == "http://kb/d"
+
+
+class TestAnnotate:
+    def test_annotations_json_per_page(self):
+        texts = rd.from_arrow(pa.Table.from_pylist([
+            {"url": "u1", "text": "alpha Dumas beta"},
+            {"url": "u2", "text": "no mentions here"},
+        ]))
+        links = rd.from_arrow(pa.Table.from_pylist([
+            {"url": "u1", "mention_id": 0, "surface": "Dumas", "uri": "http://kb/d"},
+        ]))
+        out = annotate_pages(texts, links).to_pandas().set_index("url")
+        ann1 = json.loads(out.loc["u1", "annotations"])
+        assert ann1 == [{"mention_id": 0, "surface": "Dumas", "uri": "http://kb/d"}]
+        assert json.loads(out.loc["u2", "annotations"]) == []
+
+
+class TestVisu:
+    def test_feature_collection(self):
+        kb = {
+            "http://kb/place": [("geo:lat", "48.85", True, 1.0),
+                                ("geo:lon", "2.35", True, 1.0)],
+        }
+        ref = ray.put(kb)
+        links = rd.from_arrow(pa.Table.from_pylist([
+            {"url": "u1", "uri": "http://kb/place"},
+            {"url": "u2", "uri": "http://kb/place"},
+            {"url": "u3", "uri": "http://kb/nowhere"},
+        ]))
+        fc = produce_visu_data(links, ref, {"lat": ["geo:lat"], "lon": ["geo:lon"]})
+        assert fc["type"] == "FeatureCollection"
+        by_uri = {f["properties"]["uri"]: f for f in fc["features"]}
+        place = by_uri["http://kb/place"]
+        assert place["properties"]["occurrences"] == 2
+        assert place["geometry"] == {"type": "Point", "coordinates": [2.35, 48.85]}
+        assert by_uri["http://kb/nowhere"]["geometry"] is None
