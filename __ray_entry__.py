@@ -170,6 +170,49 @@ def _q_multimodal(sf_dir: str):
     )
 
 
+def _q_dictionary_build(sf_dir: str):
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from reden_ray.sources.dictionary_build import build_dictionary
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+
+    def to_entities(t: pa.Table) -> pa.Table:
+        keys = t["c_custkey"].to_pylist()
+        names = t["c_name"].to_pylist()
+        return pa.table({
+            "entity_id": pa.array(
+                [f"http://kb.example/cust/{k}" for k in keys], pa.string()),
+            "first": pa.array([""] * len(keys), pa.string()),
+            "last": pa.array(names, pa.string()),
+        })
+
+    dico = build_dictionary(cust.map_batches(to_entities, batch_format="pyarrow"))
+    return dico.select_columns(["surface", "surface_norm", "entity_id"])
+
+
+def _q_annotate_pages(sf_dir: str):
+    p, cands = _nel_parts(sf_dir)
+    from reden_ray.pipelines.webdemo import pages_from_documents
+    from reden_ray.stages.annotate import annotate_pages
+    from reden_ray.stages.extract import extract_pages
+
+    texts = extract_pages(pages_from_documents(sf_dir))
+    links = p.links(cands)
+    return annotate_pages(texts, links)
+
+
+def _q_enrichment(sf_dir: str):
+    from reden_ray.fixtures import PRED_OCC
+    from reden_ray.stages.reports import enrich_links
+
+    p, cands = _nel_parts(sf_dir)
+    links = p.links(cands).select_columns(["url", "mention_id", "uri"])
+    return enrich_links(links, p.kb_ref, {"occupation": [PRED_OCC]})
+
+
 def _q_text_quality(sf_dir: str):
     import ray.data as rd
 
@@ -216,6 +259,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_ann_ivf": _q_ann_ivf,
         "q22_multimodal_features": _q_multimodal,
         "q23_text_quality": _q_text_quality,
+        # Mode 2 / Mode 3 surfaces
+        "q24_dictionary_build": _q_dictionary_build,
+        "q25_annotate_pages": _q_annotate_pages,
+        "q26_enrichment": _q_enrichment,
         # flagship NEL / KG construction over derived pages (rows-only:
         # graph algorithm not SQL-expressible; parity is gated in pytest
         # against analytic gold fixtures instead)
@@ -285,4 +332,10 @@ def oracle_sql() -> dict[str, str]:
         "q16_user_sessions": R.Q16_SQL,
         "q17b_minhash_exact_clusters": _DUP_DOC_CLUSTERS_SQL,
         "q20_embedding_dedup": _DUP_EMB_CLUSTERS_SQL,
+        "q24_dictionary_build": (
+            "SELECT c_name AS surface, "
+            "lower(regexp_replace(c_name, '[\\s''’-]+', '', 'g')) AS surface_norm, "
+            "'http://kb.example/cust/' || CAST(c_custkey AS VARCHAR) AS entity_id "
+            "FROM customer"
+        ),
     }

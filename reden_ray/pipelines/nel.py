@@ -41,6 +41,12 @@ class NELConfig:
     measure: str = "degree"            # centralityMeasure
     prefered_uri_order: str = "ALL"    # preferedURIOrder
     rels: dict = field(default_factory=dict)  # -relsFile predicate weights
+    # actor_pools=False (default): stateful stages run as elastic task
+    # pools with per-worker-process state caches — same once-per-process
+    # amortization, no pool ramp-up. True switches to explicit actor
+    # pools sized by the concurrency tuples below (hard isolation; use
+    # when a stage reserves GPUs / large memory).
+    actor_pools: bool = False
     # Autoscaling actor pools (min, max): min=1 so several pools coexist
     # on small CPU budgets without deadlocking each other; max sized to
     # the node at bench time.
@@ -74,11 +80,14 @@ class NELPipeline:
         return detect_mentions(
             ds, self.gaz_ref,
             concurrency=self.cfg.ner_concurrency, batch_size=self.cfg.ner_batch_size,
+            actor_pool=self.cfg.actor_pools,
         )
 
     def candidates(self, mentions_ds=None):
         ds = mentions_ds if mentions_ds is not None else self.mentions()
-        return generate_candidates(ds, self.dico_ref, concurrency=self.cfg.cand_concurrency)
+        return generate_candidates(ds, self.dico_ref,
+                                   concurrency=self.cfg.cand_concurrency,
+                                   actor_pool=self.cfg.actor_pools)
 
     def links(self, candidates_ds=None):
         ds = candidates_ds if candidates_ds is not None else self.candidates()

@@ -83,15 +83,36 @@ class CandidateGen:
         )
 
 
-def generate_candidates(mentions_ds, dico_ref, concurrency: int | tuple = (1, 4), batch_size: int = 4096):
-    """mentions Dataset -> candidates Dataset via a CandidateGen actor pool."""
+def make_candidate_fn(dico_ref):
+    """Task-pool candidate-gen fn; the index is fetched through the
+    per-worker broadcast cache (no per-task rebuild)."""
+
+    def gen(batch: pa.Table) -> pa.Table:
+        worker = CandidateGen.__new__(CandidateGen)
+        worker.index = get_broadcast(dico_ref)
+        return worker(batch)
+
+    return gen
+
+
+def generate_candidates(mentions_ds, dico_ref, concurrency: int | tuple = (1, 4),
+                        batch_size: int = 4096, actor_pool: bool = False):
+    """mentions Dataset -> candidates Dataset.
+
+    Task pool by default (elastic, index cached per worker process);
+    ``actor_pool=True`` uses a CandidateGen actor pool instead (hard
+    resource isolation at the cost of ramp-up)."""
+    if actor_pool:
+        return mentions_ds.map_batches(
+            CandidateGen,
+            fn_constructor_args=(dico_ref,),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
     return mentions_ds.map_batches(
-        CandidateGen,
-        fn_constructor_args=(dico_ref,),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=1,
+        make_candidate_fn(dico_ref), batch_format="pyarrow", batch_size=batch_size
     )
 
 

@@ -92,12 +92,29 @@ def find_mentions(text: str, trie: dict) -> list[tuple[int, int, str, str]]:
     return out
 
 
+# Per-worker-process cache of built tries (keyed by broadcast ref).
+_TRIE_CACHE: dict[str, dict] = {}
+
+
+def _trie_for(gazetteer_ref) -> dict:
+    key = gazetteer_ref.hex()
+    if key not in _TRIE_CACHE:
+        _TRIE_CACHE[key] = build_trie(get_broadcast(gazetteer_ref))
+    return _TRIE_CACHE[key]
+
+
 class GazetteerNER:
     """Actor-pool stage: (url, text) batches -> mentions table.
 
     Use: ``ds.map_batches(GazetteerNER, fn_constructor_args=(ref,),
     batch_format="pyarrow", concurrency=N, batch_size=B)`` where ``ref``
     is a ``ray.put`` of [(surface, ne_type)].
+
+    The task-pool alternative (``make_ner_fn``) builds the trie once per
+    WORKER PROCESS via ``_TRIE_CACHE`` — same amortization, but tasks
+    schedule elastically instead of waiting for actor-pool ramp-up.
+    Prefer actors when the stage needs hard resource isolation (GPU,
+    large memory reservation); prefer tasks otherwise.
     """
 
     def __init__(self, gazetteer_ref):
@@ -133,13 +150,38 @@ class GazetteerNER:
         )
 
 
-def detect_mentions(text_ds, gazetteer_ref, concurrency: int | tuple = (1, 4), batch_size: int = 512):
-    """text Dataset -> mentions Dataset via a GazetteerNER actor pool."""
+def _ner_batch(batch: pa.Table, trie: dict) -> pa.Table:
+    worker = GazetteerNER.__new__(GazetteerNER)
+    worker.trie = trie
+    return worker(batch)
+
+
+def make_ner_fn(gazetteer_ref):
+    """Task-pool NER fn with per-worker trie cache."""
+
+    def ner(batch: pa.Table) -> pa.Table:
+        return _ner_batch(batch, _trie_for(gazetteer_ref))
+
+    return ner
+
+
+def detect_mentions(text_ds, gazetteer_ref, concurrency: int | tuple = (1, 4),
+                    batch_size: int = 512, actor_pool: bool = False):
+    """text Dataset -> mentions Dataset.
+
+    ``actor_pool=False`` (default): elastic task pool, trie cached per
+    worker process. ``actor_pool=True``: GazetteerNER actor pool with
+    ``concurrency`` (use for isolation-heavy deployments).
+    """
+    if actor_pool:
+        return text_ds.map_batches(
+            GazetteerNER,
+            fn_constructor_args=(gazetteer_ref,),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
     return text_ds.map_batches(
-        GazetteerNER,
-        fn_constructor_args=(gazetteer_ref,),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=1,
+        make_ner_fn(gazetteer_ref), batch_format="pyarrow", batch_size=batch_size
     )
