@@ -76,16 +76,23 @@ def _nel_parts(sf_dir: str):
     return p, cands
 
 
+def _nel_mentions(sf_dir: str):
+    from reden_ray.pipelines.webdemo import nel_pipeline_over_documents
+
+    p, pages = nel_pipeline_over_documents(sf_dir)
+    return p, p.mentions(p.texts(pages))
+
+
 def _q_nel_links(sf_dir: str):
-    p, cands = _nel_parts(sf_dir)
-    links = p.links(cands)
+    p, mentions = _nel_mentions(sf_dir)
+    links = p.links(mentions_ds=mentions)  # packed hot path
     # all_uris is list-typed; project to scalar columns for the driver
     return links.select_columns(["url", "mention_id", "surface", "uri", "score"])
 
 
 def _q_nel_triples(sf_dir: str):
-    p, cands = _nel_parts(sf_dir)
-    return p.triples(p.links(cands))
+    p, mentions = _nel_mentions(sf_dir)
+    return p.triples(p.links(mentions_ds=mentions))
 
 
 def _q_nel_ambiguity(sf_dir: str):

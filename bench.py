@@ -8,8 +8,10 @@ Prints ONE JSON line:
 Env:
   GRAFT_SF_DIR     input dir (default /root/testdata/sf0.1)
   RAY_GRAFT_CPUS   num_cpus for ray.init (default 32)
-  GRAFT_REPLICATE  page replication factor (default 20 -> sf0.1 gives
-                   100k pages; same corpus at every CPU level)
+  GRAFT_REPLICATE  page replication factor (default 120 -> sf0.1 gives
+                   600k pages; same corpus at every CPU level). Sized so
+                   compute dominates the ~4s fixed per-run overhead —
+                   the N-vs-4N efficiency ratio needs w >> f.
 
 `python bench.py --scaling` runs the headline twice in fresh processes
 (num_cpus=8 then 32) on the same input and reports throughputs plus
@@ -26,7 +28,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "20"))
+REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "120"))
 
 
 def _replicated_pages(sf_dir: str, factor: int, num_blocks: int = 64):
@@ -106,7 +108,7 @@ def run_bench() -> dict:
     p = NELPipeline(fx, cfg)
 
     def headline() -> int:
-        links = p.links(p.candidates(p.mentions(p.texts(pages()))))
+        links = p.links(mentions_ds=p.mentions(p.texts(pages())))
         return p.triples(links).count()
 
     # Untimed warm-up run: Ray spawns one Python worker per CPU and each

@@ -19,10 +19,10 @@ from dataclasses import dataclass, field
 
 import ray.data as rd
 
-from ..stages.candidates import generate_candidates
+from ..stages.candidates import generate_candidates, generate_candidates_packed
 from ..stages.canonicalize import canonical_labels, emit_triples
 from ..stages.extract import extract_pages
-from ..stages.linker import link_documents
+from ..stages.linker import link_documents, link_documents_packed
 from ..stages.ner import detect_mentions
 from ..state.broadcast import (
     load_dictionary_index,
@@ -89,10 +89,21 @@ class NELPipeline:
                                    concurrency=self.cfg.cand_concurrency,
                                    actor_pool=self.cfg.actor_pools)
 
-    def links(self, candidates_ds=None):
-        ds = candidates_ds if candidates_ds is not None else self.candidates()
-        return link_documents(
-            ds, self.kb_ref, self.sameas_ref, rels=self.cfg.rels,
+    def links(self, candidates_ds=None, mentions_ds=None):
+        """links Dataset. With explicit row-form candidates, uses the
+        row path; otherwise the packed per-url hot path (one shuffle
+        row per page — see PackedCandidateGen) over ``mentions_ds``
+        (default: this fixture's pages)."""
+        if candidates_ds is not None:
+            return link_documents(
+                candidates_ds, self.kb_ref, self.sameas_ref, rels=self.cfg.rels,
+                measure=self.cfg.measure,
+                prefered_uri_order=self.cfg.prefered_uri_order,
+            )
+        src = mentions_ds if mentions_ds is not None else self.mentions()
+        packed = generate_candidates_packed(src, self.dico_ref)
+        return link_documents_packed(
+            packed, self.kb_ref, self.sameas_ref, rels=self.cfg.rels,
             measure=self.cfg.measure, prefered_uri_order=self.cfg.prefered_uri_order,
         )
 

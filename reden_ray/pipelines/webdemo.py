@@ -65,11 +65,18 @@ def pages_from_documents(sf_dir: str):
 
 def vocab_fixture(cache_dir: str = "/tmp/reden_vocab_fixture") -> str:
     """Write the deterministic vocab dictionary/KB/sameas/gazetteer
-    Parquet (idempotent cache). Returns the directory."""
-    out = Path(cache_dir)
+    Parquet (idempotent cache; atomic publish so concurrent callers
+    never read partial files). Returns the directory."""
+    import os
+    import tempfile
+
+    final = Path(cache_dir)
+    if (final / "_complete").exists():
+        return str(final)
+    # Build in a temp dir, then atomically rename into place.
+    tmp = Path(tempfile.mkdtemp(prefix="reden_vocab_", dir=str(final.parent)))
+    out = tmp
     marker = out / "_complete"
-    if marker.exists():
-        return str(out)
     out.mkdir(parents=True, exist_ok=True)
 
     dico_rows, kb_rows, sameas_rows = [], [], []
@@ -118,7 +125,16 @@ def vocab_fixture(cache_dir: str = "/tmp/reden_vocab_fixture") -> str:
         schema=pa.schema({"surface": pa.string(), "ne_type": pa.string()})),
         out / "gazetteer.parquet")
     marker.write_text("ok")
-    return str(out)
+    try:
+        os.rename(tmp, final)  # atomic publish; loser keeps its copy
+    except OSError:
+        import shutil
+
+        if (final / "_complete").exists():  # another writer won the race
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            raise
+    return str(final)
 
 
 def nel_pipeline_over_documents(sf_dir: str):

@@ -116,6 +116,84 @@ def generate_candidates(mentions_ds, dico_ref, concurrency: int | tuple = (1, 4)
     )
 
 
+class PackedCandidateGen:
+    """Hot-path variant: emits ONE ROW PER URL with the url's candidate
+    tuples pickled into a binary payload.
+
+    The per-document linker shuffles on hash(url); packing collapses
+    the shuffle from one row per (mention, candidate) to one row per
+    page (~20x fewer rows through the sort) and hands the linker ready
+    lists instead of per-row DataFrame iteration. A url whose mentions
+    straddle a batch boundary yields multiple rows; the linker merges
+    payloads per url. The row-form ``CandidateGen`` remains the API
+    for reports/eval/joins.
+    """
+
+    def __init__(self, dico_ref):
+        self.index = get_broadcast(dico_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pickle
+
+        urls_out, hashes_out, payloads = [], [], []
+        cur_url, cur_hash, cur_rows = None, 0, []
+
+        def flush():
+            if cur_rows:
+                urls_out.append(cur_url)
+                hashes_out.append(cur_hash)
+                payloads.append(pickle.dumps(cur_rows, protocol=5))
+
+        has_hash = "url_hash" in batch.column_names
+        hash_in = (
+            batch.column("url_hash").to_pylist()
+            if has_hash
+            else [0] * batch.num_rows
+        )
+        for url, uh, mid, surface, norm in zip(
+            batch.column("url").to_pylist(),
+            hash_in,
+            batch.column("mention_id").to_pylist(),
+            batch.column("surface").to_pylist(),
+            batch.column("surface_norm").to_pylist(),
+        ):
+            if url != cur_url:
+                flush()
+                cur_url, cur_hash, cur_rows = url, uh, []
+            cands = self.index.get(norm)
+            if not cands:
+                continue
+            seen: set[tuple[str, ...]] = set()
+            rank = 0
+            for entity_id, uris, _ne in cands:
+                if uris in seen:
+                    continue
+                seen.add(uris)
+                cur_rows.append((mid, surface, norm, rank, entity_id, list(uris)))
+                rank += 1
+                if rank >= MAX_CANDIDATES:
+                    break
+        flush()
+        return pa.table(
+            {
+                "url": pa.array(urls_out, pa.string()),
+                "url_hash": pa.array(hashes_out, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+
+def generate_candidates_packed(mentions_ds, dico_ref, batch_size: int = 8192):
+    """mentions Dataset -> packed per-url candidates (linker hot path)."""
+
+    def gen(batch: pa.Table) -> pa.Table:
+        worker = PackedCandidateGen.__new__(PackedCandidateGen)
+        worker.index = get_broadcast(dico_ref)
+        return worker(batch)
+
+    return mentions_ds.map_batches(gen, batch_format="pyarrow", batch_size=batch_size)
+
+
 def candidates_via_join(mentions_ds, dictionary_ds, num_partitions: int = 64):
     """Scale path: hash-partitioned equi-join on ``surface_norm`` (J1).
 

@@ -377,6 +377,46 @@ def link_documents(candidates_ds, kb_ref, sameas_ref, rels=None,
     )
 
 
+def link_documents_packed(packed_ds, kb_ref, sameas_ref, rels=None,
+                          measure: str = "degree", prefered_uri_order: str = "ALL",
+                          num_buckets: int = DEFAULT_URL_BUCKETS):
+    """Packed per-url candidates -> links Dataset.
+
+    The shuffle moves one binary row per page; the bucket fn unpickles
+    each page's candidate tuples and links directly — no per-row
+    DataFrame iteration. Output is identical to ``link_documents``."""
+    import pickle
+
+    bucketed = packed_ds.map_batches(
+        add_bucket_arrow(num_buckets), batch_format="pyarrow"
+    )
+
+    def link_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        kb = get_broadcast(kb_ref)
+        sameas = get_broadcast(sameas_ref)
+        # merge payloads per url (batch-boundary splits), deterministic order
+        per_url: dict[str, list] = {}
+        for url, payload in zip(df["url"].tolist(), df["payload"].tolist()):
+            per_url.setdefault(url, []).append(payload)
+        out: list[dict] = []
+        for url in sorted(per_url):
+            tuples: list[tuple] = []
+            for payload in per_url[url]:
+                tuples.extend(pickle.loads(payload))
+            tuples.sort(key=lambda t: (t[0], t[3]))  # (mention_id, cand_rank)
+            rows = [
+                {"url": url, "mention_id": mid, "surface": surface,
+                 "surface_norm": norm, "cand_rank": rank,
+                 "entity_id": entity_id, "uris": uris}
+                for (mid, surface, norm, rank, entity_id, uris) in tuples
+            ]
+            out.extend(link_context(rows, kb, sameas, rels, measure,
+                                    prefered_uri_order))
+        return _links_arrow(out)
+
+    return bucketed.groupby("__bucket").map_groups(link_bucket, batch_format="pandas")
+
+
 def make_edges_bucket_fn(kb_ref, sameas_ref, rels=None, pruned: bool = True):
     """Bucket fn emitting the (optionally pruned) fusion-graph edge list
     per url — the S11 debug dump / S13 predicate-frequency feed."""
