@@ -58,11 +58,19 @@ def exact_dedup_by_key(ds, key_cols: list[str], id_col: str):
 
     pre = ds.select_columns([*key_cols, id_col]).map_batches(combine, batch_format="pyarrow")
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        i = df[id_col].idxmin()
-        return df.loc[[i]]
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = (
+            pd.util.hash_pandas_object(df[key_cols[0]], index=False) % 64
+        ).astype("int64")
+        return df
 
-    return pre.groupby(key_cols).map_groups(final, batch_format="pandas")
+    def final_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized min per key within the bucket — no per-key dispatch
+        return df.groupby(key_cols, as_index=False)[id_col].min()
+
+    bucketed = pre.map_batches(add_bucket, batch_format="pandas")
+    return bucketed.groupby("__bucket").map_groups(final_bucket, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
