@@ -112,6 +112,40 @@ def _pairs_from_buckets(bucket_members: pd.DataFrame, id_col: str, max_bucket: i
     return seen
 
 
+def grouped_pairs(rows_ds, group_cols: list[str], hash_col: str,
+                  pair_fn, num_buckets: int = 128):
+    """Candidate pairs from exact-match groups, hash-bucketed.
+
+    Shuffles on hash(hash_col) % num_buckets (equal groups share their
+    hash column, hence a bucket), then loops the bucket's groups in
+    plain pandas — Ray never dispatches per tiny group. ``pair_fn(g)``
+    returns [(a, b), ...] for one group's frame.
+    """
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = (
+            pd.util.hash_pandas_object(df[hash_col], index=False) % num_buckets
+        ).astype("int64")
+        return df
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        recs: list[dict] = []
+        for _, g in df.groupby(group_cols, sort=False):
+            if len(g) < 2:
+                continue
+            for a, b in pair_fn(g):
+                recs.append({"a": a, "b": b})
+        return pd.DataFrame(recs, columns=["a", "b"])
+
+    bucketed = rows_ds.map_batches(add_bucket, batch_format="pandas")
+    pairs_ds = bucketed.groupby("__b").map_groups(bucket_pairs, batch_format="pandas")
+    # to_pandas (vectorized block concat), NOT take_all: row-wise
+    # materialization of pandas blocks costs ~0.5 ms/row.
+    df = pairs_ds.to_pandas()
+    return set(zip(df["a"].tolist(), df["b"].tolist()))
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
@@ -173,25 +207,17 @@ def minhash_lsh_clusters(
     plumbing — recall 1.0 since identical docs collide in every band,
     and SQL-recomputable for the oracle gate).
     """
-    sigs = ds.map_batches(
-        MinHashSignatures,
-        fn_constructor_args=(id_col, text_col, num_perm, bands, shingle_k),
-        batch_format="pyarrow",
-        concurrency=concurrency,
-        num_cpus=1,
-    )
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        worker = MinHashSignatures(id_col, text_col, num_perm, bands, shingle_k)
+        return worker(batch)
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(df["doc_id"].tolist())[:200]
-        recs = [
-            {"a": ids[i], "b": ids[j]}
-            for i in range(len(ids))
-            for j in range(i + 1, len(ids))
-        ]
-        return pd.DataFrame(recs, columns=["a", "b"])
+    sigs = ds.map_batches(sig_rows, batch_format="pyarrow")
 
-    pairs_ds = sigs.groupby(["band", "sig"]).map_groups(bucket_pairs, batch_format="pandas")
-    pairs = {(r["a"], r["b"]) for r in pairs_ds.take_all()}
+    def all_pairs(g: pd.DataFrame):
+        ids = sorted(g["doc_id"].tolist())[:200]
+        return [(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))]
+
+    pairs = grouped_pairs(sigs, ["band", "sig"], "sig", all_pairs)
     if not pairs:
         return pd.DataFrame(columns=[id_col, "cluster"])
 
@@ -224,8 +250,8 @@ def _collect_texts(ds, id_col: str, text_col: str, ids: list[int]) -> dict:
         mask = pa.array([i in idset for i in batch.column(id_col).to_pylist()])
         return batch.filter(mask).select([id_col, text_col])
 
-    rows = ds.map_batches(pick, batch_format="pyarrow").take_all()
-    return {r[id_col]: r[text_col] for r in rows}
+    df = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    return dict(zip(df[id_col].tolist(), df[text_col].tolist()))
 
 
 def minhash_dedup(ds, id_col="doc_id", text_col="text", **kw):
@@ -277,18 +303,17 @@ def simhash_clusters(
 
     rows = ds.map_batches(sim_rows, batch_format="pyarrow")
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        recs = []
-        items = sorted(zip(df["doc_id"], df["h"]))[:200]
+    def hamming_pairs(g: pd.DataFrame):
+        items = sorted(zip(g["doc_id"], g["h"]))[:200]
+        out = []
         for i in range(len(items)):
             for j in range(i + 1, len(items)):
                 (a, ha), (b, hb) = items[i], items[j]
                 if hamming64(int(ha), int(hb)) <= max_hamming:
-                    recs.append({"a": a, "b": b})
-        return pd.DataFrame(recs, columns=["a", "b"])
+                    out.append((a, b))
+        return out
 
-    pairs_ds = rows.groupby(["band", "val"]).map_groups(bucket_pairs, batch_format="pandas")
-    pairs = {(r["a"], r["b"]) for r in pairs_ds.take_all()}
+    pairs = grouped_pairs(rows, ["band", "val"], "val", hamming_pairs)
     comp = _connected_components(sorted(pairs))
     return pd.DataFrame(
         sorted((doc, rep) for doc, rep in comp.items()), columns=[id_col, "cluster"]
@@ -329,19 +354,18 @@ def ngram_jaccard_clusters(
 
     rows = ds.map_batches(block_rows, batch_format="pyarrow")
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        recs = []
-        items = sorted(zip(df["doc_id"], df["text"]))[:200]
+    def jaccard_pairs(g: pd.DataFrame):
+        items = sorted(zip(g["doc_id"], g["text"]))[:200]
         grams = {i: word_ngrams(t, n) for i, t in items}
+        out = []
         for i in range(len(items)):
             for j in range(i + 1, len(items)):
                 a, b = items[i][0], items[j][0]
                 if jaccard(grams[a], grams[b]) >= threshold:
-                    recs.append({"a": a, "b": b})
-        return pd.DataFrame(recs, columns=["a", "b"])
+                    out.append((a, b))
+        return out
 
-    pairs_ds = rows.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
-    pairs = {(r["a"], r["b"]) for r in pairs_ds.take_all()}
+    pairs = grouped_pairs(rows, ["bucket"], "bucket", jaccard_pairs)
     comp = _connected_components(sorted(pairs))
     return pd.DataFrame(
         sorted((doc, rep) for doc, rep in comp.items()), columns=[id_col, "cluster"]
@@ -399,23 +423,22 @@ def embedding_dedup_clusters(
 
     rows = ds.map_batches(bucket_rows, batch_format="pyarrow")
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        items = sorted(zip(df["vid"], df["vec"]))[:500]
+    def cosine_pairs(g: pd.DataFrame):
+        items = sorted(zip(g["vid"], g["vec"]))[:500]
         if len(items) < 2:
-            return pd.DataFrame(columns=["a", "b"])
-        ids = [i for i, _ in items]
-        m = np.array([v for _, v in items], dtype=np.float32)
+            return []
+        ids = [int(i) for i, _ in items]
+        m = np.array([list(v) for _, v in items], dtype=np.float32)
         m = m / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-12)
         sims = m @ m.T
-        recs = []
+        out = []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 if sims[i, j] >= threshold:
-                    recs.append({"a": ids[i], "b": ids[j]})
-        return pd.DataFrame(recs, columns=["a", "b"])
+                    out.append((ids[i], ids[j]))
+        return out
 
-    pairs_ds = rows.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
-    pairs = {(int(r["a"]), int(r["b"])) for r in pairs_ds.take_all()}
+    pairs = grouped_pairs(rows, ["bucket"], "bucket", cosine_pairs)
     comp = _connected_components(sorted(pairs))
     return pd.DataFrame(
         sorted((doc, rep) for doc, rep in comp.items()), columns=[id_col, "cluster"]

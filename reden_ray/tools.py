@@ -61,6 +61,20 @@ def population_completeness(gold: pd.DataFrame, dictionary: pd.DataFrame) -> dic
     }
 
 
+def scan_dictionary(dictionary_ds, pattern: str):
+    """K3: regexp scan over the dictionary (the reference's Lucene
+    regexp query with its effectively-unbounded 20M cap,
+    src/fr/lip6/reden/nelinker/DicoProcessingNEL.java:349-378) — here a
+    vectorized Arrow filter over the alias column."""
+    import pyarrow.compute as pc
+
+    def flt(t):
+        mask = pc.match_substring_regex(t["surface"], pattern)
+        return t.filter(mask)
+
+    return dictionary_ds.map_batches(flt, batch_format="pyarrow")
+
+
 def paired_scores(links_a: pd.DataFrame, links_b: pd.DataFrame,
                   gold: pd.DataFrame) -> pd.DataFrame:
     """Per-mention 0/1 correctness pairs for significance testing."""

@@ -39,6 +39,23 @@ class TestCompareRuns:
         assert df["run_b"].sum() == 0
 
 
+class TestScanDictionary:
+    def test_regexp_scan(self):
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from reden_ray.tools import scan_dictionary
+
+        dico = rd.from_arrow(pa.Table.from_pylist([
+            {"surface": "Dumas", "entity_id": "e1"},
+            {"surface": "Vigny", "entity_id": "e2"},
+            {"surface": "Dumont", "entity_id": "e3"},
+        ]))
+        out = scan_dictionary(dico, "^Dum").to_pandas()
+        assert sorted(out["surface"]) == ["Dumas", "Dumont"]
+
+
 class TestPopulationCompleteness:
     def test_coverage(self):
         dico = pd.DataFrame({
