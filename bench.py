@@ -160,8 +160,14 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    # Larger corpus for the scaling evidence: the efficiency ratio
+    # needs per-level work to dwarf the ~3-8s fixed overhead, and the
+    # sandbox host shows bursty ±20% noise.
+    replicate = os.environ.get("GRAFT_REPLICATE",
+                               os.environ.get("GRAFT_SCALING_REPLICATE", "240"))
+
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_REPLICATE=replicate)
         res = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                              capture_output=True, text=True, check=True,
                              cwd=os.path.dirname(os.path.abspath(__file__)))

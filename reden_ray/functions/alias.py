@@ -50,6 +50,29 @@ def make_aliases(first: str, last: str, gender: str = "", particle: str = "") ->
     return sorted(aliases)
 
 
+def clean_rejected_form(form: str) -> str:
+    """M8: rejected-form cleaner — truncate the alias at the first
+    ``(`` and trim (reference:
+    src/fr/lip6/reden/ldextractor/per/QueryAuthorBNF.java:175-181)."""
+    i = form.find("(")
+    if i >= 0:
+        form = form[:i]
+    return form.strip()
+
+
+def clean_rejected_forms(forms: list[str]) -> list[str]:
+    """M8 applied to a list with order-preserving dedup
+    (QueryAuthorBNF.java:229-235)."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for f in forms:
+        c = clean_rejected_form(f)
+        if c and c not in seen:
+            seen.add(c)
+            out.append(c)
+    return out
+
+
 def normalized_display_name(first: str, last: str, birth: str = "-", death: str = "-") -> str:
     """M10: canonical display name "Last, First (birth-death)"
     (AuthorBNF.java:93-105)."""

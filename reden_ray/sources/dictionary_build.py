@@ -82,6 +82,51 @@ def build_dictionary(entities_ds):
     return entities_ds.map_batches(explode_entity_batch, batch_format="pyarrow")
 
 
+def merge_entity_rows(raw_ds):
+    """A10: crawler-row merge — group raw per-solution rows by entity
+    and accumulate distinct sameAs refs and cleaned rejected forms
+    (reference: QueryAuthorBNF.java:161-240, where SPARQL solution rows
+    for the same author URI are folded into one bean). Input columns:
+    (entity_id, first, last, gender, particle, birth, death, uri,
+    rejected_form); output: one row per entity with collected lists.
+    """
+    import pandas as pd
+
+    from ..functions.alias import clean_rejected_forms
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for ent, g in df.groupby("entity_id", sort=True):
+            first_row = g.iloc[0]
+            uris = [ent]
+            for u in g["uri"]:
+                if u and u not in uris:
+                    uris.append(u)
+            forms = clean_rejected_forms([f for f in g["rejected_form"] if f])
+            out.append({
+                "entity_id": ent,
+                "first": first_row.get("first", ""),
+                "last": first_row.get("last", ""),
+                "gender": first_row.get("gender", ""),
+                "particle": first_row.get("particle", ""),
+                "birth": first_row.get("birth", None),
+                "death": first_row.get("death", None),
+                "uris": uris,
+                "rejected_forms": forms,
+            })
+        return pd.DataFrame(out)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = (
+            pd.util.hash_pandas_object(df["entity_id"], index=False) % 64
+        ).astype("int64")
+        return df
+
+    bucketed = raw_ds.map_batches(add_bucket, batch_format="pandas")
+    return bucketed.groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
 def read_tsv_dictionary(path: str):
     """Read the reference's ragged TSV alias format into the dictionary
     schema (reader parity: DicoProcessingNEL.java:82-97 — tab separator,

@@ -41,6 +41,36 @@ class TestDictionaryBuild:
         assert d["entity_id"] == "http://kb/d"
 
 
+class TestMergeEntityRows:
+    def test_a10_merge(self):
+        from reden_ray.sources.dictionary_build import merge_entity_rows
+
+        raw = rd.from_arrow(pa.Table.from_pylist([
+            {"entity_id": "e1", "first": "A", "last": "B", "gender": "M",
+             "particle": "", "birth": "1800", "death": "1870",
+             "uri": "http://eq/1", "rejected_form": "B, A (pseud.)"},
+            {"entity_id": "e1", "first": "A", "last": "B", "gender": "M",
+             "particle": "", "birth": "1800", "death": "1870",
+             "uri": "http://eq/2", "rejected_form": "B, A (pseud.)"},
+            {"entity_id": "e2", "first": "C", "last": "D", "gender": "F",
+             "particle": "de", "birth": "1810", "death": "1880",
+             "uri": "", "rejected_form": ""},
+        ]))
+        out = merge_entity_rows(raw).to_pandas().set_index("entity_id")
+        assert list(out.loc["e1", "uris"]) == ["e1", "http://eq/1", "http://eq/2"]
+        assert list(out.loc["e1", "rejected_forms"]) == ["B, A"]  # M8 + dedup
+        assert list(out.loc["e2", "uris"]) == ["e2"]
+
+
+class TestCleanRejectedForm:
+    def test_m8(self):
+        from reden_ray.functions.alias import clean_rejected_form, clean_rejected_forms
+
+        assert clean_rejected_form("Dumas, A. (père)") == "Dumas, A."
+        assert clean_rejected_form("  plain  ") == "plain"
+        assert clean_rejected_forms(["X (1)", "X (2)", "", "Y"]) == ["X", "Y"]
+
+
 class TestAnnotate:
     def test_annotations_json_per_page(self):
         texts = rd.from_arrow(pa.Table.from_pylist([
