@@ -59,28 +59,57 @@ def main(argv=None) -> int:
         ray.init(address="local", include_dashboard=False, logging_level="ERROR", **kw)
     try:
         if args.cmd == "run":
+            import ray.data as rd
+
             from .pipelines.nel import NELConfig, NELPipeline
-            from .state.manifest import run_partitioned
+            from .stages.canonicalize import canonical_labels, emit_triples
+            from .state.manifest import read_output, run_partitioned
 
             p = NELPipeline(args.fixture, NELConfig(measure=args.measure))
 
-            def pipeline_fn(pages_ds):
-                return p.triples(p.links(p.candidates(p.mentions(p.texts(pages_ds)))))
+            # Phase 1 (resumable, per url-hash partition): link documents
+            # and checkpoint the links. Canonical labels are a GLOBAL
+            # aggregate — computing them per partition would let one
+            # entity receive different labels in different partitions —
+            # so canonicalization runs in phase 2 over all link
+            # partitions (cheap: narrow rows, combiner-first groupby).
+            def links_fn(pages_ds):
+                return p.links(mentions_ds=p.mentions(p.texts(pages_ds)))
 
-            metrics = run_partitioned(args.pages, args.out, pipeline_fn,
+            links_dir = f"{args.out}/links"
+            metrics = run_partitioned(args.pages, links_dir, links_fn,
                                       n_partitions=args.partitions,
                                       resume=not args.no_resume)
+
+            # Phase 2 (global): canonicalize + materialize triples.
+            links = read_output(links_dir)
+            labels = canonical_labels(links)
+            triples = emit_triples(links, labels, p.kb_ref, p.sameas_ref,
+                                   global_dedup=True)
+            triples_dir = f"{args.out}/triples"
+            import shutil
+
+            shutil.rmtree(triples_dir, ignore_errors=True)
+            triples.write_parquet(triples_dir)
+            n_triples = rd.read_parquet(triples_dir).count()
+            metrics["triples"] = n_triples
             print(json.dumps(metrics))
             return 0
 
         if args.cmd == "eval":
+            from pathlib import Path
+
             import pyarrow.parquet as pq
 
             import ray.data as rd
 
             from .stages.evaluate import evaluate_links
+            from .state.manifest import read_output
 
-            links = rd.read_parquet(args.links)
+            if any(Path(args.links).glob("part=*/_manifest.json")):
+                links = read_output(args.links)
+            else:
+                links = rd.read_parquet(args.links)
             gold = pq.read_table(f"{args.fixture}/gold_links.parquet")
             print(json.dumps(evaluate_links(links, gold)))
             return 0

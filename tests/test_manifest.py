@@ -60,6 +60,32 @@ class TestRunPartitioned:
         after = read_output(out).to_pandas().sort_values("url").reset_index(drop=True)
         assert before.equals(after)
 
+    def test_partitioned_nel_run_matches_gold(self, tmp_path, unit_fixture):
+        """Two-phase partitioned run (per-partition links checkpoint +
+        GLOBAL canonicalization) must match gold exactly — canonical
+        labels computed per partition would diverge (regression for the
+        bug found by driving the CLI)."""
+        import pyarrow.parquet as pq
+
+        from reden_ray.pipelines.nel import NELPipeline
+        from reden_ray.stages.canonicalize import canonical_labels, emit_triples
+        from reden_ray.stages.evaluate import triple_prf
+        from reden_ray.state.manifest import read_output, run_partitioned
+
+        p = NELPipeline(unit_fixture)
+
+        def links_fn(pages_ds):
+            return p.links(mentions_ds=p.mentions(p.texts(pages_ds)))
+
+        links_dir = tmp_path / "links"
+        run_partitioned(f"{unit_fixture}/pages.parquet", links_dir, links_fn,
+                        n_partitions=4)
+        links = read_output(links_dir)
+        triples = emit_triples(links, canonical_labels(links), p.kb_ref,
+                               p.sameas_ref, global_dedup=True)
+        m = triple_prf(triples, pq.read_table(f"{unit_fixture}/gold_triples.parquet"))
+        assert m["precision"] == 1.0 and m["recall"] == 1.0, m
+
     def test_corrupt_manifest_detected(self, tmp_path):
         pages = _make_pages(tmp_path)
         out = tmp_path / "out"
