@@ -220,6 +220,28 @@ def _q_enrichment(sf_dir: str):
     return enrich_links(links, p.kb_ref, {"occupation": [PRED_OCC]})
 
 
+def _q_tumbling_window(sf_dir: str):
+    import ray.data as rd
+
+    from reden_ray.stages.windows import tumbling_window
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    out = tumbling_window(ds, size_minutes=60).to_pandas()
+    out["sum_value"] = out["sum_value"].round(2)
+    out["avg_value"] = out["avg_value"].round(6)
+    return out
+
+
+def _q_sliding_window(sf_dir: str):
+    import ray.data as rd
+
+    from reden_ray.stages.windows import sliding_window_per_key
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    return sliding_window_per_key(ds, window_minutes=60)
+
+
 def _q_text_quality(sf_dir: str):
     import ray.data as rd
 
@@ -270,6 +292,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q24_dictionary_build": _q_dictionary_build,
         "q25_annotate_pages": _q_annotate_pages,
         "q26_enrichment": _q_enrichment,
+        # windowed aggregates over the event log
+        "q27_tumbling_window": _q_tumbling_window,
+        "q28_sliding_window": _q_sliding_window,
         # flagship NEL / KG construction over derived pages (rows-only:
         # graph algorithm not SQL-expressible; parity is gated in pytest
         # against analytic gold fixtures instead)
@@ -339,6 +364,12 @@ def oracle_sql() -> dict[str, str]:
         "q16_user_sessions": R.Q16_SQL,
         "q17b_minhash_exact_clusters": _DUP_DOC_CLUSTERS_SQL,
         "q20_embedding_dedup": _DUP_EMB_CLUSTERS_SQL,
+        "q27_tumbling_window": __import__(
+            "reden_ray.stages.windows", fromlist=["TUMBLING_SQL"]
+        ).TUMBLING_SQL.format(size_us=3_600_000_000),
+        "q28_sliding_window": __import__(
+            "reden_ray.stages.windows", fromlist=["SLIDING_SQL"]
+        ).SLIDING_SQL.format(m=60),
         "q24_dictionary_build": (
             "SELECT c_name AS surface, "
             "lower(regexp_replace(c_name, '[\\s''’-]+', '', 'g')) AS surface_norm, "
