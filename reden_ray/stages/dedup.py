@@ -143,6 +143,8 @@ def grouped_pairs(rows_ds, group_cols: list[str], hash_col: str,
     # to_pandas (vectorized block concat), NOT take_all: row-wise
     # materialization of pandas blocks costs ~0.5 ms/row.
     df = pairs_ds.to_pandas()
+    if df.empty or "a" not in df.columns:  # all-empty blocks lose names
+        return set()
     return set(zip(df["a"].tolist(), df["b"].tolist()))
 
 

@@ -95,6 +95,14 @@ class TestEmbeddingDedup:
         assert 3 not in m
 
 
+class TestNoPairsEdge:
+    def test_single_doc_corpus(self):
+        one = rd.from_arrow(pa.Table.from_pylist([{"doc_id": 1, "text": "only one doc"}]))
+        assert len(minhash_lsh_clusters(one)) == 0
+        assert len(simhash_clusters(one)) == 0
+        assert len(ngram_jaccard_clusters(one)) == 0
+
+
 class TestDeterminism:
     def test_minhash_stable_across_runs(self, doc_ds):
         a = minhash_lsh_clusters(doc_ds, threshold=0.7)
