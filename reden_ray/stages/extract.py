@@ -21,25 +21,55 @@ from ..functions.text import html_to_text
 
 
 def extract_text_batch(batch: pa.Table) -> pa.Table:
-    """(url, warc_ts, html, lang) -> (url, warc_ts, text, lang).
+    """(url, warc_ts, html, lang) -> (url, warc_ts, text, lang, extract_error).
 
     Per-row regex extraction over the binary payload (compiled patterns
     are module-level constants — no per-batch setup); the html column is
     dropped from the output so shuffles never move page payloads.
+
+    Poison-row quarantine (SURVEY §4.1): a row whose payload cannot be
+    extracted (null, wrong type, pathological input) gets text="" and a
+    non-null ``extract_error`` instead of killing the task or being
+    silently swallowed (the reference printStackTrace-and-continues,
+    e.g. MainNELApp.java:362-372). Split the side output with
+    ``quarantine``.
     """
-    texts = pa.array(
-        [html_to_text(h) for h in batch.column("html").to_pylist()],
-        type=pa.large_string(),
-    )
+    texts, errors = [], []
+    for h in batch.column("html").to_pylist():
+        try:
+            if h is None:
+                raise ValueError("null html payload")
+            texts.append(html_to_text(h))
+            errors.append(None)
+        except Exception as exc:  # noqa: BLE001 — quarantine, don't crash
+            texts.append("")
+            errors.append(f"{type(exc).__name__}: {exc}"[:200])
     cols, names = [], []
     for name in batch.column_names:
         if name in ("html", "text"):
             continue
         cols.append(batch.column(name))
         names.append(name)
-    cols.append(texts)
+    cols.append(pa.array(texts, pa.large_string()))
     names.append("text")
+    cols.append(pa.array(errors, pa.string()))
+    names.append("extract_error")
     return pa.Table.from_arrays(cols, names=names)
+
+
+def quarantine(extracted_ds):
+    """Split the extracted Dataset into (ok, poison) Datasets."""
+    import pyarrow.compute as pc
+
+    ok = extracted_ds.map_batches(
+        lambda t: t.filter(pc.is_null(t["extract_error"])).drop_columns(["extract_error"]),
+        batch_format="pyarrow",
+    )
+    poison = extracted_ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t["extract_error"])),
+        batch_format="pyarrow",
+    )
+    return ok, poison
 
 
 def extract_pages(pages_ds, batch_size: int = 256):

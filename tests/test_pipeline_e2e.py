@@ -33,6 +33,26 @@ class TestExtraction:
         p, _ = pipeline
         assert "html" not in p.texts().schema().names
 
+    def test_poison_row_quarantine(self):
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from reden_ray.stages.extract import extract_pages, quarantine
+
+        pages = rd.from_arrow(pa.table({
+            "url": pa.array(["u1", "u2", "u3"]),
+            "html": pa.array([b"<p>fine</p>", None, b"<p>ok too</p>"], pa.binary()),
+        }))
+        ok, poison = quarantine(extract_pages(pages))
+        okd = ok.to_pandas().set_index("url")
+        bad = poison.to_pandas()
+        assert sorted(okd.index) == ["u1", "u3"]
+        assert okd.loc["u1", "text"] == "fine"
+        assert "extract_error" not in okd.columns
+        assert list(bad["url"]) == ["u2"]
+        assert "null html" in bad["extract_error"].iloc[0]
+
 
 class TestLinking:
     def test_link_parity_gates(self, unit_fixture, pipeline):
