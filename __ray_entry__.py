@@ -177,6 +177,29 @@ def _q_multimodal(sf_dir: str):
     )
 
 
+def _q_doc_ann(sf_dir: str):
+    """Text->embedding->top-k over raw documents (feature-hashing
+    vectorizer + brute-force cosine). Rows-only: the embedding is not
+    SQL-recomputable."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from reden_ray.functions.text import embed_text
+    from reden_ray.stages.similarity import brute_force_topk, embed_documents
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    emb = embed_documents(docs)
+    head = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    queries = {
+        int(i): embed_text(t).tolist()
+        for i, t in zip(head["doc_id"].to_pylist(), head["text"].to_pylist())
+        if int(i) in (0, 1)
+    }
+    out = brute_force_topk(emb, queries, k=10)
+    return out[["query_id", "vec_id"]]
+
+
 def _q_dictionary_build(sf_dir: str):
     import pyarrow as pa
 
@@ -295,6 +318,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # windowed aggregates over the event log
         "q27_tumbling_window": _q_tumbling_window,
         "q28_sliding_window": _q_sliding_window,
+        # text -> embedding -> similarity search over raw documents
+        "q29_doc_ann": _q_doc_ann,
         # flagship NEL / KG construction over derived pages (rows-only:
         # graph algorithm not SQL-expressible; parity is gated in pytest
         # against analytic gold fixtures instead)

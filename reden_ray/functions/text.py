@@ -312,3 +312,23 @@ def simhash64(text: str) -> int:
 
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+def embed_text(text: str, dim: int = 64) -> np.ndarray:
+    """Deterministic bag-of-words feature-hashing embedding (float32).
+
+    Each lowercased word hashes to (index = h % dim, sign = h bit 63);
+    the count vector is L2-normalized. No model weights — a stand-in
+    vectorizer whose Ray-side plumbing (batched embedding, broadcast
+    query matmul, ANN bucketing) matches what a real encoder needs.
+    """
+    v = np.zeros(dim, dtype=np.float32)
+    words = [w.lower() for w in _WORD_RE.findall(text)]
+    if not words:
+        return v
+    hv = _hash64(words)
+    idx = (hv % np.uint64(dim)).astype(np.int64)
+    sign = np.where((hv >> np.uint64(63)) & np.uint64(1), -1.0, 1.0).astype(np.float32)
+    np.add.at(v, idx, sign)
+    n = np.linalg.norm(v)
+    return v / n if n else v

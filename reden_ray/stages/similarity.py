@@ -23,6 +23,24 @@ import ray
 from ..state.broadcast import get_broadcast
 
 
+def embed_documents(docs_ds, id_col: str = "doc_id", text_col: str = "text",
+                    dim: int = 64, batch_size: int = 2048):
+    """documents -> (id, embedding list<float>) via the deterministic
+    feature-hashing vectorizer (functions.text.embed_text); batched
+    map_batches, ready for brute_force_topk / ivf_topk /
+    embedding_dedup_clusters."""
+    from ..functions.text import embed_text
+
+    def emb(t: pa.Table) -> pa.Table:
+        vecs = [embed_text(x, dim).tolist() for x in t[text_col].to_pylist()]
+        return pa.table({
+            "vec_id": t[id_col].cast(pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        })
+
+    return docs_ds.map_batches(emb, batch_format="pyarrow", batch_size=batch_size)
+
+
 def _as_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
     return np.array(batch.column(vec_col).to_pylist(), dtype=np.float32)
 

@@ -42,6 +42,33 @@ class TestBruteForce:
         assert len(out) == 4
 
 
+class TestEmbedDocuments:
+    def test_self_similarity_top1(self):
+        rows = [
+            {"doc_id": 0, "text": "alpha beta gamma delta epsilon words here"},
+            {"doc_id": 1, "text": "alpha beta gamma delta epsilon words there"},
+            {"doc_id": 2, "text": "completely unrelated vocabulary tokens appear"},
+        ]
+        ds = rd.from_arrow(pa.Table.from_pylist(rows))
+        from reden_ray.functions.text import embed_text
+        from reden_ray.stages.similarity import brute_force_topk, embed_documents
+
+        emb = embed_documents(ds)
+        q = {0: embed_text(rows[0]["text"]).tolist()}
+        out = brute_force_topk(emb, q, k=3)
+        assert list(out["vec_id"])[0] == 0          # self first
+        assert list(out["vec_id"])[1] == 1          # near-dup second
+        assert out["score"].iloc[0] > 0.999
+
+    def test_deterministic(self):
+        from reden_ray.functions.text import embed_text
+
+        a = embed_text("the quick brown fox")
+        b = embed_text("the quick brown fox")
+        assert (a == b).all()
+        assert abs(float((a * a).sum()) - 1.0) < 1e-5
+
+
 class TestIVF:
     def test_kmeans_deterministic(self):
         ds, _ = _make_ds()
