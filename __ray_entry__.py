@@ -320,6 +320,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q28_sliding_window": _q_sliding_window,
         # text -> embedding -> similarity search over raw documents
         "q29_doc_ann": _q_doc_ann,
+        # training-data quality filter chain
+        "q30_quality_filter": R.q30_quality_filter,
         # flagship NEL / KG construction over derived pages (rows-only:
         # graph algorithm not SQL-expressible; parity is gated in pytest
         # against analytic gold fixtures instead)
@@ -389,6 +391,7 @@ def oracle_sql() -> dict[str, str]:
         "q16_user_sessions": R.Q16_SQL,
         "q17b_minhash_exact_clusters": _DUP_DOC_CLUSTERS_SQL,
         "q20_embedding_dedup": _DUP_EMB_CLUSTERS_SQL,
+        "q30_quality_filter": R.Q30_SQL,
         "q27_tumbling_window": __import__(
             "reden_ray.stages.windows", fromlist=["TUMBLING_SQL"]
         ).TUMBLING_SQL.format(size_us=3_600_000_000),

@@ -371,6 +371,43 @@ FROM events
 """
 
 
+# Q30 — training-data quality filter chain over documents
+def q30_quality_filter(sf_dir: str) -> pd.DataFrame:
+    """Filter documents by frozen quality predicates (length band,
+    language allowlist, whitespace-token count) — the standard
+    pre-training corpus filter, vectorized in Arrow."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+
+    def flt(t: pa.Table) -> pa.Table:
+        n_tok = pc.list_value_length(pc.utf8_split_whitespace(t["text"]))
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(t["n_chars"], pa.scalar(100)),
+                    pc.less_equal(t["n_chars"], pa.scalar(400))),
+            pc.and_(pc.is_in(t["lang"], value_set=pa.array(["en", "fr", "de"])),
+                    pc.greater_equal(n_tok, pa.scalar(20))),
+        )
+        out = t.filter(keep)
+        n_tok_kept = pc.list_value_length(pc.utf8_split_whitespace(out["text"]))
+        return pa.table({
+            "doc_id": out["doc_id"],
+            "lang": out["lang"],
+            "n_chars": out["n_chars"],
+            "n_tokens": pc.cast(n_tok_kept, pa.int64()),
+        })
+
+    return ds.map_batches(flt, batch_format="pyarrow").to_pandas()
+
+
+Q30_SQL = r"""
+SELECT doc_id, lang, n_chars,
+       len(string_split_regex(trim(text), '\s+')) AS n_tokens
+FROM documents
+WHERE n_chars BETWEEN 100 AND 400
+  AND lang IN ('en', 'fr', 'de')
+  AND len(string_split_regex(trim(text), '\s+')) >= 20
+"""
+
+
 # Q16 — sessionization (30-min gap) via map_groups
 def q16_user_sessions(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])

@@ -65,6 +65,52 @@ def _label_argmax_bucket(df: pd.DataFrame) -> pd.DataFrame:
     return best[["uri", "canonical_label"]]
 
 
+def salted_counts(ds, key_col: str, num_salts: int = 16,
+                  num_buckets: int = DEFAULT_KEY_BUCKETS):
+    """Explicit salted two-phase count for head-key skew (north_rule).
+
+    Phase 1 groups by (key, salt) where salt = hash(row-position-ish)
+    spread, so a head key's rows split across ``num_salts`` partial
+    groups instead of landing on one reducer; phase 2 unsalts and merges
+    the (at most num_salts) partials per key.
+
+    NOTE: for plain counts the per-batch combiner used elsewhere in this
+    module already bounds a head key to one row per batch — combiner-
+    first is the *generalized* form of salting (salt == batch id). This
+    helper exists for aggregations fed through ``groupby`` directly and
+    as the explicit, testable statement of the salted pattern.
+    Returns (key, cnt) Dataset.
+    """
+    import numpy as np
+
+    def add_salt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[key_col]].copy()
+        df["__salt"] = (np.arange(len(df)) % num_salts).astype("int64")
+        return df
+
+    salted = ds.map_batches(add_salt, batch_format="pandas")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby([key_col, "__salt"], as_index=False).size()
+        return out.rename(columns={"size": "cnt"})
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = _bucket_of(df[key_col], num_buckets)
+        return df
+
+    partials = (
+        salted.groupby("__salt")
+        .map_groups(partial, batch_format="pandas")
+        .map_batches(bucket, batch_format="pandas")
+    )
+
+    def unsalt(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(key_col, as_index=False)["cnt"].sum()
+
+    return partials.groupby("__bucket").map_groups(unsalt, batch_format="pandas")
+
+
 def canonical_labels(links_ds, num_buckets: int = DEFAULT_KEY_BUCKETS):
     """links Dataset -> (uri, canonical_label) Dataset.
 

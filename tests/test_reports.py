@@ -87,6 +87,19 @@ class TestTextAnalytics:
         assert out.loc[1, "n_chars"] == 0
         assert len(out.loc[0, "fingerprint"]) == 32
 
+    def test_salted_counts(self):
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from reden_ray.stages.canonicalize import salted_counts
+
+        rows = [{"k": "head"}] * 50 + [{"k": "tail1"}] * 3 + [{"k": "tail2"}]
+        ds = rd.from_arrow(pa.Table.from_pylist(rows))
+        out = salted_counts(ds, "k").to_pandas()
+        m = dict(zip(out["k"], out["cnt"]))
+        assert m == {"head": 50, "tail1": 3, "tail2": 1}
+
     def test_token_totals(self):
         docs = rd.from_arrow(pa.Table.from_pylist([
             {"doc_id": 0, "text": "one two three"},
