@@ -244,15 +244,27 @@ def _q_enrichment(sf_dir: str):
 
 
 def _q_tumbling_window(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     import ray.data as rd
 
     from reden_ray.stages.windows import tumbling_window
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
-    out = tumbling_window(ds, size_minutes=60).to_pandas()
-    out["sum_value"] = out["sum_value"].round(2)
-    out["avg_value"] = out["avg_value"].round(6)
-    return out
+
+    def to_e2(t: pa.Table) -> pa.Table:
+        # 2-decimal values -> exact 1e-2-unit integers (float partial
+        # sums flip decimal-boundary rounding vs the oracle)
+        v = pc.cast(pc.round(pc.multiply(t["value"], pa.scalar(100.0))), pa.int64())
+        return pa.table({"ts": t["ts"], "value_e2": v})
+
+    out = tumbling_window(ds.map_batches(to_e2, batch_format="pyarrow"),
+                          size_minutes=60, value_col="value_e2").to_pandas()
+    out = out.rename(columns={"sum_value": "sum_value_e2"})
+    out["sum_value_e2"] = out["sum_value_e2"].astype("int64")
+    out["avg_value_e6"] = out["sum_value_e2"] * 10000 // out["n_events"]
+    return out.drop(columns=["avg_value"])
 
 
 def _q_sliding_window(sf_dir: str):

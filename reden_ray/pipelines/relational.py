@@ -42,6 +42,18 @@ def _round_cols(df: pd.DataFrame, spec: dict[str, int]) -> pd.DataFrame:
 
 
 # Q1 — filter + computed column + grouped aggregation (TPC-H Q1 shape)
+#
+# Money/quantity columns carry exactly 2 decimal places, so every
+# aggregate is computed in EXACT integer arithmetic (per-row 1e-2 /
+# 1e-4 units, integer sums, floor-division averages): float partial-sum
+# reordering across Ray blocks vs DuckDB's accumulation order otherwise
+# flips rounding at decimal boundaries (observed at sf0.1).
+
+
+def _e2(col) -> pa.Array:
+    return pc.cast(pc.round(pc.multiply(col, pa.scalar(100.0))), pa.int64())
+
+
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_linestatus", "l_quantity",
@@ -49,42 +61,54 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
 
     def prep(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02"))))
-        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return t.append_column("disc_price", disc)
+        price_e2 = _e2(t["l_extendedprice"])
+        disc_e2 = _e2(t["l_discount"])
+        qty_e2 = _e2(t["l_quantity"])
+        # price*(1-disc) in exact 1e-4 units: price_e2 * (100 - disc_e2)
+        disc_price_e4 = pc.multiply(price_e2, pc.subtract(pa.scalar(100, pa.int64()), disc_e2))
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "qty_e2": qty_e2,
+            "price_e2": price_e2,
+            "disc_e2": disc_e2,
+            "disc_price_e4": disc_price_e4,
+        })
 
     out = (
         ds.map_batches(prep, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price_e4"),
-            Mean("l_quantity", alias_name="avg_qty"),
-            Mean("l_discount", alias_name="avg_disc"),
+            Sum("qty_e2", alias_name="sum_qty_e2"),
+            Sum("price_e2", alias_name="sum_base_price_e2"),
+            Sum("disc_price_e4", alias_name="sum_disc_price_e4"),
+            Sum("disc_e2", alias_name="_sum_disc_e2"),
             Count(alias_name="count_order"),
         )
         .to_pandas()
     )
-    # disc_price carries 4 decimal places, so its sum sits EXACTLY on
-    # .xx5 2dp-rounding boundaries -> report as exact integer 1e-4 units
-    # (float noise ~1e-8 << 0.5). Plain 2dp-valued sums round stably.
-    out["sum_disc_price_e4"] = (out["sum_disc_price_e4"] * 10000).round().astype("int64")
-    return _round_cols(out, {"sum_qty": 2, "sum_base_price": 2,
-                             "avg_qty": 6, "avg_disc": 6})
+    # exact-rational averages in 1e-6 units via integer floor division
+    out["avg_qty_e6"] = out["sum_qty_e2"] * 10000 // out["count_order"]
+    out["avg_disc_e6"] = out["_sum_disc_e2"] * 10000 // out["count_order"]
+    return out.drop(columns=["_sum_disc_e2"])
 
 
 Q1_SQL = """
+WITH x AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(ROUND(l_quantity * 100, 0) AS BIGINT)      AS qty_e2,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS price_e2,
+         CAST(ROUND(l_discount * 100, 0) AS BIGINT)      AS disc_e2
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+)
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2)                              AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2)                         AS sum_base_price,
-       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)
-                                                              AS sum_disc_price_e4,
-       ROUND(AVG(l_quantity), 6)                              AS avg_qty,
-       ROUND(AVG(l_discount), 6)                              AS avg_disc,
-       COUNT(*)                                               AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-GROUP BY l_returnflag, l_linestatus
+       SUM(qty_e2)                      AS sum_qty_e2,
+       SUM(price_e2)                    AS sum_base_price_e2,
+       SUM(price_e2 * (100 - disc_e2))  AS sum_disc_price_e4,
+       COUNT(*)                         AS count_order,
+       SUM(qty_e2)  * 10000 // COUNT(*) AS avg_qty_e6,
+       SUM(disc_e2) * 10000 // COUNT(*) AS avg_disc_e6
+FROM x GROUP BY l_returnflag, l_linestatus
 """
 
 
@@ -138,28 +162,28 @@ def q4_order_priority_revenue(sf_dir: str) -> pd.DataFrame:
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def rev(t: pa.Table) -> pa.Table:
-        r = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return pa.table({"l_orderkey": t["l_orderkey"], "revenue_part": r})
+        # exact 1e-4-unit revenue per row (see q1 note)
+        price_e2 = _e2(t["l_extendedprice"])
+        disc_e2 = _e2(t["l_discount"])
+        r = pc.multiply(price_e2, pc.subtract(pa.scalar(100, pa.int64()), disc_e2))
+        return pa.table({"l_orderkey": t["l_orderkey"], "revenue_e4_part": r})
 
     li = li.map_batches(rev, batch_format="pyarrow")
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     joined = li.join(orders, join_type="inner", num_partitions=8,
                      on=("l_orderkey",), right_on=("o_orderkey",))
-    out = (
+    return (
         joined.groupby("o_orderpriority")
-        .aggregate(Sum("revenue_part", alias_name="revenue_e4"),
+        .aggregate(Sum("revenue_e4_part", alias_name="revenue_e4"),
                    Count(alias_name="n_items"))
         .to_pandas()
     )
-    # 4dp-valued revenue -> exact integer 1e-4 units (see q1 note)
-    out["revenue_e4"] = (out["revenue_e4"] * 10000).round().astype("int64")
-    return out
 
 
 Q4_SQL = """
 SELECT o_orderpriority,
-       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)
-           AS revenue_e4,
+       SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) AS revenue_e4,
        COUNT(*) AS n_items
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
@@ -294,19 +318,21 @@ SELECT query_id, vec_id FROM scored WHERE rn <= 10
 """
 
 
-# Q13 — simple groupby stats over documents
+# Q13 — simple groupby stats over documents (exact integer average)
 def q13_lang_stats(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])
     out = (
         ds.groupby("lang")
-        .aggregate(Count(alias_name="n_docs"), Mean("n_chars", alias_name="avg_chars"))
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="_sum_chars"))
         .to_pandas()
     )
-    return _round_cols(out, {"avg_chars": 6})
+    out["avg_chars_e6"] = out["_sum_chars"] * 1_000_000 // out["n_docs"]
+    return out.drop(columns=["_sum_chars"])
 
 
 Q13_SQL = """
-SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 6) AS avg_chars
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(n_chars) * 1000000 // COUNT(*) AS avg_chars_e6
 FROM documents GROUP BY lang
 """
 

@@ -64,12 +64,15 @@ def sliding_window_per_key(events_ds, key_col: str = "user_id",
 
 
 TUMBLING_SQL = """
+WITH x AS (
+  SELECT ts, CAST(ROUND(value * 100, 0) AS BIGINT) AS value_e2 FROM events
+)
 SELECT CAST(to_timestamp((epoch_us(ts) // {size_us}) * {size_us} / 1000000) AS TIMESTAMP)
          AS window_start,
        COUNT(*) AS n_events,
-       ROUND(SUM(value), 2) AS sum_value,
-       ROUND(AVG(value), 6) AS avg_value
-FROM events GROUP BY 1
+       SUM(value_e2) AS sum_value_e2,
+       SUM(value_e2) * 10000 // COUNT(*) AS avg_value_e6
+FROM x GROUP BY 1
 """
 
 SLIDING_SQL = """
