@@ -102,12 +102,12 @@ WITH x AS (
   FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 )
 SELECT l_returnflag, l_linestatus,
-       SUM(qty_e2)                      AS sum_qty_e2,
-       SUM(price_e2)                    AS sum_base_price_e2,
-       SUM(price_e2 * (100 - disc_e2))  AS sum_disc_price_e4,
-       COUNT(*)                         AS count_order,
-       SUM(qty_e2)  * 10000 // COUNT(*) AS avg_qty_e6,
-       SUM(disc_e2) * 10000 // COUNT(*) AS avg_disc_e6
+       CAST(SUM(qty_e2) AS BIGINT)                     AS sum_qty_e2,
+       CAST(SUM(price_e2) AS BIGINT)                   AS sum_base_price_e2,
+       CAST(SUM(price_e2 * (100 - disc_e2)) AS BIGINT) AS sum_disc_price_e4,
+       COUNT(*)                                        AS count_order,
+       CAST(SUM(qty_e2)  * 10000 // COUNT(*) AS BIGINT) AS avg_qty_e6,
+       CAST(SUM(disc_e2) * 10000 // COUNT(*) AS BIGINT) AS avg_disc_e6
 FROM x GROUP BY l_returnflag, l_linestatus
 """
 
@@ -182,8 +182,8 @@ def q4_order_priority_revenue(sf_dir: str) -> pd.DataFrame:
 
 Q4_SQL = """
 SELECT o_orderpriority,
-       SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
-           * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) AS revenue_e4,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) AS BIGINT) AS revenue_e4,
        COUNT(*) AS n_items
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
@@ -332,7 +332,7 @@ def q13_lang_stats(sf_dir: str) -> pd.DataFrame:
 
 Q13_SQL = """
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(n_chars) * 1000000 // COUNT(*) AS avg_chars_e6
+       CAST(SUM(n_chars) * 1000000 // COUNT(*) AS BIGINT) AS avg_chars_e6
 FROM documents GROUP BY lang
 """
 

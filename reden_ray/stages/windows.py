@@ -70,8 +70,8 @@ WITH x AS (
 SELECT CAST(to_timestamp((epoch_us(ts) // {size_us}) * {size_us} / 1000000) AS TIMESTAMP)
          AS window_start,
        COUNT(*) AS n_events,
-       SUM(value_e2) AS sum_value_e2,
-       SUM(value_e2) * 10000 // COUNT(*) AS avg_value_e6
+       CAST(SUM(value_e2) AS BIGINT) AS sum_value_e2,
+       CAST(SUM(value_e2) * 10000 // COUNT(*) AS BIGINT) AS avg_value_e6
 FROM x GROUP BY 1
 """
 
