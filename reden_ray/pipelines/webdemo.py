@@ -63,13 +63,24 @@ def pages_from_documents(sf_dir: str):
     return ds.map_batches(to_pages, batch_format="pyarrow")
 
 
-def vocab_fixture(cache_dir: str = "/tmp/reden_vocab_fixture") -> str:
+def _vocab_version() -> str:
+    import hashlib
+
+    key = "|".join([*VOCAB_ENTITIES, *sorted(VOCAB_AMBIGUOUS), "v1"])
+    return hashlib.md5(key.encode()).hexdigest()[:8]
+
+
+def vocab_fixture(cache_dir: str | None = None) -> str:
     """Write the deterministic vocab dictionary/KB/sameas/gazetteer
     Parquet (idempotent cache; atomic publish so concurrent callers
-    never read partial files). Returns the directory."""
+    never read partial files; cache dir is keyed by a hash of the vocab
+    constants so stale caches from older code can't poison runs).
+    Returns the directory."""
     import os
     import tempfile
 
+    if cache_dir is None:
+        cache_dir = f"/tmp/reden_vocab_fixture_{_vocab_version()}"
     final = Path(cache_dir)
     if (final / "_complete").exists():
         return str(final)
