@@ -132,15 +132,25 @@ def run_bench() -> dict:
     p.texts(pages()).count()
     timings["extract_text"] = round(time.perf_counter() - t0, 3)
 
-    for name, fn in [
-        ("q1_pricing_summary", R.q1_pricing_summary),
-        ("q4_order_priority_revenue", R.q4_order_priority_revenue),
-        ("q10_topk_cosine", R.q10_topk_cosine),
-        ("q15_running_user_value", R.q15_running_user_value),
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as E
+
+    qs = E.queries()
+    for name in [
+        "q1_pricing_summary",        # filter + grouped aggregate
+        "q4_order_priority_revenue", # large-large hash join
+        "q10_topk_cosine",           # similarity search
+        "q15_running_user_value",    # per-key window
+        "q17b_minhash_exact_clusters",  # LSH dedup machinery
+        "q27_tumbling_window",       # event-time windows
+        "q30_quality_filter",        # corpus quality filter
     ]:
         t0 = time.perf_counter()
-        fn(SF_DIR)
+        qs[name](SF_DIR)
         timings[name] = round(time.perf_counter() - t0, 3)
+    del R
 
     headline = timings["nel_kg_construction"]
     out = {

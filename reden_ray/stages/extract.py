@@ -57,6 +57,33 @@ def extract_text_batch(batch: pa.Table) -> pa.Table:
     return pa.Table.from_arrays(cols, names=names)
 
 
+def latest_page_per_url(pages_ds, num_buckets: int = 64):
+    """Re-crawl collapse: keep the newest (max warc_ts) row per url.
+
+    Duplicate urls would otherwise merge two pages' mentions into one
+    linking context with colliding mention_ids. Hash-bucketed on url
+    (combiner per batch, vectorized per-bucket max) — run BEFORE
+    extraction when the corpus may contain re-crawls.
+    """
+    import pandas as pd
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        # per-batch combiner: newest row per url within the batch
+        i = df.groupby("url")["warc_ts"].idxmax()
+        out = df.loc[i].copy()
+        out["__bucket"] = (
+            pd.util.hash_pandas_object(out["url"], index=False) % num_buckets
+        ).astype("int64")
+        return out
+
+    def newest(df: pd.DataFrame) -> pd.DataFrame:
+        i = df.groupby("url")["warc_ts"].idxmax()
+        return df.loc[i].drop(columns=["__bucket"])
+
+    bucketed = pages_ds.map_batches(combine, batch_format="pandas")
+    return bucketed.groupby("__bucket").map_groups(newest, batch_format="pandas")
+
+
 def quarantine(extracted_ds):
     """Split the extracted Dataset into (ok, poison) Datasets."""
     import pyarrow.compute as pc

@@ -33,6 +33,25 @@ class TestExtraction:
         p, _ = pipeline
         assert "html" not in p.texts().schema().names
 
+    def test_latest_page_per_url(self):
+        import pandas as pd
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from reden_ray.stages.extract import latest_page_per_url
+
+        pages = rd.from_arrow(pa.table({
+            "url": pa.array(["u1", "u1", "u2"]),
+            "warc_ts": pa.array(
+                [pd.Timestamp("2024-01-01"), pd.Timestamp("2024-06-01"),
+                 pd.Timestamp("2024-03-01")], pa.timestamp("ms")),
+            "html": pa.array([b"old", b"new", b"only"], pa.binary()),
+        }))
+        out = latest_page_per_url(pages).to_pandas().set_index("url")
+        assert len(out) == 2
+        assert out.loc["u1", "html"] == b"new"  # re-crawl keeps newest
+
     def test_poison_row_quarantine(self):
         import pyarrow as pa
 
