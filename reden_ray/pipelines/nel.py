@@ -54,6 +54,9 @@ class NELConfig:
     cand_concurrency: int | tuple = (1, 4)
     extract_batch_size: int = 256
     ner_batch_size: int = 512
+    # url-hash bucket count for the link shuffle (power of two); the
+    # explicit partitioning knob for cluster sizing.
+    link_buckets: int = 256
 
 
 class NELPipeline:
@@ -99,12 +102,14 @@ class NELPipeline:
                 candidates_ds, self.kb_ref, self.sameas_ref, rels=self.cfg.rels,
                 measure=self.cfg.measure,
                 prefered_uri_order=self.cfg.prefered_uri_order,
+                num_buckets=self.cfg.link_buckets,
             )
         src = mentions_ds if mentions_ds is not None else self.mentions()
         packed = generate_candidates_packed(src, self.dico_ref)
         return link_documents_packed(
             packed, self.kb_ref, self.sameas_ref, rels=self.cfg.rels,
             measure=self.cfg.measure, prefered_uri_order=self.cfg.prefered_uri_order,
+            num_buckets=self.cfg.link_buckets,
         )
 
     def triples(self, links_ds=None):

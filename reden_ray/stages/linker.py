@@ -286,7 +286,10 @@ def _emit(row: dict, score: float | None, prefered_uri_order: str) -> dict:
 
 _LINK_COLUMNS = ["url", "mention_id", "surface", "surface_norm", "uri", "all_uris", "score"]
 
-DEFAULT_URL_BUCKETS = 64
+# Power of two (Arrow bit-and bucketing). 256 smooths the straggler
+# tail vs 64 on one node and leaves headroom for a few hundred
+# cluster-wide link tasks; raise for larger clusters.
+DEFAULT_URL_BUCKETS = 256
 
 
 def add_url_bucket(df: pd.DataFrame, num_buckets: int) -> pd.DataFrame:
