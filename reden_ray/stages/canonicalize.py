@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from .. import CANONICAL_LABEL_PRED, MENTIONS_PRED, SAMEAS_PRED
 from ..state.broadcast import get_broadcast
