@@ -155,11 +155,11 @@ def _q_ann_ivf(sf_dir: str):
 
     from reden_ray.stages.similarity import ivf_topk
 
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "in", [0, 1])])  # pruned read
     queries = {
         int(v): e
         for v, e in zip(emb["vec_id"].to_pylist(), emb["embedding"].to_pylist())
-        if int(v) in (0, 1)
     }
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     out = ivf_topk(ds, queries, k=10)
@@ -190,11 +190,11 @@ def _q_doc_ann(sf_dir: str):
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     emb = embed_documents(docs)
-    head = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    head = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+                         filters=[("doc_id", "in", [0, 1])])  # pruned read
     queries = {
         int(i): embed_text(t).tolist()
         for i, t in zip(head["doc_id"].to_pylist(), head["text"].to_pylist())
-        if int(i) in (0, 1)
     }
     out = brute_force_topk(emb, queries, k=10)
     return out[["query_id", "vec_id"]]

@@ -295,11 +295,11 @@ def q10_topk_cosine(sf_dir: str) -> pd.DataFrame:
 
     from ..stages.similarity import brute_force_topk
 
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "in", [0, 1])])  # pruned read
     queries = {
         int(v): e
         for v, e in zip(emb["vec_id"].to_pylist(), emb["embedding"].to_pylist())
-        if int(v) in (0, 1)
     }
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = brute_force_topk(ds, queries, k=10)

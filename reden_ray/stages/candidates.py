@@ -194,13 +194,45 @@ def generate_candidates_packed(mentions_ds, dico_ref, batch_size: int = 8192):
     return mentions_ds.map_batches(gen, batch_format="pyarrow", batch_size=batch_size)
 
 
-def candidates_via_join(mentions_ds, dictionary_ds, num_partitions: int = 64):
+def dictionary_with_order(dictionary_path: str):
+    """Read the dictionary Parquet as a Dataset carrying an explicit
+    ``dict_row`` file-order column and a flat ``uris_str`` column.
+
+    ``dict_row`` is the determinism anchor for the join path: the
+    broadcast index ranks candidates by dictionary-file order (the
+    Lucene-hit order of the reference, DicoProcessingNEL.java:319), and
+    join output order is NOT deterministic — carrying the order through
+    the join and sorting on it makes both paths emit identical ranks.
+    """
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    t = pq.read_table(dictionary_path, columns=["surface_norm", "entity_id", "uris"])
+    # no ne_type: the mention side carries its own (join would collide)
+    flat = pa.table({
+        "surface_norm": t["surface_norm"],
+        "entity_id": t["entity_id"],
+        "uris_str": pa.array([" ".join(u) for u in t["uris"].to_pylist()], pa.string()),
+        "dict_row": pa.array(range(t.num_rows), pa.int64()),
+    })
+    return rd.from_arrow(flat)
+
+
+def candidates_via_join(mentions_ds, dictionary_ds, num_partitions: int = 64,
+                        num_buckets: int = 64):
     """Scale path: hash-partitioned equi-join on ``surface_norm`` (J1).
 
     For dictionaries too large to broadcast. Produces the same rows as
-    ``CandidateGen`` minus the per-mention rank/cap (applied in a
-    post-join per-mention pass). Both sides shuffle once on the join key.
+    ``CandidateGen``: after the join, rows re-bucket on the page axis
+    (``url_hash`` when present — the linker's own bucketing key) and
+    rank/D1-dedup/K2-cap VECTORIZED inside each bucket — no per-mention
+    group dispatch, no ``iterrows``. ``dictionary_ds`` must carry
+    ``dict_row`` + ``uris_str`` (see ``dictionary_with_order``) so
+    candidate ranks are deterministic despite join-output order.
     """
+    import pandas as pd
+
     joined = mentions_ds.join(
         dictionary_ds,
         join_type="inner",
@@ -208,29 +240,34 @@ def candidates_via_join(mentions_ds, dictionary_ds, num_partitions: int = 64):
         num_partitions=num_partitions,
     )
 
-    def rank_per_mention(df):
-        import pandas as pd  # noqa: F401
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if "url_hash" in df.columns:
+            df["__bucket"] = (df["url_hash"] % num_buckets).astype("int64")
+        else:
+            df["__bucket"] = (
+                pd.util.hash_pandas_object(df["url"], index=False) % num_buckets
+            ).astype("int64")
+        return df
 
-        df = df.sort_values(["url", "mention_id"], kind="stable")
-        out = []
-        for (_u, _m), g in df.groupby(["url", "mention_id"], sort=True):
-            seen = set()
-            rank = 0
-            for _, row in g.iterrows():
-                key = tuple(row["uris"]) if "uris" in row else row["uris_str"]
-                if key in seen:
-                    continue
-                seen.add(key)
-                rec = dict(row)
-                rec["cand_rank"] = rank
-                out.append(rec)
-                rank += 1
-                if rank >= MAX_CANDIDATES:
-                    break
-        import pandas as pd
+    out_cols = ["url", "url_hash", "mention_id", "surface", "surface_norm",
+                "cand_rank", "entity_id", "uris_str"]
 
-        return pd.DataFrame(out)
+    def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(columns=out_cols)
+        if "url_hash" not in df.columns:
+            df = df.assign(url_hash=0)
+        df = df.sort_values(["url", "mention_id", "dict_row"], kind="stable")
+        df = df.drop_duplicates(["url", "mention_id", "uris_str"])  # D1
+        df = df.assign(
+            cand_rank=df.groupby(["url", "mention_id"], sort=False).cumcount()
+            .astype("int32"))
+        df = df[df["cand_rank"] < MAX_CANDIDATES]  # K2 cap
+        return df[out_cols]
 
-    return joined.groupby(["url", "mention_id"]).map_groups(
-        rank_per_mention, batch_format="pandas"
+    return (
+        joined.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(rank_bucket, batch_format="pandas")
     )

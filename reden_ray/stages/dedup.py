@@ -3,32 +3,36 @@
 Beyond the reference's exact dedups (D1-D5 — candidate-list dedup
 DicoProcessingNEL.java:163-175, seen-URI dedup GraphHandlerNEL.java:55-67,
 final-triple dedup), this module provides the near-dup family a 100 TB
-text pipeline needs. All are expressed Ray-Data-first:
+text pipeline needs. All are expressed Ray-Data-first and NOTHING
+materializes O(corpus) state on the driver:
 
 * exact_dedup_by_key — hash-partitioned groupby + first (per-batch
   combiner first, so the shuffle moves at most |distinct| rows/batch).
-* minhash_lsh_dedup — shingle -> minhash -> band -> bucket groupby ->
-  candidate pairs -> Jaccard verify -> connected components.
-* simhash_dedup — 64-bit simhash, Hamming<=k via 4-band exact blocking.
-* ngram_jaccard_dedup — word-ngram Jaccard inside cheap blocking buckets.
-* embedding_dedup — cosine near-dup over an embedding column
-  (LSH random-hyperplane bucketing; exact cosine verify inside bucket).
+* minhash_lsh_clusters — shingle -> minhash -> band -> bucket groupby
+  -> candidate-pair Dataset -> distributed text attach (semi-join +
+  two hash joins) -> pair verify -> distributed connected components.
+* simhash_clusters — 64-bit simhash, Hamming<=k via 4-band exact
+  blocking; the full hash rides along in the band rows so verification
+  happens INSIDE the bucket group (payload co-located, no second pass).
+* ngram_jaccard_clusters — word-ngram Jaccard verified in-bucket (the
+  text rides in the single blocking-bucket row per doc).
+* embedding_dedup_clusters — cosine near-dup over an embedding column
+  (random-hyperplane LSH buckets; exact cosine verify in-bucket with a
+  vectorized matmul).
 
-Cluster representative = the MINIMUM doc id in the duplicate cluster
-(deterministic). Candidate-pair sets are bounded by banding; the final
-union-find over surviving pairs runs on the driver — pairs, not docs,
-so this is safe whenever near-dup rate is sane; the connected-components
-label-propagation alternative for adversarial inputs is documented in
-the docstring of ``_connected_components``.
+Every ``*_clusters`` returns a ``(id, cluster)`` **Dataset** where
+cluster = the MINIMUM doc id of the duplicate component (deterministic;
+computed by iterative min-label propagation, stages/cc.py). ``*_dedup``
+variants drop non-representatives via a hash-partitioned
+``Dataset.join(..., "left_anti")`` — no driver-side doomed set.
 """
 
 from __future__ import annotations
 
-from collections import defaultdict
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.text import (
     char_shingles,
@@ -39,6 +43,7 @@ from ..functions.text import (
     simhash64,
     word_ngrams,
 )
+from .cc import connected_components
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -54,7 +59,12 @@ def exact_dedup_by_key(ds, key_cols: list[str], id_col: str):
 
     def combine(batch: pa.Table) -> pa.Table:
         out = batch.group_by(key_cols).aggregate([(id_col, "min")])
-        return out.rename_columns([*key_cols, id_col])
+        # rename the aggregate column BY NAME (pyarrow emits
+        # '<col>_min'); positional renames depend on key-column order,
+        # which is not contractual across pyarrow versions.
+        return out.rename_columns(
+            [id_col if c == f"{id_col}_min" else c for c in out.column_names]
+        ).select([*key_cols, id_col])
 
     pre = ds.select_columns([*key_cols, id_col]).map_batches(combine, batch_format="pyarrow")
 
@@ -74,52 +84,27 @@ def exact_dedup_by_key(ds, key_cols: list[str], id_col: str):
 
 
 # ---------------------------------------------------------------------------
-# Pair verification + clustering shared by the near-dup family
+# Candidate-pair generation shared by the near-dup family
 # ---------------------------------------------------------------------------
 
 
-def _connected_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
-    """Union-find over candidate pairs -> {doc_id: cluster_rep(min id)}.
-
-    Driver-side on the PAIR set (bounded by banding). At adversarial
-    duplicate rates, replace with distributed min-label propagation:
-    iterate ``edges.groupby(node).aggregate(Min(label))`` until fixed
-    point — same output, no driver state.
-    """
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in pairs:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    return {x: find(x) for x in parent}
-
-
-def _pairs_from_buckets(bucket_members: pd.DataFrame, id_col: str, max_bucket: int = 200):
-    """Emit unique candidate pairs from each bucket (cap guards skew)."""
-    seen: set[tuple[int, int]] = set()
-    for _, g in bucket_members.groupby("bucket", sort=False):
-        ids = sorted(g[id_col].tolist())[:max_bucket]
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                seen.add((ids[i], ids[j]))
-    return seen
+def _pairs_frame(recs: list[tuple[int, int]]) -> pd.DataFrame:
+    out = pd.DataFrame(recs, columns=["a", "b"])
+    return out.astype({"a": "int64", "b": "int64"})
 
 
 def grouped_pairs(rows_ds, group_cols: list[str], hash_col: str,
                   pair_fn, num_buckets: int = 128):
-    """Candidate pairs from exact-match groups, hash-bucketed.
+    """Candidate-pair Dataset from exact-match groups, hash-bucketed.
 
     Shuffles on hash(hash_col) % num_buckets (equal groups share their
     hash column, hence a bucket), then loops the bucket's groups in
     plain pandas — Ray never dispatches per tiny group. ``pair_fn(g)``
-    returns [(a, b), ...] for one group's frame.
+    returns [(a, b), ...] for one group's frame; because the group frame
+    carries the blocking payload, pair_fn can VERIFY in place.
+    Returns a Dataset with int64 columns ``a``, ``b`` (may contain
+    duplicates across groups — downstream CC tolerates them; dedup with
+    ``distinct_pairs`` when verification per pair is expensive).
     """
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -130,22 +115,47 @@ def grouped_pairs(rows_ds, group_cols: list[str], hash_col: str,
         return df
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        recs: list[dict] = []
+        recs: list[tuple[int, int]] = []
         for _, g in df.groupby(group_cols, sort=False):
             if len(g) < 2:
                 continue
-            for a, b in pair_fn(g):
-                recs.append({"a": a, "b": b})
-        return pd.DataFrame(recs, columns=["a", "b"])
+            recs.extend(pair_fn(g))
+        return _pairs_frame(recs)
 
     bucketed = rows_ds.map_batches(add_bucket, batch_format="pandas")
-    pairs_ds = bucketed.groupby("__b").map_groups(bucket_pairs, batch_format="pandas")
-    # to_pandas (vectorized block concat), NOT take_all: row-wise
-    # materialization of pandas blocks costs ~0.5 ms/row.
-    df = pairs_ds.to_pandas()
-    if df.empty or "a" not in df.columns:  # all-empty blocks lose names
-        return set()
-    return set(zip(df["a"].tolist(), df["b"].tolist()))
+    return bucketed.groupby("__b").map_groups(bucket_pairs, batch_format="pandas")
+
+
+def distinct_pairs(pairs_ds, num_buckets: int = 64):
+    """Exact (a, b) dedup — combiner + hash-bucket shuffle."""
+
+    def combine(t: pa.Table) -> pa.Table:
+        return t.select(["a", "b"]).group_by(["a", "b"]).aggregate([])
+
+    pre = pairs_ds.map_batches(combine, batch_format="pyarrow")
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = (
+            pd.util.hash_pandas_object(df["a"], index=False) % num_buckets
+        ).astype("int64")
+        return df
+
+    return (
+        pre.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(lambda df: df.drop_duplicates(["a", "b"])[["a", "b"]],
+                    batch_format="pandas")
+    )
+
+
+def _clusters_from_pairs(pairs_ds, id_col: str):
+    """Verified pair Dataset -> sorted (id_col, cluster) Dataset."""
+    cc = connected_components(pairs_ds)
+    return cc.map_batches(
+        lambda t: pa.table({id_col: t.column("node"), "cluster": t.column("cluster")}),
+        batch_format="pyarrow",
+    ).sort(id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -154,9 +164,9 @@ def grouped_pairs(rows_ds, group_cols: list[str], hash_col: str,
 
 
 class MinHashSignatures:
-    """Actor-pool stage: (id, text) batches -> one row per (doc, band)
+    """Stateful stage: (id, text) batches -> one row per (doc, band)
     with the band signature bytes. Permutation params built once per
-    actor in __init__."""
+    worker."""
 
     def __init__(self, id_col: str, text_col: str, num_perm: int, bands: int,
                  shingle_k: int, seed: int = 7):
@@ -188,6 +198,48 @@ class MinHashSignatures:
         )
 
 
+def _attach_pair_texts(pairs_ds, ds, id_col: str, text_col: str,
+                       num_partitions: int = 8):
+    """pairs (a, b) + docs -> (a, b, text_a, text_b), fully distributed.
+
+    1. semi-join the corpus down to candidate endpoints (one corpus
+       shuffle; output is bounded by the banding pair caps);
+    2. hash-join the small candidate-text table onto each pair side.
+    """
+    endpoints_a = pairs_ds.map_batches(
+        lambda t: pa.table({id_col: t.column("a")}), batch_format="pyarrow")
+    endpoints_b = pairs_ds.map_batches(
+        lambda t: pa.table({id_col: t.column("b")}), batch_format="pyarrow")
+    from .canonicalize import exact_dedup
+
+    endpoints = exact_dedup(endpoints_a.union(endpoints_b), [id_col]).repartition(
+        num_partitions)
+
+    # candidate texts are bounded by the banding pair caps — pin them so
+    # the two attach joins don't re-run the semi-join lineage (and so a
+    # single streaming plan never stacks 3 all-to-all ops + join
+    # aggregators, which can starve a small CPU budget).
+    cand_docs = ds.select_columns([id_col, text_col]).join(
+        endpoints, join_type="left_semi", num_partitions=num_partitions,
+        on=(id_col,),
+    ).repartition(num_partitions).materialize()
+
+    ta = cand_docs.map_batches(
+        lambda t: pa.table({"a": t.column(id_col).cast(pa.int64()),
+                            "text_a": t.column(text_col)}),
+        batch_format="pyarrow")
+    tb = cand_docs.map_batches(
+        lambda t: pa.table({"b": t.column(id_col).cast(pa.int64()),
+                            "text_b": t.column(text_col)}),
+        batch_format="pyarrow")
+    # pin between the two joins: a single streaming plan with two
+    # concurrent hash-shuffle aggregator pools can starve a small CPU
+    # budget; the pinned side is pair-sized (bounded), not corpus-sized.
+    j = pairs_ds.join(ta, join_type="inner", num_partitions=num_partitions,
+                      on=("a",)).materialize()
+    return j.join(tb, join_type="inner", num_partitions=num_partitions, on=("b",))
+
+
 def minhash_lsh_clusters(
     ds,
     id_col: str = "doc_id",
@@ -198,16 +250,16 @@ def minhash_lsh_clusters(
     threshold: float = 0.7,
     verify: str = "jaccard",
     concurrency: int | tuple = (1, 4),
-) -> pd.DataFrame:
-    """Returns DataFrame (doc_id, cluster) for docs in near-dup clusters.
+):
+    """Returns a (id_col, cluster) Dataset for docs in near-dup clusters.
 
-    shingle -> minhash (actor pool) -> (band, sig) groupby (the LSH
-    bucket shuffle) -> per-bucket candidate pairs -> driver verify over
-    ONLY the candidate docs. ``verify="jaccard"`` keeps pairs with true
-    shingle-Jaccard >= threshold (near-dup); ``verify="exact"`` keeps
-    byte-identical texts only (exact dedup routed through the LSH
-    plumbing — recall 1.0 since identical docs collide in every band,
-    and SQL-recomputable for the oracle gate).
+    shingle -> minhash -> (band, sig) groupby (the LSH bucket shuffle)
+    -> candidate-pair Dataset -> distributed text attach -> pair verify
+    -> distributed connected components. ``verify="jaccard"`` keeps
+    pairs with true shingle-Jaccard >= threshold (near-dup);
+    ``verify="exact"`` keeps byte-identical texts only (exact dedup
+    routed through the LSH plumbing — recall 1.0 since identical docs
+    collide in every band, and SQL-recomputable for the oracle gate).
     """
     def sig_rows(batch: pa.Table) -> pa.Table:
         worker = MinHashSignatures(id_col, text_col, num_perm, bands, shingle_k)
@@ -219,53 +271,64 @@ def minhash_lsh_clusters(
         ids = sorted(g["doc_id"].tolist())[:200]
         return [(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))]
 
-    pairs = grouped_pairs(sigs, ["band", "sig"], "sig", all_pairs)
-    if not pairs:
-        return pd.DataFrame(columns=[id_col, "cluster"])
+    # dedup before verification: the same pair collides in many bands.
+    # Pairs are bounded (banding caps) and fan out to three consumers
+    # (two endpoint projections + the attach join) — pin them once.
+    # (repartition also normalizes empty schema-less groupby blocks,
+    # which otherwise break join key resolution downstream)
+    pairs = distinct_pairs(
+        grouped_pairs(sigs, ["band", "sig"], "sig", all_pairs)
+    ).repartition(8).materialize()
+    if pairs.count() == 0:  # no candidates anywhere: skip the joins
+        import ray.data as rd
 
-    # Verify on the candidate docs only (small side).
-    cand_ids = sorted({x for p in pairs for x in p})
-    texts = _collect_texts(ds, id_col, text_col, cand_ids)
+        return rd.from_arrow(pa.table({id_col: pa.array([], pa.int64()),
+                                       "cluster": pa.array([], pa.int64())}))
+    with_texts = _attach_pair_texts(pairs, ds, id_col, text_col)
+
     if verify == "exact":
-        good = [
-            (a, b) for a, b in pairs
-            if a in texts and b in texts and texts[a] == texts[b]
-        ]
+        def check(t: pa.Table) -> pa.Table:
+            keep = pc.equal(t.column("text_a"), t.column("text_b"))
+            return t.filter(keep).select(["a", "b"])
     else:
-        shingle_cache = {i: char_shingles(texts[i], shingle_k) for i in cand_ids if i in texts}
-        good = [
-            (a, b)
-            for a, b in pairs
-            if a in shingle_cache and b in shingle_cache
-            and jaccard(shingle_cache[a], shingle_cache[b]) >= threshold
-        ]
-    comp = _connected_components(good)
-    return pd.DataFrame(
-        sorted((doc, rep) for doc, rep in comp.items()), columns=[id_col, "cluster"]
+        def check(t: pa.Table) -> pa.Table:
+            out_a, out_b = [], []
+            for a, b, x, y in zip(
+                t.column("a").to_pylist(), t.column("b").to_pylist(),
+                t.column("text_a").to_pylist(), t.column("text_b").to_pylist(),
+            ):
+                if jaccard(char_shingles(x, shingle_k),
+                           char_shingles(y, shingle_k)) >= threshold:
+                    out_a.append(a)
+                    out_b.append(b)
+            return pa.table({"a": pa.array(out_a, pa.int64()),
+                             "b": pa.array(out_b, pa.int64())})
+
+    verified = with_texts.map_batches(check, batch_format="pyarrow")
+    return _clusters_from_pairs(verified, id_col)
+
+
+def drop_duplicates_by_clusters(ds, clusters_ds, id_col: str,
+                                num_partitions: int = 8):
+    """Dataset minus cluster non-representatives (keep min-id rep):
+    hash-partitioned anti-join; no driver-side doomed set."""
+    doomed = clusters_ds.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column(id_col), t.column("cluster")))
+        .select([id_col]),
+        batch_format="pyarrow",
     )
-
-
-def _collect_texts(ds, id_col: str, text_col: str, ids: list[int]) -> dict:
-    idset = set(ids)
-
-    def pick(batch: pa.Table) -> pa.Table:
-        mask = pa.array([i in idset for i in batch.column(id_col).to_pylist()])
-        return batch.filter(mask).select([id_col, text_col])
-
-    df = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
-    return dict(zip(df[id_col].tolist(), df[text_col].tolist()))
+    # repartition: coalesce the groupby/sort output blocks (some are
+    # empty with no schema, which breaks the join's key resolution) and
+    # pin so the cluster lineage doesn't re-run inside the join plan.
+    doomed = doomed.repartition(num_partitions).materialize()
+    return ds.join(doomed, join_type="left_anti",
+                   num_partitions=num_partitions, on=(id_col,))
 
 
 def minhash_dedup(ds, id_col="doc_id", text_col="text", **kw):
     """Dataset minus near-duplicates (keep min-id representative)."""
     clusters = minhash_lsh_clusters(ds, id_col, text_col, **kw)
-    doomed = set(clusters[clusters[id_col] != clusters["cluster"]][id_col])
-
-    def keep(batch: pa.Table) -> pa.Table:
-        mask = pa.array([i not in doomed for i in batch.column(id_col).to_pylist()])
-        return batch.filter(mask)
-
-    return ds.map_batches(keep, batch_format="pyarrow")
+    return drop_duplicates_by_clusters(ds, clusters, id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -275,12 +338,14 @@ def minhash_dedup(ds, id_col="doc_id", text_col="text", **kw):
 
 def simhash_clusters(
     ds, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
-) -> pd.DataFrame:
+):
     """Near-dup clusters by 64-bit SimHash with Hamming <= max_hamming.
 
     Blocking: split the 64-bit hash into 4 16-bit bands; two docs within
     Hamming 3 share at least one exact band (pigeonhole). Bucket
-    groupby on (band, value), verify exact Hamming per pair.
+    groupby on (band, value); the full hash rides in the band rows, so
+    the exact-Hamming verify happens inside the bucket group.
+    Returns a (id_col, cluster) Dataset.
     """
 
     def sim_rows(batch: pa.Table) -> pa.Table:
@@ -316,10 +381,7 @@ def simhash_clusters(
         return out
 
     pairs = grouped_pairs(rows, ["band", "val"], "val", hamming_pairs)
-    comp = _connected_components(sorted(pairs))
-    return pd.DataFrame(
-        sorted((doc, rep) for doc, rep in comp.items()), columns=[id_col, "cluster"]
-    )
+    return _clusters_from_pairs(pairs, id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -333,8 +395,10 @@ def ngram_jaccard_clusters(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-) -> pd.DataFrame:
-    """Blocking on the min word-ngram hash; exact Jaccard verify."""
+):
+    """Blocking on the min word-ngram hash; exact Jaccard verify inside
+    the blocking bucket (text rides in the single bucket row per doc).
+    Returns a (id_col, cluster) Dataset."""
 
     def block_rows(batch: pa.Table) -> pa.Table:
         ids, buckets, texts = [], [], []
@@ -368,10 +432,7 @@ def ngram_jaccard_clusters(
         return out
 
     pairs = grouped_pairs(rows, ["bucket"], "bucket", jaccard_pairs)
-    comp = _connected_components(sorted(pairs))
-    return pd.DataFrame(
-        sorted((doc, rep) for doc, rep in comp.items()), columns=[id_col, "cluster"]
-    )
+    return _clusters_from_pairs(pairs, id_col)
 
 
 def hash_tuple(t: tuple) -> int:
@@ -395,26 +456,24 @@ def embedding_dedup_clusters(
     threshold: float = 0.95,
     n_planes: int = 8,
     seed: int = 11,
-) -> pd.DataFrame:
+):
     """Cosine near-dup via random-hyperplane LSH buckets + exact verify.
 
     Two near-identical vectors land in the same sign-pattern bucket with
     high probability; exact cosine runs only within buckets (vectorized
-    numpy matmul per bucket).
+    numpy matmul per bucket). Returns a (id_col, cluster) Dataset.
     """
 
     def bucket_rows(batch: pa.Table) -> pa.Table:
-        import numpy as _np
-
-        vecs = _np.array(batch.column(vec_col).to_pylist(), dtype=_np.float32)
+        vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float32)
         if vecs.size == 0:
             return pa.table({"vid": pa.array([], pa.int64()),
                              "bucket": pa.array([], pa.int64()),
                              "vec": pa.array([], pa.list_(pa.float32()))})
-        rng = _np.random.RandomState(seed)
-        planes = rng.randn(vecs.shape[1], n_planes).astype(_np.float32)
+        rng = np.random.RandomState(seed)
+        planes = rng.randn(vecs.shape[1], n_planes).astype(np.float32)
         signs = (vecs @ planes) > 0
-        buckets = (signs * (1 << _np.arange(n_planes))).sum(axis=1)
+        buckets = (signs * (1 << np.arange(n_planes))).sum(axis=1)
         return pa.table(
             {
                 "vid": batch.column(id_col).cast(pa.int64()),
@@ -441,10 +500,4 @@ def embedding_dedup_clusters(
         return out
 
     pairs = grouped_pairs(rows, ["bucket"], "bucket", cosine_pairs)
-    comp = _connected_components(sorted(pairs))
-    return pd.DataFrame(
-        sorted((doc, rep) for doc, rep in comp.items()), columns=[id_col, "cluster"]
-    )
-
-
-_ = defaultdict  # keep import for future use
+    return _clusters_from_pairs(pairs, id_col)

@@ -5,11 +5,15 @@
   numpy matmul against it and emits per-batch partial top-k rows; the
   global top-k merge runs over the tiny partial set. No full shuffle —
   the only data movement is |queries| x k rows per batch.
-* ``ivf_topk`` — the scale path: deterministic k-means (seeded init,
-  few Lloyd iterations via per-batch partial sums) assigns each vector
-  to a centroid; queries probe only the ``nprobe`` nearest centroid
-  partitions. Recall < 1.0 by construction; exactness is traded for a
-  |probed partitions| / |all partitions| read fraction.
+* ``ivf_build`` / ``ivf_probe`` — the scale path: deterministic
+  k-means (seeded init, few Lloyd iterations via per-batch partial
+  sums) assigns each vector to a centroid, and ``ivf_build`` SHUFFLES
+  the vectors ONCE into centroid-partitioned Parquet
+  (``index_dir/centroid=<c>/``). ``ivf_probe`` then reads ONLY the
+  ``nprobe`` nearest centroid partitions per query set — the read
+  fraction really is |probed| / |n_clusters|, reported in the returned
+  stats. Recall < 1.0 by construction (asserted >= 0.9 vs the exact
+  result in tests). ``ivf_topk`` composes build+probe for one-shot use.
 """
 
 from __future__ import annotations
@@ -150,50 +154,136 @@ def kmeans_fit(ds, vec_col: str = "embedding", n_clusters: int = 16,
     return centroids
 
 
-def ivf_topk(ds, queries: dict[int, list[float]], k: int = 10, n_clusters: int = 16,
-             nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
-             seed: int = 3) -> pd.DataFrame:
-    """Approximate top-k: probe only the nprobe nearest IVF partitions."""
+def ivf_build(ds, index_dir: str, n_clusters: int = 16,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              seed: int = 3) -> np.ndarray:
+    """One-time shuffle of vectors into centroid-partitioned Parquet.
+
+    Writes ``index_dir/centroid=<c>/*.parquet`` (hive layout) plus the
+    centroid matrix (``_centroids.npy``). This is the partition layout
+    the probe path prunes on — the cost is paid once, amortized over
+    every later query set.
+    """
+    import os
+
     centroids = kmeans_fit(ds, vec_col, n_clusters, seed=seed)
+    cref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             vec_col: pa.array([], pa.list_(pa.float32())),
+                             "centroid": pa.array([], pa.int32())})
+        c = _normalize(get_broadcast(cref))
+        v = _normalize(_as_matrix(batch, vec_col))
+        a = np.argmax(v @ c.T, axis=1).astype("int32")
+        return pa.table({id_col: batch.column(id_col).cast(pa.int64()),
+                         vec_col: batch.column(vec_col),
+                         "centroid": pa.array(a, pa.int32())})
+
+    os.makedirs(index_dir, exist_ok=True)
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["centroid"])
+    np.save(os.path.join(index_dir, "_centroids.npy"), centroids)
+    return centroids
+
+
+def ivf_probe(index_dir: str, queries: dict[int, list[float]], k: int = 10,
+              nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
+              ) -> tuple[pd.DataFrame, dict]:
+    """Approximate top-k reading ONLY the probed centroid partitions.
+
+    Returns (result frame, stats) where stats records the actual read
+    fraction (probed partitions / total partitions).
+    """
+    import glob
+    import os
+
+    centroids = np.load(os.path.join(index_dir, "_centroids.npy"))
     cn = _normalize(centroids)
     qids = sorted(queries)
     qmat = _normalize(np.array([queries[i] for i in qids], dtype=np.float32))
+    nprobe = min(nprobe, len(centroids))
     probed = np.argsort(-(qmat @ cn.T), axis=1)[:, :nprobe]
     probe_sets = {qid: set(map(int, probed[i])) for i, qid in enumerate(qids)}
-    allowed = set().union(*probe_sets.values()) if probe_sets else set()
-    cref = ray.put(centroids)
-    qref = ray.put(queries)
+    allowed = sorted(set().union(*probe_sets.values())) if probe_sets else []
+
+    part_dirs = sorted(glob.glob(os.path.join(index_dir, "centroid=*")))
+    n_parts = len(part_dirs)
+    present = {int(p.rsplit("=", 1)[1]): p for p in part_dirs}
+    probe_dirs = [present[c] for c in allowed if c in present]
+    stats = {
+        "n_clusters": len(centroids),
+        "n_partitions_on_disk": n_parts,
+        "probed_partitions": len(probe_dirs),
+        "read_fraction": len(probe_dirs) / n_parts if n_parts else 0.0,
+    }
+    if not probe_dirs:
+        return (pd.DataFrame(columns=["query_id", id_col, "score"]), stats)
+
+    # read ONLY the probed partition dirs' files; Ray re-infers the
+    # hive `centroid=` key from the file paths as a column.
+    import ray.data as rd
+
+    probe_files = sorted(
+        f for c in allowed if c in present
+        for f in glob.glob(os.path.join(present[c], "*.parquet"))
+    )
+    sub = rd.read_parquet(probe_files)
+    qref = ray.put((qids, qmat, probe_sets))
 
     def scan(batch: pa.Table) -> pa.Table:
-        c = _normalize(get_broadcast(cref))
-        q = get_broadcast(qref)
-        qids_l = sorted(q)
-        qm = _normalize(np.array([q[i] for i in qids_l], dtype=np.float32))
-        ids = batch.column(id_col).to_pylist()
-        if not ids:
+        if batch.num_rows == 0:
             return pa.table({"query_id": pa.array([], pa.int64()),
                              id_col: pa.array([], pa.int64()),
                              "score": pa.array([], pa.float64())})
+        qids_l, qm, psets = get_broadcast(qref)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        # hive-inferred partition key may arrive as string or dictionary
+        cents = np.asarray(
+            [int(c) for c in batch.column("centroid").to_pylist()], dtype=np.int64)
         v = _normalize(_as_matrix(batch, vec_col))
-        assign = np.argmax(v @ c.T, axis=1)
-        keep = np.array([int(a) in allowed for a in assign])
+        sims = qm @ v.T  # (nq, nb)
         out_q, out_i, out_s = [], [], []
-        if keep.any():
-            sims = qm @ v[keep].T
-            kept_ids = [i for i, kf in zip(ids, keep) if kf]
-            kept_assign = assign[keep]
-            for qi, qid in enumerate(qids_l):
-                pset = probe_sets[qid]
-                for j, (vid, a) in enumerate(zip(kept_ids, kept_assign)):
-                    if int(a) in pset:
-                        out_q.append(qid)
-                        out_i.append(vid)
-                        out_s.append(float(sims[qi, j]))
+        for qi, qid in enumerate(qids_l):
+            mask = np.isin(cents, list(psets[qid]))
+            if not mask.any():
+                continue
+            row = sims[qi][mask]
+            kk = min(k, row.shape[0])
+            idx = np.argpartition(-row, kk - 1)[:kk]
+            sel_ids = ids[mask][idx]
+            out_q.extend([qid] * kk)
+            out_i.extend(sel_ids.tolist())
+            out_s.extend(row[idx].astype("float64").tolist())
         return pa.table({"query_id": pa.array(out_q, pa.int64()),
                          id_col: pa.array(out_i, pa.int64()),
                          "score": pa.array(out_s, pa.float64())})
 
-    df = ds.map_batches(scan, batch_format="pyarrow").to_pandas()
+    df = sub.map_batches(scan, batch_format="pyarrow").to_pandas()
     df = df.sort_values(["query_id", "score", id_col], ascending=[True, False, True],
                         kind="stable")
-    return df.groupby("query_id", as_index=False, sort=True).head(k).reset_index(drop=True)
+    out = df.groupby("query_id", as_index=False, sort=True).head(k).reset_index(drop=True)
+    return out, stats
+
+
+def ivf_topk(ds, queries: dict[int, list[float]], k: int = 10, n_clusters: int = 16,
+             nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
+             seed: int = 3, index_dir: str | None = None) -> pd.DataFrame:
+    """Build (or reuse) the centroid-partitioned index, then probe it.
+
+    With ``index_dir`` given and already populated, the build is
+    skipped entirely — the steady-state path reads only
+    nprobe/n_clusters of the data. Logs the measured read fraction.
+    """
+    import logging
+    import os
+    import tempfile
+
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="ivf_index_")
+    if not os.path.exists(os.path.join(index_dir, "_centroids.npy")):
+        ivf_build(ds, index_dir, n_clusters, id_col, vec_col, seed)
+    out, stats = ivf_probe(index_dir, queries, k, nprobe, id_col, vec_col)
+    logging.getLogger(__name__).info("ivf_probe stats: %s", stats)
+    return out

@@ -7,21 +7,27 @@ GraphHandlerNEL.java:353-356). We lift the same idiom to partition
 granularity for a distributed run (north_rule: "resumable from
 checkpoint with per-partition lineage + metrics"):
 
-* The input is split into ``n_partitions`` deterministic partitions by
-  ``hash(url) % n`` (reused partitioning key — same axis the linker
-  groups on).
+* The input is split into ``n_partitions`` partitions at FILE
+  granularity: input Parquet files are deterministically assigned
+  round-robin (sorted order) to partitions, and each partition's job
+  reads ONLY its own files — resuming n partitions costs n partial
+  reads, never n full-corpus scans. A url never spans partitions
+  because the pages table carries one row per url.
+* When the input has fewer files than partitions (e.g. one big file),
+  a ONE-TIME split pass (guarded by ``_input/_split_manifest.json``)
+  rewrites it as hash(url)-partitioned Parquet; every later run —
+  including every resume — reads only per-partition files.
 * Each partition writes its Parquet under ``out/part=<i>/`` and then a
-  ``_manifest.json`` (input partition id, row count, output files,
-  content checksum, wall time) — written AFTER the data, atomically
+  ``_manifest.json`` (input files, row count, output files, content
+  checksum, wall time) — written AFTER the data, atomically
   (temp file + rename), so a manifest's existence proves the
   partition's data is complete (SURVEY.md §7.5 note 7: no double-emit).
 * ``resume``: partitions whose manifest exists and verifies are
   SKIPPED; only missing/incomplete partitions recompute.
 
 ``run_partitioned`` drives any ``pipeline_fn: Dataset -> Dataset``.
-Each partition executes as an independent streaming job over a
-``read_parquet`` filtered to its hash bucket — partition failure
-isolates, partial progress persists.
+Each partition executes as an independent streaming job — partition
+failure isolates, partial progress persists.
 """
 
 from __future__ import annotations
@@ -32,24 +38,99 @@ import os
 import time
 from pathlib import Path
 
-import pyarrow.compute as pc
+import pandas as pd
 import pyarrow.parquet as pq
 
 import ray.data as rd
 
 
-def url_bucket_expr(n_partitions: int, part: int):
-    """Pushdown-friendly partition predicate is not expressible for
-    hash(url); we filter post-read instead (narrow column)."""
+# ---------------------------------------------------------------------------
+# Input partitioning (file-granular)
+# ---------------------------------------------------------------------------
 
-    def fltr(batch):
-        urls = batch.column("url").to_pylist()
-        mask = [int(hashlib.md5(u.encode()).hexdigest(), 16) % n_partitions == part for u in urls]
-        import pyarrow as pa
 
-        return batch.filter(pa.array(mask))
+def list_parquet_files(pages_path: str | Path) -> list[Path]:
+    p = Path(pages_path)
+    if p.is_dir():
+        return sorted(q for q in p.rglob("*.parquet") if q.is_file())
+    return [p]
 
-    return fltr
+
+def assign_files(files: list[Path], n_partitions: int) -> list[list[str]]:
+    """Deterministic round-robin assignment over the sorted file list."""
+    parts: list[list[str]] = [[] for _ in range(n_partitions)]
+    for i, f in enumerate(sorted(files)):
+        parts[i % n_partitions].append(str(f))
+    return parts
+
+
+def _input_fingerprint(files: list[Path]) -> str:
+    h = hashlib.md5()
+    for f in sorted(files):
+        h.update(str(f).encode())
+        h.update(str(f.stat().st_size).encode())
+    return h.hexdigest()
+
+
+def _split_single_input(files: list[Path], split_dir: Path, n_partitions: int) -> None:
+    """One-time full pass: rewrite a few-files input as
+    hash(url)-partitioned Parquet under ``split_dir/__part=<i>/``."""
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__part"] = (
+            pd.util.hash_pandas_object(df["url"], index=False) % n_partitions
+        ).astype("int64")
+        return df
+
+    ds = rd.read_parquet([str(f) for f in files]).map_batches(
+        add_part, batch_format="pandas"
+    )
+    split_dir.mkdir(parents=True, exist_ok=True)
+    ds.write_parquet(str(split_dir), partition_cols=["__part"])
+
+
+def prepare_input_partitions(
+    pages_path: str | Path, out_dir: str | Path, n_partitions: int
+) -> list[list[str]]:
+    """File lists per partition; splits the input once if it has fewer
+    files than partitions (idempotent, manifest-guarded)."""
+    files = list_parquet_files(pages_path)
+    if len(files) >= n_partitions:
+        return assign_files(files, n_partitions)
+
+    split_dir = Path(out_dir) / "_input"
+    sm_path = split_dir / "_split_manifest.json"
+    fp = _input_fingerprint(files)
+    ok = False
+    if sm_path.exists():
+        try:
+            sm = json.loads(sm_path.read_text())
+            ok = sm.get("fingerprint") == fp and sm.get("n_partitions") == n_partitions
+        except (json.JSONDecodeError, OSError):
+            ok = False
+    if not ok:
+        import shutil
+
+        if split_dir.exists():
+            shutil.rmtree(split_dir)
+        _split_single_input(files, split_dir, n_partitions)
+        tmp = split_dir / "_split_manifest.json.tmp"
+        tmp.write_text(json.dumps({
+            "fingerprint": fp,
+            "n_partitions": n_partitions,
+            "input": str(pages_path),
+        }, indent=1))
+        os.replace(tmp, sm_path)
+    return [
+        sorted(str(f) for f in (split_dir / f"__part={i}").glob("*.parquet"))
+        for i in range(n_partitions)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Manifests
+# ---------------------------------------------------------------------------
 
 
 def _checksum_dir(part_dir: Path) -> str:
@@ -82,13 +163,14 @@ def run_partitioned(
     n_partitions: int = 8,
     resume: bool = True,
 ) -> dict:
-    """Run ``pipeline_fn(pages_ds) -> Dataset`` per hash partition with
+    """Run ``pipeline_fn(pages_ds) -> Dataset`` per file partition with
     manifest checkpointing. Returns run metrics."""
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
+    parts_files = prepare_input_partitions(pages_path, out, n_partitions)
     metrics = {"partitions": n_partitions, "skipped": 0, "ran": 0, "rows": 0, "sec": 0.0}
     t0 = time.perf_counter()
-    for part in range(n_partitions):
+    for part, files in enumerate(parts_files):
         part_dir = out / f"part={part}"
         if resume and partition_complete(out, part):
             metrics["skipped"] += 1
@@ -98,17 +180,16 @@ def run_partitioned(
             for f in part_dir.glob("*"):
                 f.unlink()
         t1 = time.perf_counter()
-        pages = rd.read_parquet(pages_path).map_batches(
-            url_bucket_expr(n_partitions, part), batch_format="pyarrow"
-        )
-        result = pipeline_fn(pages)
         part_dir.mkdir(parents=True, exist_ok=True)
-        result.write_parquet(str(part_dir))
+        if files:  # this partition's files ONLY — no corpus re-scan
+            result = pipeline_fn(rd.read_parquet(files))
+            result.write_parquet(str(part_dir))
         n_rows = sum(pq.read_metadata(f).num_rows for f in part_dir.glob("*.parquet"))
         manifest = {
             "partition": part,
             "n_partitions": n_partitions,
             "input": str(pages_path),
+            "input_files": [str(f) for f in files],
             "rows": n_rows,
             "files": sorted(f.name for f in part_dir.glob("*.parquet")),
             "checksum": _checksum_dir(part_dir),
@@ -127,17 +208,8 @@ def run_partitioned(
 
 def read_output(out_dir: str | Path):
     """Read all completed partitions as one Dataset."""
-    parts = [
-        str(p / "")
-        for p in sorted(Path(out_dir).glob("part=*"))
-        if (p / "_manifest.json").exists()
-    ]
     files: list[str] = []
     for p in sorted(Path(out_dir).glob("part=*")):
         if (p / "_manifest.json").exists():
             files.extend(str(f) for f in sorted(p.glob("*.parquet")))
-    del parts
     return rd.read_parquet(files)
-
-
-_ = pc  # reserved for future row-group pushdown predicates

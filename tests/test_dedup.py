@@ -1,4 +1,4 @@
-"""Tests for the dedup operator family."""
+"""Tests for the dedup operator family (all-distributed round-2 form)."""
 
 import pandas as pd
 import pyarrow as pa
@@ -6,6 +6,7 @@ import pytest
 
 import ray.data as rd
 
+from reden_ray.stages.cc import connected_components
 from reden_ray.stages.dedup import (
     embedding_dedup_clusters,
     exact_dedup_by_key,
@@ -24,6 +25,11 @@ OTHER = (
 )
 
 
+def _cmap(clusters_ds, id_col="doc_id"):
+    df = clusters_ds.to_pandas()
+    return dict(zip(df[id_col], df["cluster"]))
+
+
 @pytest.fixture(scope="module")
 def doc_ds():
     rows = [
@@ -37,6 +43,30 @@ def doc_ds():
     return rd.from_arrow(pa.Table.from_pylist(rows))
 
 
+class TestConnectedComponents:
+    def test_min_label_components(self):
+        # two components: {1,2,3,7} (chain) and {5,6}; dup + reversed edges
+        edges = rd.from_arrow(pa.Table.from_pylist(
+            [{"a": 2, "b": 1}, {"a": 2, "b": 3}, {"a": 3, "b": 7},
+             {"a": 6, "b": 5}, {"a": 5, "b": 6}, {"a": 1, "b": 2}]))
+        out = connected_components(edges).to_pandas()
+        m = dict(zip(out["node"], out["cluster"]))
+        assert m == {1: 1, 2: 1, 3: 1, 7: 1, 5: 5, 6: 5}
+
+    def test_long_chain_converges(self):
+        # path graph 0-1-2-...-12: worst-case diameter for propagation
+        edges = rd.from_arrow(pa.Table.from_pylist(
+            [{"a": i, "b": i + 1} for i in range(12)]))
+        out = connected_components(edges).to_pandas()
+        assert set(out["cluster"]) == {0}
+        assert sorted(out["node"]) == list(range(13))
+
+    def test_empty_edges(self):
+        empty = rd.from_arrow(pa.table({"a": pa.array([], pa.int64()),
+                                        "b": pa.array([], pa.int64())}))
+        assert connected_components(empty).count() == 0
+
+
 class TestExactDedup:
     def test_min_id_per_key(self, doc_ds):
         out = exact_dedup_by_key(doc_ds, ["text"], "doc_id").to_pandas()
@@ -46,15 +76,13 @@ class TestExactDedup:
 
 class TestMinHash:
     def test_exact_and_near_dups_found(self, doc_ds):
-        cl = minhash_lsh_clusters(doc_ds, threshold=0.7)
-        m = dict(zip(cl["doc_id"], cl["cluster"]))
+        m = _cmap(minhash_lsh_clusters(doc_ds, threshold=0.7))
         assert m[0] == 0 and m[1] == 0 and m[2] == 0  # near-dup joins cluster
         assert m[3] == 3 and m[4] == 3
         assert 5 not in m
 
     def test_exact_verify_mode_excludes_near_dups(self, doc_ds):
-        cl = minhash_lsh_clusters(doc_ds, verify="exact")
-        m = dict(zip(cl["doc_id"], cl["cluster"]))
+        m = _cmap(minhash_lsh_clusters(doc_ds, verify="exact"))
         assert m == {0: 0, 1: 0, 3: 3, 4: 3}
 
     def test_dedup_keeps_representatives(self, doc_ds):
@@ -66,16 +94,14 @@ class TestMinHash:
 
 class TestSimHash:
     def test_clusters(self, doc_ds):
-        cl = simhash_clusters(doc_ds, max_hamming=3)
-        m = dict(zip(cl["doc_id"], cl["cluster"]))
+        m = _cmap(simhash_clusters(doc_ds, max_hamming=3))
         assert m.get(0) == 0 and m.get(1) == 0  # identical -> hamming 0
         assert m.get(4) == 3
 
 
 class TestNgramJaccard:
     def test_clusters(self, doc_ds):
-        cl = ngram_jaccard_clusters(doc_ds, threshold=0.5)
-        m = dict(zip(cl["doc_id"], cl["cluster"]))
+        m = _cmap(ngram_jaccard_clusters(doc_ds, threshold=0.5))
         assert m[1] == 0 and m[2] == 0 and m[4] == 3
 
 
@@ -89,8 +115,7 @@ class TestEmbeddingDedup:
         rows.append({"vec_id": 2, "embedding": [x * 2 for x in base]})  # same direction
         rows.append({"vec_id": 3, "embedding": far})
         ds = rd.from_arrow(pa.Table.from_pylist(rows))
-        cl = embedding_dedup_clusters(ds, threshold=0.999)
-        m = dict(zip(cl["vec_id"], cl["cluster"]))
+        m = _cmap(embedding_dedup_clusters(ds, threshold=0.999), id_col="vec_id")
         assert m[0] == 0 and m[1] == 0 and m[2] == 0
         assert 3 not in m
 
@@ -98,13 +123,13 @@ class TestEmbeddingDedup:
 class TestNoPairsEdge:
     def test_single_doc_corpus(self):
         one = rd.from_arrow(pa.Table.from_pylist([{"doc_id": 1, "text": "only one doc"}]))
-        assert len(minhash_lsh_clusters(one)) == 0
-        assert len(simhash_clusters(one)) == 0
-        assert len(ngram_jaccard_clusters(one)) == 0
+        assert minhash_lsh_clusters(one).count() == 0
+        assert simhash_clusters(one).count() == 0
+        assert ngram_jaccard_clusters(one).count() == 0
 
 
 class TestDeterminism:
     def test_minhash_stable_across_runs(self, doc_ds):
-        a = minhash_lsh_clusters(doc_ds, threshold=0.7)
-        b = minhash_lsh_clusters(doc_ds, threshold=0.7)
+        a = minhash_lsh_clusters(doc_ds, threshold=0.7).to_pandas()
+        b = minhash_lsh_clusters(doc_ds, threshold=0.7).to_pandas()
         pd.testing.assert_frame_equal(a, b)

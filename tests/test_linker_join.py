@@ -21,6 +21,47 @@ def both_links(unit_fixture):
     return broadcast, joined
 
 
+class TestCandidatesViaJoin:
+    def test_join_path_equals_broadcast_candidates(self, unit_fixture):
+        """Scale-path J1 join must emit EXACTLY the broadcast
+        CandidateGen rows — same D1 dedup, same K2 cap, same
+        deterministic ranks (via the carried dict_row order)."""
+        from reden_ray.stages.candidates import (
+            candidates_via_join,
+            dictionary_with_order,
+        )
+
+        p = NELPipeline(unit_fixture)
+        mentions = p.mentions().materialize()
+        broadcast = p.candidates(mentions).to_pandas()
+        dico = dictionary_with_order(f"{unit_fixture}/dictionary.parquet")
+        joined = candidates_via_join(mentions, dico, num_partitions=2,
+                                     num_buckets=4).to_pandas()
+        key = ["url", "mention_id", "cand_rank"]
+        b = broadcast.sort_values(key).reset_index(drop=True)
+        j = joined.sort_values(key).reset_index(drop=True)
+        assert len(b) == len(j)
+        for col in ["url", "mention_id", "cand_rank", "entity_id", "uris_str",
+                    "surface", "surface_norm"]:
+            assert (b[col].values == j[col].values).all(), col
+
+    def test_join_path_deterministic(self, unit_fixture):
+        from reden_ray.stages.candidates import (
+            candidates_via_join,
+            dictionary_with_order,
+        )
+
+        p = NELPipeline(unit_fixture)
+        mentions = p.mentions().materialize()
+        dico = dictionary_with_order(f"{unit_fixture}/dictionary.parquet")
+        key = ["url", "mention_id", "cand_rank"]
+        a = candidates_via_join(mentions, dico, num_partitions=2).to_pandas()
+        b = candidates_via_join(mentions, dico, num_partitions=2).to_pandas()
+        a = a.sort_values(key).reset_index(drop=True)
+        b = b.sort_values(key).reset_index(drop=True)
+        assert a.equals(b)
+
+
 class TestJoinPathEquivalence:
     def test_same_links_as_broadcast(self, both_links):
         broadcast, joined = both_links

@@ -86,6 +86,58 @@ class TestRunPartitioned:
         m = triple_prf(triples, pq.read_table(f"{unit_fixture}/gold_triples.parquet"))
         assert m["precision"] == 1.0 and m["recall"] == 1.0, m
 
+    def test_multi_file_input_is_file_partitioned(self, tmp_path):
+        """>= n_partitions input files: each partition reads ONLY its
+        assigned files (disjoint cover, ~1/n of the bytes) — no split
+        pass, no full-corpus re-scan per partition."""
+        from reden_ray.state.manifest import prepare_input_partitions
+
+        in_dir = tmp_path / "pages"
+        in_dir.mkdir()
+        for f in range(8):
+            t = pa.table({
+                "url": pa.array([f"https://x/{f}/{i}" for i in range(10)], pa.string()),
+                "val": pa.array([f * 10 + i for i in range(10)], pa.int64()),
+            })
+            pq.write_table(t, in_dir / f"shard-{f}.parquet")
+        out = tmp_path / "out"
+        parts = prepare_input_partitions(in_dir, out, 4)
+        # disjoint cover of all files, 2 per partition
+        flat = [f for p in parts for f in p]
+        assert len(flat) == 8 and len(set(flat)) == 8
+        assert all(len(p) == 2 for p in parts)
+        assert not (out / "_input").exists()  # no split pass happened
+        sizes = [sum(__import__("os").path.getsize(f) for f in p) for p in parts]
+        assert max(sizes) <= 2 * min(sizes)
+        m = run_partitioned(str(in_dir), out, _double, n_partitions=4)
+        assert m["ran"] == 4 and m["rows"] == 80
+        got = read_output(out).to_pandas()
+        assert sorted(got["val2"]) == [2 * i for i in range(80)]
+
+    def test_single_file_split_once_then_partial_reads(self, tmp_path):
+        """Single-file input: ONE split pass creates per-partition
+        files; resume re-reads only the resumed partition's files."""
+        import json as _json
+
+        pages = _make_pages(tmp_path)
+        out = tmp_path / "out"
+        run_partitioned(pages, out, _double, n_partitions=4)
+        split = out / "_input"
+        assert (split / "_split_manifest.json").exists()
+        split_mtime = (split / "_split_manifest.json").stat().st_mtime_ns
+        # every partition's manifest records ONLY its own input files
+        all_inputs = []
+        for part in range(4):
+            man = _json.loads(manifest_path(out, part).read_text())
+            assert all("_input" in f for f in man["input_files"])
+            all_inputs.extend(man["input_files"])
+        assert len(all_inputs) == len(set(all_inputs))  # disjoint
+        # resume: split NOT redone, only the broken partition recomputes
+        manifest_path(out, 1).unlink()
+        m = run_partitioned(pages, out, _double, n_partitions=4)
+        assert m["ran"] == 1 and m["skipped"] == 3
+        assert (split / "_split_manifest.json").stat().st_mtime_ns == split_mtime
+
     def test_corrupt_manifest_detected(self, tmp_path):
         pages = _make_pages(tmp_path)
         out = tmp_path / "out"

@@ -84,3 +84,36 @@ class TestIVF:
         got = set(approx["vec_id"])
         assert 0 in got  # self always in a probed partition
         assert len(got & exact) >= 5  # recall@10 >= 0.5 with half the cells probed
+
+    def test_index_prunes_reads_and_recall(self, tmp_path):
+        from reden_ray.stages.similarity import ivf_build, ivf_probe
+
+        ds, vecs = _make_ds(n=400)
+        idx = str(tmp_path / "ivf")
+        ivf_build(ds, idx, n_clusters=8)
+        # index layout: one hive partition dir per non-empty centroid
+        parts = sorted(p.name for p in (tmp_path / "ivf").glob("centroid=*"))
+        assert 1 < len(parts) <= 8
+        q = {0: vecs[0].tolist(), 5: vecs[5].tolist()}
+        out, stats = ivf_probe(idx, q, k=10, nprobe=6)
+        # the read fraction is REAL pruning: <= probed/total partitions
+        assert stats["probed_partitions"] < stats["n_partitions_on_disk"] or (
+            stats["read_fraction"] == 1.0 and len(parts) <= 6
+        )
+        assert stats["read_fraction"] <= 1.0
+        exact = brute_force_topk(ds, q, k=10)
+        for qid in (0, 5):
+            e = set(exact[exact["query_id"] == qid]["vec_id"])
+            g = set(out[out["query_id"] == qid]["vec_id"])
+            assert len(g & e) >= 9  # recall@10 >= 0.9 at nprobe=6/8
+
+    def test_probe_reuses_index_without_rebuild(self, tmp_path):
+        from reden_ray.stages.similarity import ivf_build, ivf_probe
+
+        ds, vecs = _make_ds(n=100)
+        idx = str(tmp_path / "ivf2")
+        ivf_build(ds, idx, n_clusters=4)
+        out1, s1 = ivf_probe(idx, {0: vecs[0].tolist()}, k=5, nprobe=2)
+        out2, s2 = ivf_probe(idx, {0: vecs[0].tolist()}, k=5, nprobe=2)
+        assert list(out1["vec_id"]) == list(out2["vec_id"])
+        assert s1 == s2
