@@ -65,6 +65,16 @@ def _q_mention_counts(sf_dir: str):
 
     pages = ds.map_batches(as_pages, batch_format="pyarrow")
     mentions = detect_mentions(pages, gaz_ref)
+
+    def lower_surface(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # the trie matches case-insensitively; count by the folded form
+        # so Ray and oracle group identically on mixed-case text
+        return t.set_column(t.column_names.index("surface"), "surface",
+                            pc.utf8_lower(t.column("surface")))
+
+    mentions = mentions.map_batches(lower_surface, batch_format="pyarrow")
     return mentions.groupby("surface").aggregate(Count(alias_name="n_mentions"))
 
 
@@ -141,6 +151,37 @@ def _q_ngram_jaccard_dedup(sf_dir: str):
     return ngram_jaccard_clusters(duplicated_documents(sf_dir), threshold=0.9)
 
 
+def _q_minhash_planted(sf_dir: str):
+    """Near-dup MinHash+LSH with a full DuckDB oracle: the planted
+    corpus's cluster gold is the equal-original-text groups."""
+    from reden_ray.pipelines.webdemo import planted_near_dup_documents
+    from reden_ray.stages.dedup import minhash_lsh_clusters
+
+    ds = planted_near_dup_documents(sf_dir, near=True)
+    return minhash_lsh_clusters(ds, threshold=0.8)
+
+
+def _q_simhash_planted(sf_dir: str):
+    """SimHash hamming-0 clusters over the planted exact-dup corpus —
+    hash-verified (the md5-token base texts have no simhash collisions
+    across distinct texts, unlike raw near-dup-bearing web text)."""
+    from reden_ray.pipelines.webdemo import planted_near_dup_documents
+    from reden_ray.stages.dedup import simhash_clusters
+
+    ds = planted_near_dup_documents(sf_dir, near=False)
+    return simhash_clusters(ds, max_hamming=0)
+
+
+def _q_ngram_planted(sf_dir: str):
+    """n-gram Jaccard near-dup with a full DuckDB oracle (multi-min
+    blocking guarantees the planted pair shares a bucket)."""
+    from reden_ray.pipelines.webdemo import planted_near_dup_documents
+    from reden_ray.stages.dedup import ngram_jaccard_clusters
+
+    ds = planted_near_dup_documents(sf_dir, near=True)
+    return ngram_jaccard_clusters(ds, threshold=0.6)
+
+
 def _q_embedding_dedup(sf_dir: str):
     from reden_ray.pipelines.webdemo import duplicated_embeddings
     from reden_ray.stages.dedup import embedding_dedup_clusters
@@ -198,6 +239,41 @@ def _q_doc_ann(sf_dir: str):
     }
     out = brute_force_topk(emb, queries, k=10)
     return out[["query_id", "vec_id"]]
+
+
+def _q_eval_records(sf_dir: str):
+    """Per-mention EvalInfo verdict table (reference
+    src/fr/lip6/reden/nelinker/EvalInfo.java:11-57, writer
+    ResultsAndEvaluationNEL.java:269-307) over the deterministic
+    analytic-gold fixture. Rows-only: gold lives in the fixture, not in
+    the DuckDB views; the A7 metric identity is gated in pytest."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from reden_ray.fixtures import generate_fixture
+    from reden_ray.pipelines.nel import NELPipeline
+    from reden_ray.stages.evaluate import eval_records
+
+    fx = "/tmp/reden_eval_fixture_v1"
+    if not os.path.exists(f"{fx}/_complete"):
+        tmp = tempfile.mkdtemp(prefix="reden_eval_fx_", dir="/tmp")
+        generate_fixture(tmp, n_pages=200, n_entities=64, seed=7)
+        open(f"{tmp}/_complete", "w").write("ok")
+        try:
+            os.rename(tmp, fx)
+        except OSError:
+            import shutil
+
+            if not os.path.exists(f"{fx}/_complete"):
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)
+    p = NELPipeline(fx)
+    cands = p.candidates().materialize()
+    links = p.links(cands)
+    gold = pq.read_table(f"{fx}/gold_links.parquet").to_pandas()
+    return eval_records(links, gold, cands)
 
 
 def _q_dictionary_build(sf_dir: str):
@@ -278,6 +354,9 @@ def _q_sliding_window(sf_dir: str):
 
 
 def _q_text_quality(sf_dir: str):
+    """Per-doc quality features + heuristic language ID. Every column
+    (incl. the stopword-argmax lang) is SQL-recomputable: the ratios
+    are IEEE divisions of identical integer operands on both sides."""
     import ray.data as rd
 
     from reden_ray.stages.reports import text_stats
@@ -286,6 +365,45 @@ def _q_text_quality(sf_dir: str):
     return text_stats(ds).select_columns(
         ["doc_id", "n_words", "alpha_ratio", "stop_ratio", "lang_detected"]
     )
+
+
+def _text_quality_sql() -> str:
+    from reden_ray.functions.text import _LANG_STOPWORDS
+
+    def inlist(lang):
+        return ", ".join(f"'{w}'" for w in sorted(_LANG_STOPWORDS[lang]))
+
+    hits = {
+        lang: (f"len(list_filter(list_transform(words, w -> lower(w)), "
+               f"w -> w IN ({inlist(lang)})))")
+        for lang in sorted(_LANG_STOPWORDS)
+    }
+    return rf"""
+WITH x AS (
+  SELECT doc_id, text, regexp_extract_all(text, '[^\W\d_]+') AS words
+  FROM documents
+), y AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         list_sum(list_transform(words, w -> length(w))) AS alpha,
+         length(text) AS n_chars,
+         {hits['en']} AS h_en,
+         {hits['de']} AS h_de,
+         {hits['es']} AS h_es,
+         {hits['fr']} AS h_fr
+  FROM x
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(COALESCE(alpha, 0) AS DOUBLE) / greatest(1, n_chars) AS alpha_ratio,
+       CAST(h_en AS DOUBLE) / greatest(1, n_words) AS stop_ratio,
+       CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+            WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+            WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+            WHEN h_es >= h_fr THEN 'es'
+            ELSE 'fr' END AS lang_detected
+FROM y
+"""
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -315,8 +433,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # route and embedding dedup are SQL-checked.
         "q17_minhash_dedup": _q_minhash_dedup,
         "q17b_minhash_exact_clusters": _q_minhash_exact_clusters,
+        "q17c_minhash_planted_near_dups": _q_minhash_planted,
         "q18_simhash_dedup": _q_simhash_dedup,
+        "q18b_simhash_planted_exact": _q_simhash_planted,
         "q19_ngram_jaccard_dedup": _q_ngram_jaccard_dedup,
+        "q19b_ngram_planted_near_dups": _q_ngram_planted,
         "q20_embedding_dedup": _q_embedding_dedup,
         # similarity search / multimodal / text analysis (rows-only where
         # approximate or not SQL-expressible)
@@ -325,6 +446,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q23_text_quality": _q_text_quality,
         # Mode 2 / Mode 3 surfaces
         "q24_dictionary_build": _q_dictionary_build,
+        # per-mention EvalInfo verdicts (S14 eval surface)
+        "q31_eval_records": _q_eval_records,
         "q25_annotate_pages": _q_annotate_pages,
         "q26_enrichment": _q_enrichment,
         # windowed aggregates over the event log
@@ -391,8 +514,10 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT '{URL_PREFIX}' || CAST(doc_id AS VARCHAR) AS url, text FROM documents"
         ),
         "q12_mention_counts": (
+            # lower(text) on the SQL side: the gazetteer trie matches
+            # case-insensitively (ner.build_trie lowercases tokens)
             "SELECT a.surface, "
-            "SUM(len(regexp_extract_all(d.text, '\\b' || a.surface || '\\b')))::BIGINT"
+            "SUM(len(regexp_extract_all(lower(d.text), '\\b' || a.surface || '\\b')))::BIGINT"
             " AS n_mentions "
             f"FROM documents d CROSS JOIN (VALUES {values}) a(surface) "
             "GROUP BY a.surface HAVING n_mentions > 0"
@@ -402,6 +527,15 @@ def oracle_sql() -> dict[str, str]:
         "q15_running_user_value": R.Q15_SQL,
         "q16_user_sessions": R.Q16_SQL,
         "q17b_minhash_exact_clusters": _DUP_DOC_CLUSTERS_SQL,
+        "q17c_minhash_planted_near_dups": __import__(
+            "reden_ray.pipelines.webdemo", fromlist=["PLANTED_CLUSTERS_SQL"]
+        ).PLANTED_CLUSTERS_SQL,
+        "q18b_simhash_planted_exact": __import__(
+            "reden_ray.pipelines.webdemo", fromlist=["PLANTED_CLUSTERS_SQL"]
+        ).PLANTED_CLUSTERS_SQL,
+        "q19b_ngram_planted_near_dups": __import__(
+            "reden_ray.pipelines.webdemo", fromlist=["PLANTED_CLUSTERS_SQL"]
+        ).PLANTED_CLUSTERS_SQL,
         "q20_embedding_dedup": _DUP_EMB_CLUSTERS_SQL,
         "q30_quality_filter": R.Q30_SQL,
         "q27_tumbling_window": __import__(
@@ -410,6 +544,7 @@ def oracle_sql() -> dict[str, str]:
         "q28_sliding_window": __import__(
             "reden_ray.stages.windows", fromlist=["SLIDING_SQL"]
         ).SLIDING_SQL.format(m=60),
+        "q23_text_quality": _text_quality_sql(),
         "q24_dictionary_build": (
             "SELECT c_name AS surface, "
             "lower(regexp_replace(c_name, '[\\s''’-]+', '', 'g')) AS surface_norm, "

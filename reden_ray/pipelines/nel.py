@@ -121,8 +121,10 @@ class NELPipeline:
         # point.
         ds = ds.materialize()
         labels = canonical_labels(ds)
-        # links come straight from the url-bucketed linker, so the
-        # structured fast path (no global D5 shuffle) is exact here —
+        # structured fast path: skips the D5 all-to-all on the full
+        # triple stream; its one cross-batch hazard (mention pairs) is
+        # closed by a narrow (url, uri) bucket dedup inside
+        # emit_triples, so it is exact under any block splitting —
         # asserted against the strict path in tests.
         return emit_triples(ds, labels, self.kb_ref, self.sameas_ref,
                             global_dedup=False)

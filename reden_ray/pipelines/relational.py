@@ -377,16 +377,19 @@ GROUP BY r_name
 """
 
 
-# Q15 — per-key running aggregate (window analog via map_groups)
+# Q15 — per-key running aggregate: ONE hash-bucket shuffle, vectorized
+# groupby.cumsum inside each bucket (no per-key map_groups dispatch)
 def q15_running_user_value(sf_dir: str) -> pd.DataFrame:
+    from ..stages.windows import grouped_by_key_buckets
+
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
-    def running(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        g["running_value"] = g["value"].cumsum().round(6)
-        return g[["event_id", "user_id", "running_value"]]
+    def running_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        df["running_value"] = df.groupby("user_id", sort=False)["value"].cumsum().round(6)
+        return df[["event_id", "user_id", "running_value"]]
 
-    return ds.groupby("user_id").map_groups(running, batch_format="pandas").to_pandas()
+    return grouped_by_key_buckets(ds, "user_id", running_bucket).to_pandas()
 
 
 Q15_SQL = """
@@ -434,20 +437,24 @@ WHERE n_chars BETWEEN 100 AND 400
 """
 
 
-# Q16 — sessionization (30-min gap) via map_groups
+# Q16 — sessionization (30-min gap): ONE hash-bucket shuffle,
+# vectorized gap detection across all keys in the bucket at once
 def q16_user_sessions(sf_dir: str) -> pd.DataFrame:
+    from ..stages.windows import grouped_by_key_buckets
+
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        gaps = g["ts"].diff()
-        new_session = gaps.isna() | (gaps > pd.Timedelta(minutes=30))
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(new_session.sum())],
-             "n_events": [len(g)]}
-        )
+    def sessions_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        new_user = df["user_id"] != df["user_id"].shift()
+        gap = df["ts"].diff() > pd.Timedelta(minutes=30)
+        df = df.assign(__new_s=(new_user | gap).astype("int64"))
+        out = df.groupby("user_id", as_index=False).agg(
+            n_sessions=("__new_s", "sum"), n_events=("user_id", "size"))
+        out["n_sessions"] = out["n_sessions"].astype("int64")
+        return out
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    return grouped_by_key_buckets(ds, "user_id", sessions_bucket).to_pandas()
 
 
 Q16_SQL = """

@@ -172,6 +172,50 @@ def duplicated_documents(sf_dir: str, shift: int = 100_000):
     return ds.union(ds.map_batches(shifted, batch_format="pyarrow"))
 
 
+def planted_near_dup_documents(sf_dir: str, shift: int = 100_000, near: bool = True):
+    """Deterministic PLANTED near-dup corpus derived from documents.
+
+    Every doc's base text is B(doc) = the 24 four-hex-char tokens of
+    blake2b-48(text) — injective in ``text``, token-random across
+    distinct texts (pairwise shingle/ngram Jaccard 0, no accidental
+    simhash collisions). The corpus is B(doc) plus an id-shifted copy:
+
+    * ``near=True``  -> copy = B + " zq" (char-5-shingle J ≈ 0.97,
+      word-3-gram J ≈ 0.96): a known NEAR-duplicate of its base.
+    * ``near=False`` -> copy = B byte-identical: a known EXACT dup.
+
+    Either way the gold clusters are exactly the groups of equal
+    ORIGINAL text — SQL-recomputable (PLANTED_CLUSTERS_SQL) without
+    re-deriving B, which makes threshold-based near-dup operators
+    hash-verifiable against a DuckDB oracle.
+    """
+    import hashlib
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def planted(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        bases = []
+        for txt in t["text"].to_pylist():
+            h = hashlib.blake2b(txt.encode("utf-8"), digest_size=48).hexdigest()
+            bases.append(" ".join(h[i : i + 4] for i in range(0, 96, 4)))
+        copies = [b + " zq" for b in bases] if near else bases
+        return pa.table({
+            "doc_id": pa.array([*ids, *(i + shift for i in ids)], pa.int64()),
+            "text": pa.array([*bases, *copies], pa.string()),
+        })
+
+    return ds.map_batches(planted, batch_format="pyarrow")
+
+
+PLANTED_CLUSTERS_SQL = """
+WITH o AS (SELECT doc_id, text FROM documents),
+u AS (SELECT doc_id, text FROM o UNION ALL SELECT doc_id + 100000, text FROM o),
+g AS (SELECT text, MIN(doc_id) AS cluster FROM u GROUP BY text)
+SELECT u.doc_id, g.cluster FROM u JOIN g USING (text)
+"""
+
+
 def duplicated_embeddings(sf_dir: str, shift: int = 100_000):
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 

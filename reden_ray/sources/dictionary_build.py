@@ -77,9 +77,43 @@ def explode_entity_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def build_dictionary(entities_ds):
-    """entities Dataset -> dictionary Dataset (alias-exploded)."""
-    return entities_ds.map_batches(explode_entity_batch, batch_format="pyarrow")
+def build_dictionary(entities_ds, greater_than: int | None = None,
+                     lesser_than: int | None = None):
+    """entities Dataset -> dictionary Dataset (alias-exploded).
+
+    ``greater_than`` / ``lesser_than`` are the TemporalExtent date
+    bounds of the reference's Mode-2 crawl
+    (ldextractor/TemporalExtent.java:9-34, rendered as STRICT birthdate
+    FILTERs in per/QueryAuthorBNF.java:69-85; CLI params
+    AppAdhoc.java:301-324): keep an entity iff its cleaned birth year
+    satisfies ``birth > greater_than`` and ``birth < lesser_than``.
+    Like the SPARQL FILTER on an unbound variable, entities whose birth
+    year cannot be parsed are dropped when any bound is set.
+    """
+    ds = entities_ds
+    if greater_than is not None or lesser_than is not None:
+
+        def in_bounds(batch: pa.Table) -> pa.Table:
+            births = (batch.column("birth").to_pylist()
+                      if "birth" in batch.column_names else [None] * batch.num_rows)
+            keep = []
+            for b in births:
+                y = clean_year(b)
+                try:
+                    yi = int(y)
+                except (TypeError, ValueError):
+                    keep.append(False)  # unparseable under a FILTER -> dropped
+                    continue
+                ok = True
+                if greater_than is not None:
+                    ok = ok and yi > greater_than
+                if lesser_than is not None:
+                    ok = ok and yi < lesser_than
+                keep.append(ok)
+            return batch.filter(pa.array(keep))
+
+        ds = ds.map_batches(in_bounds, batch_format="pyarrow")
+    return ds.map_batches(explode_entity_batch, batch_format="pyarrow")
 
 
 def merge_entity_rows(raw_ds):

@@ -4,8 +4,12 @@
   mutation + re-serialization (`ref_auto` attributes,
   src/fr/lip6/reden/nelinker/ResultsAndEvaluationNEL.java:79-111): a
   url-bucket join of pages x links producing one row per page with an
-  ``annotations`` JSON column ``[{mention_id, surface, begin, end,
-  uri}]`` sorted by mention_id.
+  ``annotations`` JSON column ``[{mention_id, surface, uri[, score]}]``
+  sorted by mention_id. ``add_scores=True`` mirrors the reference's
+  ``addScores`` config (config/config-authors-bnf.properties; score
+  written at ResultsAndEvaluationNEL.java:98-104): the winning
+  centrality score is written into each annotation (null for
+  NoAmbiguity fast-path links, which carry no score).
 * ``produce_visu_data`` — Mode 3 (MainNELApp.java:126-150): linked-URI
   occurrence counts enriched with configured properties, rendered as a
   GeoJSON-style FeatureCollection
@@ -23,12 +27,19 @@ from .linker import DEFAULT_URL_BUCKETS, add_url_bucket
 from .reports import enrich_links, uri_occurrences
 
 
-def annotate_pages(texts_ds, links_ds, num_buckets: int = DEFAULT_URL_BUCKETS):
+def annotate_pages(texts_ds, links_ds, num_buckets: int = DEFAULT_URL_BUCKETS,
+                   add_scores: bool = False):
     """(url, text) x links -> (url, text, annotations JSON).
 
     Both sides shuffle once on the url hash bucket; pages without links
-    get an empty annotation list (left-join semantics).
+    get an empty annotation list (left-join semantics). With
+    ``add_scores=True`` each annotation carries the link's score
+    (reference ``addScores``).
     """
+    import math
+
+    link_cols = ["url", "mention_id", "surface", "uri"] + (
+        ["score"] if add_scores else [])
 
     def tag_pages(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -36,7 +47,7 @@ def annotate_pages(texts_ds, links_ds, num_buckets: int = DEFAULT_URL_BUCKETS):
         return add_url_bucket(df, num_buckets)
 
     def tag_links(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[["url", "mention_id", "surface", "uri"]].copy()
+        df = df[link_cols].copy()
         df["__kind"] = "link"
         return add_url_bucket(df, num_buckets)
 
@@ -51,9 +62,11 @@ def annotate_pages(texts_ds, links_ds, num_buckets: int = DEFAULT_URL_BUCKETS):
         ann: dict[str, list[dict]] = {}
         if len(links):
             for t in links.sort_values(["url", "mention_id"]).itertuples(index=False):
-                ann.setdefault(t.url, []).append(
-                    {"mention_id": int(t.mention_id), "surface": t.surface, "uri": t.uri}
-                )
+                a = {"mention_id": int(t.mention_id), "surface": t.surface, "uri": t.uri}
+                if add_scores:
+                    s = float(t.score)
+                    a["score"] = None if math.isnan(s) else s
+                ann.setdefault(t.url, []).append(a)
         out = pages[["url", "text"]].copy()
         out["annotations"] = out["url"].map(lambda u: json.dumps(ann.get(u, [])))
         return out

@@ -48,9 +48,12 @@ def _bucket_of(series: pd.Series, num_buckets: int) -> pd.Series:
 def _partial_label_counts(batch: pa.Table) -> pa.Table:
     """Combiner: (uri, surface) -> partial count within this batch."""
     t = batch.select(["uri", "surface"])
-    return t.group_by(["uri", "surface"]).aggregate([("surface", "count")]).rename_columns(
-        ["uri", "surface", "cnt"]
-    )
+    out = t.group_by(["uri", "surface"]).aggregate([("surface", "count")])
+    # rename the aggregate BY NAME — pyarrow's column order after
+    # group_by().aggregate() is not contractual across versions
+    return out.rename_columns(
+        ["cnt" if c == "surface_count" else c for c in out.column_names]
+    ).select(["uri", "surface", "cnt"])
 
 
 def _label_argmax_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -137,17 +140,19 @@ def canonical_labels(links_ds, num_buckets: int = DEFAULT_KEY_BUCKETS):
 # ---------------------------------------------------------------------------
 
 
-def _mention_triples(batch: pa.Table) -> pa.Table:
-    # distinct (url, uri) within the batch; link blocks are url-bucket
-    # aligned, so this is globally exact when links come straight from
-    # the linker (see emit_triples global_dedup note).
-    t = batch.select(["url", "uri"]).group_by(["url", "uri"]).aggregate([])
-    n = t.num_rows
+def _mention_pairs(batch: pa.Table) -> pa.Table:
+    # per-batch distinct (url, uri) combiner; the global dedup happens
+    # in a narrow (url, uri) bucket shuffle (see emit_triples)
+    return batch.select(["url", "uri"]).group_by(["url", "uri"]).aggregate([])
+
+
+def _pairs_to_mention_triples(batch: pa.Table) -> pa.Table:
+    n = batch.num_rows
     return pa.table(
         {
-            "subj": t.column("url"),
+            "subj": batch.column("url"),
             "pred": pa.array([MENTIONS_PRED] * n, pa.string()),
-            "obj": t.column("uri"),
+            "obj": batch.column("uri"),
         },
         schema=TRIPLE_SCHEMA,
     )
@@ -258,17 +263,26 @@ def emit_triples(links_ds, labels_ds, kb_ref, sameas_ref,
     """links + labels -> deduplicated (subj, pred, obj) triples Dataset.
 
     ``global_dedup=False`` is the structured fast path: it skips the D5
-    all-to-all on the full triple stream because each branch is already
-    locally distinct AND the branches are disjoint —
-      * mention triples: distinct (url, uri) per batch, and link blocks
-        are url-bucket aligned so a url never spans batches;
+    all-to-all on the FULL triple stream because each branch is
+    globally distinct AND the branches are disjoint —
+      * mention triples: per-batch distinct (url, uri) combiner, then a
+        narrow (url, uri) bucket dedup — exact under ANY link
+        partitioning, including Ray's dynamic block splitting of a
+        bucket's output mid-url (the pre-round-2 version relied on
+        url-aligned blocks, which that splitting can break at scale);
       * entity triples: emitted once per globally-distinct uri with
         per-uri (pred, obj) dedup;
       * label triples: one per uri; predicates disjoint across branches.
     Use the default (True) whenever links arrive with arbitrary
     partitioning (e.g. re-read from Parquet with unknown layout).
     """
-    mention_t = links_ds.map_batches(_mention_triples, batch_format="pyarrow")
+    mention_pairs = links_ds.map_batches(_mention_pairs, batch_format="pyarrow")
+    if not global_dedup:
+        # the only cross-batch duplication hazard in the fast path:
+        # dedup the narrow pair stream (|links|-bounded, pre-combined)
+        mention_pairs = exact_dedup(mention_pairs, ["url", "uri"])
+    mention_t = mention_pairs.map_batches(_pairs_to_mention_triples,
+                                          batch_format="pyarrow")
     label_t = labels_ds.map_batches(_label_triples, batch_format="pyarrow")
     entities = distinct_linked_entities(links_ds)
     entity_t = entities.map_batches(

@@ -169,33 +169,41 @@ class MinHashSignatures:
     worker."""
 
     def __init__(self, id_col: str, text_col: str, num_perm: int, bands: int,
-                 shingle_k: int, seed: int = 7):
+                 shingle_k: int, seed: int = 7, with_content_hash: bool = False):
         assert num_perm % bands == 0
         self.id_col, self.text_col = id_col, text_col
         self.num_perm, self.bands = num_perm, bands
         self.rows_per_band = num_perm // bands
         self.shingle_k = shingle_k
+        self.with_content_hash = with_content_hash
         self.a, self.b = minhash_params(num_perm, seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, bands, sigs = [], [], []
+        import hashlib
+
+        ids, bands, sigs, chashes = [], [], [], []
         for doc_id, text in zip(
             batch.column(self.id_col).to_pylist(),
             batch.column(self.text_col).to_pylist(),
         ):
             sig = minhash_signature(char_shingles(text, self.shingle_k), self.a, self.b)
+            ch = (hashlib.blake2b(text.encode("utf-8"), digest_size=16).digest()
+                  if self.with_content_hash else b"")
             for band in range(self.bands):
                 chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
                 ids.append(doc_id)
                 bands.append(band)
                 sigs.append(chunk.tobytes())
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, pa.int64()),
-                "band": pa.array(bands, pa.int32()),
-                "sig": pa.array(sigs, pa.binary()),
-            }
-        )
+                if self.with_content_hash:
+                    chashes.append(ch)
+        cols = {
+            "doc_id": pa.array(ids, pa.int64()),
+            "band": pa.array(bands, pa.int32()),
+            "sig": pa.array(sigs, pa.binary()),
+        }
+        if self.with_content_hash:
+            cols["chash"] = pa.array(chashes, pa.binary())
+        return pa.table(cols)
 
 
 def _attach_pair_texts(pairs_ds, ds, id_col: str, text_col: str,
@@ -254,18 +262,42 @@ def minhash_lsh_clusters(
     """Returns a (id_col, cluster) Dataset for docs in near-dup clusters.
 
     shingle -> minhash -> (band, sig) groupby (the LSH bucket shuffle)
-    -> candidate-pair Dataset -> distributed text attach -> pair verify
-    -> distributed connected components. ``verify="jaccard"`` keeps
-    pairs with true shingle-Jaccard >= threshold (near-dup);
-    ``verify="exact"`` keeps byte-identical texts only (exact dedup
+    -> verified candidate-pair Dataset -> distributed connected
+    components.
+
+    ``verify="exact"`` keeps content-identical texts only (exact dedup
     routed through the LSH plumbing — recall 1.0 since identical docs
     collide in every band, and SQL-recomputable for the oracle gate).
+    A 128-bit content hash rides in the band rows, so verification
+    happens INSIDE the bucket group — no second pass over the corpus.
+
+    ``verify="jaccard"`` keeps pairs with true shingle-Jaccard >=
+    threshold (near-dup). Texts are too big to ride per-band rows, so
+    the pair endpoints' texts are co-located distributedly: semi-join
+    the corpus down to candidate docs, then two hash joins attach
+    text_a/text_b; verification is a vectorized pass over the pairs.
     """
+    exact = verify == "exact"
+
     def sig_rows(batch: pa.Table) -> pa.Table:
-        worker = MinHashSignatures(id_col, text_col, num_perm, bands, shingle_k)
+        worker = MinHashSignatures(id_col, text_col, num_perm, bands, shingle_k,
+                                   with_content_hash=exact)
         return worker(batch)
 
     sigs = ds.map_batches(sig_rows, batch_format="pyarrow")
+
+    if exact:
+        # in-bucket verification on the co-located content hash
+        def equal_hash_pairs(g: pd.DataFrame):
+            items = sorted(zip(g["doc_id"], g["chash"]))[:200]
+            return [
+                (items[i][0], items[j][0])
+                for i in range(len(items)) for j in range(i + 1, len(items))
+                if items[i][1] == items[j][1]
+            ]
+
+        verified = grouped_pairs(sigs, ["band", "sig"], "sig", equal_hash_pairs)
+        return _clusters_from_pairs(verified, id_col)
 
     def all_pairs(g: pd.DataFrame):
         ids = sorted(g["doc_id"].tolist())[:200]
@@ -286,23 +318,18 @@ def minhash_lsh_clusters(
                                        "cluster": pa.array([], pa.int64())}))
     with_texts = _attach_pair_texts(pairs, ds, id_col, text_col)
 
-    if verify == "exact":
-        def check(t: pa.Table) -> pa.Table:
-            keep = pc.equal(t.column("text_a"), t.column("text_b"))
-            return t.filter(keep).select(["a", "b"])
-    else:
-        def check(t: pa.Table) -> pa.Table:
-            out_a, out_b = [], []
-            for a, b, x, y in zip(
-                t.column("a").to_pylist(), t.column("b").to_pylist(),
-                t.column("text_a").to_pylist(), t.column("text_b").to_pylist(),
-            ):
-                if jaccard(char_shingles(x, shingle_k),
-                           char_shingles(y, shingle_k)) >= threshold:
-                    out_a.append(a)
-                    out_b.append(b)
-            return pa.table({"a": pa.array(out_a, pa.int64()),
-                             "b": pa.array(out_b, pa.int64())})
+    def check(t: pa.Table) -> pa.Table:
+        out_a, out_b = [], []
+        for a, b, x, y in zip(
+            t.column("a").to_pylist(), t.column("b").to_pylist(),
+            t.column("text_a").to_pylist(), t.column("text_b").to_pylist(),
+        ):
+            if jaccard(char_shingles(x, shingle_k),
+                       char_shingles(y, shingle_k)) >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+        return pa.table({"a": pa.array(out_a, pa.int64()),
+                         "b": pa.array(out_b, pa.int64())})
 
     verified = with_texts.map_batches(check, batch_format="pyarrow")
     return _clusters_from_pairs(verified, id_col)
@@ -395,9 +422,14 @@ def ngram_jaccard_clusters(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    blocks: int = 4,
 ):
-    """Blocking on the min word-ngram hash; exact Jaccard verify inside
-    the blocking bucket (text rides in the single bucket row per doc).
+    """Blocking on the ``blocks`` SMALLEST word-ngram hashes (each doc
+    lands in up to ``blocks`` buckets); exact Jaccard verify inside the
+    bucket (text rides in the bucket rows). Multi-min blocking fixes
+    the single-min recall fragility: two docs that differ by up to
+    ``blocks - 1`` n-grams are GUARANTEED to share a bucket, and docs
+    with Jaccard j share one with prob ~1-(1-j)^blocks.
     Returns a (id_col, cluster) Dataset."""
 
     def block_rows(batch: pa.Table) -> pa.Table:
@@ -406,10 +438,11 @@ def ngram_jaccard_clusters(
             batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
         ):
             grams = word_ngrams(text, n)
-            bucket = min((hash_tuple(g) for g in grams), default=0) & 0xFFFF_FFFF
-            ids.append(doc_id)
-            buckets.append(bucket)
-            texts.append(text)
+            hashes = sorted(hash_tuple(g) & 0xFFFF_FFFF for g in grams)[:blocks] or [0]
+            for h in hashes:
+                ids.append(doc_id)
+                buckets.append(h)
+                texts.append(text)
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),

@@ -59,13 +59,15 @@ def uri_occurrences(links_ds):
 
 
 def correct_mention_counts(links_ds, gold_df: pd.DataFrame):
-    """Per-surface correct counts (driver-side small join, like eval)."""
-    links = links_ds.to_pandas()
-    links["emitted"] = links["all_uris"].map(lambda us: " ".join(us))
-    m = gold_df.merge(links[["url", "mention_id", "emitted"]], on=["url", "mention_id"])
-    m = m[m["gold_uri"].notna()]
-    ok = m.apply(lambda r: isinstance(r["emitted"], str) and r["gold_uri"] in r["emitted"], axis=1)
-    out = m[ok].groupby("surface").size().reset_index(name="n_correct")
+    """A8 per-surface correct counts, derived from the EvalInfo records
+    (ResultsAndEvaluationNEL.java:295-301). Links are pre-filtered to
+    the (small) gold key set BEFORE materializing, so this stays safe
+    against corpus-scale links."""
+    from .evaluate import eval_records
+
+    r = eval_records(links_ds, gold_df)
+    ok = r[r["gold_uri"].notna() & r["choice_is_correct"]]
+    out = ok.groupby("surface").size().reset_index(name="n_correct")
     return out.sort_values(["n_correct", "surface"], ascending=[False, True]).reset_index(drop=True)
 
 

@@ -46,21 +46,65 @@ def tumbling_window(events_ds, size_minutes: int = 60,
     )
 
 
+DEFAULT_KEY_BUCKETS = 64
+
+
+def grouped_by_key_buckets(ds, key_col: str, fn, num_buckets: int = DEFAULT_KEY_BUCKETS):
+    """Shuffle ONCE on hash(key) % num_buckets and run ``fn`` on each
+    bucket's frame (all rows of a key co-located). One dispatch per
+    BUCKET instead of per key — the per-tiny-group map_groups dispatch
+    is pathological at millions of keys (same pattern as the linker's
+    url buckets)."""
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = (
+            pd.util.hash_pandas_object(df[key_col], index=False) % num_buckets
+        ).astype("int64")
+        return df
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        return fn(df.drop(columns=["__bucket"]))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(run, batch_format="pandas")
+    )
+
+
 def sliding_window_per_key(events_ds, key_col: str = "user_id",
-                           window_minutes: int = 60, value_col: str = "value"):
+                           window_minutes: int = 60, value_col: str = "value",
+                           num_buckets: int = DEFAULT_KEY_BUCKETS):
     """Per-key trailing-window aggregate: for every event, the sum of
     ``value`` over the preceding ``window_minutes`` (inclusive) for the
-    same key. One shuffle on the key; pandas rolling inside groups."""
+    same key. One hash-bucket shuffle; vectorized pandas inside each
+    bucket (groupby.rolling over the per-(key, ts) totals).
+
+    RANGE semantics: all ts-PEERS of the current row are included
+    (matching SQL ``RANGE ... CURRENT ROW``) — the trailing sum is
+    computed per distinct (key, ts) and broadcast back to peer rows,
+    not per row position.
+    """
     win = pd.Timedelta(minutes=window_minutes)
 
-    def roll(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        s = g.set_index("ts")[value_col].rolling(win, closed="both").sum()
-        out = g[["event_id", key_col]].copy()
-        out["trailing_sum"] = s.values.round(6)
-        return out
+    def roll_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(columns=["event_id", key_col, "trailing_sum"])
+        per_ts = df.groupby([key_col, "ts"], as_index=False)[value_col].sum()
+        r = (
+            per_ts.set_index("ts")
+            .groupby(key_col)[value_col]
+            .rolling(win, closed="both")
+            .sum()
+            .reset_index()
+            .rename(columns={value_col: "trailing_sum"})
+        )
+        out = df[["event_id", key_col, "ts"]].merge(r, on=[key_col, "ts"])
+        out["trailing_sum"] = out["trailing_sum"].round(6)
+        return out[["event_id", key_col, "trailing_sum"]]
 
-    return events_ds.groupby(key_col).map_groups(roll, batch_format="pandas")
+    return grouped_by_key_buckets(events_ds, key_col, roll_bucket, num_buckets)
 
 
 TUMBLING_SQL = """

@@ -26,6 +26,34 @@ class TestDictionaryBuild:
         assert list(row["uris"]) == ["http://kb/d", "http://eq/d"]
         assert row["surface_norm"] == "dumas"
 
+    def test_temporal_extent_bounds(self):
+        """Date-bounded build (TemporalExtent.java:9-34; strict birth
+        FILTERs QueryAuthorBNF.java:69-85): keep iff
+        greater_than < birth < lesser_than; unparseable birth under a
+        bound -> dropped (SPARQL unbound-FILTER semantics)."""
+        ents = rd.from_arrow(pa.Table.from_pylist([
+            {"entity_id": "e1", "first": "A", "last": "Early", "gender": "M",
+             "particle": "", "birth": "1700", "death": "1760", "uris": [],
+             "ne_type": "PER"},
+            {"entity_id": "e2", "first": "B", "last": "Mid", "gender": "M",
+             "particle": "", "birth": "1802-07-24", "death": "1870", "uris": [],
+             "ne_type": "PER"},
+            {"entity_id": "e3", "first": "C", "last": "Late", "gender": "F",
+             "particle": "", "birth": "1900", "death": "1950", "uris": [],
+             "ne_type": "PER"},
+            {"entity_id": "e4", "first": "D", "last": "Unknown", "gender": "M",
+             "particle": "", "birth": "no date", "death": None, "uris": [],
+             "ne_type": "PER"},
+        ]))
+        out = build_dictionary(ents, greater_than=1750, lesser_than=1880).to_pandas()
+        assert set(out["entity_id"]) == {"e2"}
+        # boundary strictness: birth == bound is excluded
+        strict = build_dictionary(ents, greater_than=1802).to_pandas()
+        assert set(strict["entity_id"]) == {"e3"}
+        # no bounds: everything (incl. unparseable birth) survives
+        assert set(build_dictionary(ents).to_pandas()["entity_id"]) == {
+            "e1", "e2", "e3", "e4"}
+
     def test_tsv_reader_ragged_rows(self, tmp_path):
         p = tmp_path / "dico.tsv"
         p.write_text(
@@ -84,6 +112,23 @@ class TestAnnotate:
         ann1 = json.loads(out.loc["u1", "annotations"])
         assert ann1 == [{"mention_id": 0, "surface": "Dumas", "uri": "http://kb/d"}]
         assert json.loads(out.loc["u2", "annotations"]) == []
+
+    def test_add_scores_option(self):
+        """Reference addScores config: annotations carry the winning
+        score; NoAmbiguity links (NaN score) serialize as null."""
+        texts = rd.from_arrow(pa.Table.from_pylist([
+            {"url": "u1", "text": "alpha Dumas beta Vigny"},
+        ]))
+        links = rd.from_arrow(pa.Table.from_pylist([
+            {"url": "u1", "mention_id": 0, "surface": "Dumas",
+             "uri": "http://kb/d", "score": 3.0},
+            {"url": "u1", "mention_id": 1, "surface": "Vigny",
+             "uri": "http://kb/v", "score": float("nan")},
+        ]))
+        out = annotate_pages(texts, links, add_scores=True).to_pandas().set_index("url")
+        ann = json.loads(out.loc["u1", "annotations"])
+        assert ann[0]["score"] == 3.0
+        assert ann[1]["score"] is None
 
 
 class TestVisu:

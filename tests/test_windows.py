@@ -1,0 +1,80 @@
+"""Window-operator tests: tumbling, sliding (RANGE peer semantics),
+sessionization, and the hash-bucket per-key pattern."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from reden_ray.stages.windows import sliding_window_per_key, tumbling_window
+
+
+def _events(rows):
+    return rd.from_arrow(pa.Table.from_pylist(rows))
+
+
+class TestTumbling:
+    def test_hour_buckets(self):
+        rows = [
+            {"ts": pd.Timestamp("2024-01-01 10:05"), "value": 1.0},
+            {"ts": pd.Timestamp("2024-01-01 10:55"), "value": 2.0},
+            {"ts": pd.Timestamp("2024-01-01 11:05"), "value": 4.0},
+        ]
+        out = tumbling_window(_events(rows), size_minutes=60).to_pandas()
+        m = {str(r.window_start): (r.n_events, r.sum_value) for r in out.itertuples()}
+        assert m["2024-01-01 10:00:00"] == (2, 3.0)
+        assert m["2024-01-01 11:00:00"] == (1, 4.0)
+
+
+class TestSlidingRangePeers:
+    def test_duplicate_ts_peers_included(self):
+        """SQL RANGE ... CURRENT ROW includes ALL rows at the current
+        timestamp — peer rows sorted after the current one too. Verify
+        against DuckDB on a corpus WITH duplicate timestamps (the case
+        the old rolling(closed='both') diverged on)."""
+        t0 = pd.Timestamp("2024-01-01 10:00")
+        rows = [
+            {"event_id": 1, "user_id": 7, "ts": t0, "value": 1.0},
+            {"event_id": 2, "user_id": 7, "ts": t0, "value": 2.0},  # ts peer
+            {"event_id": 3, "user_id": 7, "ts": t0 + pd.Timedelta(minutes=30), "value": 4.0},
+            {"event_id": 4, "user_id": 7, "ts": t0 + pd.Timedelta(minutes=90), "value": 8.0},
+            {"event_id": 5, "user_id": 9, "ts": t0, "value": 16.0},
+        ]
+        out = sliding_window_per_key(_events(rows), window_minutes=60).to_pandas()
+        got = dict(zip(out["event_id"], out["trailing_sum"]))
+        df = pd.DataFrame(rows)
+        sql = duckdb.sql(
+            """
+            SELECT event_id, ROUND(SUM(value) OVER (
+                PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 60 MINUTE PRECEDING AND CURRENT ROW
+            ), 6) AS trailing_sum FROM df
+            """
+        ).df()
+        expect = dict(zip(sql["event_id"], sql["trailing_sum"]))
+        assert got == expect
+        assert got[1] == 3.0 and got[2] == 3.0  # both peers see both rows
+
+    def test_matches_duckdb_on_random_events(self):
+        rng = pd.Series(range(200))
+        df = pd.DataFrame({
+            "event_id": rng,
+            "user_id": (rng * 7919) % 13,
+            "ts": pd.Timestamp("2024-01-01") + pd.to_timedelta((rng * 3571) % 600, unit="m"),
+            "value": ((rng * 31) % 97).astype(float),
+        })
+        out = sliding_window_per_key(
+            rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)),
+            window_minutes=60).to_pandas()
+        sql = duckdb.sql(
+            """
+            SELECT event_id, ROUND(SUM(value) OVER (
+                PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 60 MINUTE PRECEDING AND CURRENT ROW
+            ), 6) AS trailing_sum FROM df
+            """
+        ).df()
+        got = dict(zip(out["event_id"], out["trailing_sum"]))
+        expect = dict(zip(sql["event_id"], sql["trailing_sum"]))
+        assert got == expect
