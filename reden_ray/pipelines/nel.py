@@ -121,13 +121,27 @@ class NELPipeline:
         # point.
         ds = ds.materialize()
         labels = canonical_labels(ds)
-        # structured fast path: skips the D5 all-to-all on the full
-        # triple stream; its one cross-batch hazard (mention pairs) is
-        # closed by a narrow (url, uri) bucket dedup inside
-        # emit_triples, so it is exact under any block splitting —
-        # asserted against the strict path in tests.
+        # Structured fast path: skips the D5 all-to-all on the full
+        # triple stream. Its one cross-batch hazard — a url's link rows
+        # split across blocks, duplicating (url, mentions, uri) —
+        # requires Ray's dynamic block splitting to have cut a linker
+        # bucket's output, which only happens when a block crosses the
+        # split threshold. We CHECK the materialized link blocks
+        # instead of assuming: under half the threshold -> skip the
+        # extra (url, uri) dedup shuffle; at/over it -> keep the dedup
+        # (exact in every regime). Raising cfg.link_buckets keeps
+        # bucket outputs small on bigger corpora.
+        from ray.data import DataContext
+
+        target = DataContext.get_current().target_max_block_size or (128 << 20)
+        max_block = 0
+        for bundle in ds.iter_internal_ref_bundles():
+            for meta in bundle.metadata:
+                max_block = max(max_block, meta.size_bytes or 0)
+        needs_pair_dedup = max_block >= target // 2
         return emit_triples(ds, labels, self.kb_ref, self.sameas_ref,
-                            global_dedup=False)
+                            global_dedup=False,
+                            mention_pair_dedup=needs_pair_dedup)
 
 
 def run_nel(fixture_dir: str, config: NELConfig | None = None):

@@ -259,17 +259,23 @@ def distinct_linked_entities(links_ds):
 
 
 def emit_triples(links_ds, labels_ds, kb_ref, sameas_ref,
-                 concurrency: int | tuple = (1, 2), global_dedup: bool = True):
+                 concurrency: int | tuple = (1, 2), global_dedup: bool = True,
+                 mention_pair_dedup: bool = True):
     """links + labels -> deduplicated (subj, pred, obj) triples Dataset.
 
     ``global_dedup=False`` is the structured fast path: it skips the D5
     all-to-all on the FULL triple stream because each branch is
     globally distinct AND the branches are disjoint —
-      * mention triples: per-batch distinct (url, uri) combiner, then a
-        narrow (url, uri) bucket dedup — exact under ANY link
-        partitioning, including Ray's dynamic block splitting of a
-        bucket's output mid-url (the pre-round-2 version relied on
-        url-aligned blocks, which that splitting can break at scale);
+      * mention triples: per-batch distinct (url, uri) combiner; the
+        combiner alone is globally exact iff a url's link rows never
+        straddle a block boundary (true when links come straight from
+        the url-bucketed linker AND no bucket output exceeded Ray's
+        dynamic-split threshold). When that bound can't be guaranteed,
+        ``mention_pair_dedup=True`` adds a narrow (url, uri) bucket
+        dedup (|links| pre-combined rows) that makes the path exact
+        under ANY partitioning — callers with url-aligned blocks below
+        the split threshold (checked, not assumed — see
+        pipelines/nel.NELPipeline.triples) may pass False to skip it;
       * entity triples: emitted once per globally-distinct uri with
         per-uri (pred, obj) dedup;
       * label triples: one per uri; predicates disjoint across branches.
@@ -277,7 +283,7 @@ def emit_triples(links_ds, labels_ds, kb_ref, sameas_ref,
     partitioning (e.g. re-read from Parquet with unknown layout).
     """
     mention_pairs = links_ds.map_batches(_mention_pairs, batch_format="pyarrow")
-    if not global_dedup:
+    if not global_dedup and mention_pair_dedup:
         # the only cross-batch duplication hazard in the fast path:
         # dedup the narrow pair stream (|links|-bounded, pre-combined)
         mention_pairs = exact_dedup(mention_pairs, ["url", "uri"])

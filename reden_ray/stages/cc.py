@@ -78,12 +78,22 @@ def connected_components(
         val = np.concatenate([b, a])
         return _enc(node, val, kind=1)
 
-    # Edges are reused every round: materialize the encoded form once.
-    edges = edges_ds.map_batches(bidir, batch_format="pyarrow").materialize()
-    if edges.count() == 0:
+    # Edges are reused every round: coalesce the (often many tiny)
+    # upstream blocks and materialize the encoded form once — the edge
+    # block count enters every round's union + groupby overhead.
+    edges = (
+        edges_ds.map_batches(bidir, batch_format="pyarrow")
+        .repartition(8)
+        .materialize()
+    )
+    n_edges = edges.count()
+    if n_edges == 0:
         return rd.from_arrow(
             pa.table({"node": pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())})
         )
+    # scale bucket count to the edge set: tiny problems pay per-group
+    # fixed overhead, huge ones need spread
+    num_buckets = max(4, min(num_buckets, n_edges // 25_000 + 4))
 
     # Initial label candidates: (node, min(node, neighbor)) — one free
     # propagation step folded into the init.

@@ -150,12 +150,16 @@ def distinct_pairs(pairs_ds, num_buckets: int = 64):
 
 
 def _clusters_from_pairs(pairs_ds, id_col: str):
-    """Verified pair Dataset -> sorted (id_col, cluster) Dataset."""
+    """Verified pair Dataset -> (id_col, cluster) Dataset.
+
+    Row order is unspecified (content is deterministic); consumers that
+    need an ordering sort the — much smaller — cluster table themselves
+    rather than paying a global sort here."""
     cc = connected_components(pairs_ds)
     return cc.map_batches(
         lambda t: pa.table({id_col: t.column("node"), "cluster": t.column("cluster")}),
         batch_format="pyarrow",
-    ).sort(id_col)
+    )
 
 
 # ---------------------------------------------------------------------------

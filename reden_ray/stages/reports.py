@@ -73,27 +73,32 @@ def correct_mention_counts(links_ds, gold_df: pd.DataFrame):
 
 class EnrichLinks:
     """J7: links batches -> + one column per (name, [property prefs]),
-    taking the FIRST matching property value in list order (coalesce)."""
+    taking the FIRST matching property value in list order (coalesce).
+
+    The per-(name, uri) coalesce is precomputed ONCE per worker in
+    ``__init__`` (one pass over the broadcast KB); each batch is then a
+    vectorized Series lookup instead of nested per-row loops."""
 
     def __init__(self, kb_ref, prop_lists: dict[str, list[str]]):
-        self.kb = get_broadcast(kb_ref)
-        self.prop_lists = prop_lists
+        kb = get_broadcast(kb_ref)
+        self.maps: dict[str, pd.Series] = {}
+        for name, prefs in prop_lists.items():
+            rank = {p: i for i, p in enumerate(prefs)}  # list order = preference
+            best: dict[str, tuple[int, str]] = {}
+            for uri, triples in kb.items():
+                for pred, obj, _lit, _w in triples:
+                    r = rank.get(pred)
+                    if r is not None and (uri not in best or r < best[uri][0]):
+                        best[uri] = (r, obj)
+            self.maps[name] = pd.Series({u: v for u, (_r, v) in best.items()},
+                                        dtype="object")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        uris = batch.column("uri").to_pylist()
-        for name, prefs in self.prop_lists.items():
-            vals = []
-            for uri in uris:
-                triples = self.kb.get(uri, ())
-                val = None
-                for pref in prefs:  # list order = preference order
-                    for pred, obj, _lit, _w in triples:
-                        if pred == pref:
-                            val = obj
-                            break
-                    if val is not None:
-                        break
-                vals.append(val)
+        uris = batch.column("uri").to_numpy(zero_copy_only=False)
+        for name, m in self.maps.items():
+            vals = m.reindex(uris).to_numpy()
+            vals = [None if v is None or (isinstance(v, float) and pd.isna(v)) else v
+                    for v in vals]
             batch = batch.append_column(name, pa.array(vals, pa.string()))
         return batch
 
