@@ -57,6 +57,11 @@ class NELConfig:
     # url-hash bucket count for the link shuffle (power of two); the
     # explicit partitioning knob for cluster sizing.
     link_buckets: int = 256
+    # "none": link packed rows in place (whole-block packing guarantees
+    # one packed row per url -> no shuffle needed; fastest).
+    # "sort": url-hash bucket groupby (use when packed rows may be
+    # fragmented, e.g. re-read from arbitrary Parquet).
+    link_shuffle: str = "none"
 
 
 class NELPipeline:
@@ -105,11 +110,21 @@ class NELPipeline:
                 num_buckets=self.cfg.link_buckets,
             )
         src = mentions_ds if mentions_ds is not None else self.mentions()
-        packed = generate_candidates_packed(src, self.dico_ref)
+        if self.cfg.link_shuffle == "none":
+            # fused mentions->links: candidate gen runs inside the link
+            # batch fn — no packing, no serialization, no sort
+            from ..stages.linker import link_documents_from_mentions
+
+            return link_documents_from_mentions(
+                src, self.dico_ref, self.kb_ref, self.sameas_ref,
+                rels=self.cfg.rels, measure=self.cfg.measure,
+                prefered_uri_order=self.cfg.prefered_uri_order,
+            )
+        packed = generate_candidates_packed(src, self.dico_ref, batch_size=8192)
         return link_documents_packed(
             packed, self.kb_ref, self.sameas_ref, rels=self.cfg.rels,
             measure=self.cfg.measure, prefered_uri_order=self.cfg.prefered_uri_order,
-            num_buckets=self.cfg.link_buckets,
+            num_buckets=self.cfg.link_buckets, shuffle="sort",
         )
 
     def triples(self, links_ds=None):

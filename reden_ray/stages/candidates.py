@@ -134,6 +134,7 @@ class PackedCandidateGen:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pickle
+        import zlib
 
         urls_out, hashes_out, payloads = [], [], []
         cur_url, cur_hash, cur_rows = None, 0, []
@@ -142,7 +143,10 @@ class PackedCandidateGen:
             if cur_rows:
                 urls_out.append(cur_url)
                 hashes_out.append(cur_hash)
-                payloads.append(pickle.dumps(cur_rows, protocol=5))
+                # zlib-1: ~4x smaller payloads through the link sort
+                # (~74us/page to compress, amortized across workers) —
+                # the sort-based shuffle is byte-bound, not row-bound
+                payloads.append(zlib.compress(pickle.dumps(cur_rows, protocol=5), 1))
 
         has_hash = "url_hash" in batch.column_names
         hash_in = (
@@ -183,8 +187,15 @@ class PackedCandidateGen:
         )
 
 
-def generate_candidates_packed(mentions_ds, dico_ref, batch_size: int = 8192):
-    """mentions Dataset -> packed per-url candidates (linker hot path)."""
+def generate_candidates_packed(mentions_ds, dico_ref, batch_size: int | None = None):
+    """mentions Dataset -> packed per-url candidates (linker hot path).
+
+    ``batch_size=None`` (default) packs WHOLE BLOCKS: the NER stage
+    emits a page's mention rows contiguously within its output block,
+    so whole-block packing yields exactly ONE packed row per url —
+    which is what lets ``link_documents_packed(shuffle="none")`` skip
+    the link sort entirely. Pass a row-count batch_size only when
+    feeding the sort-based path (fragmented urls merge there)."""
 
     def gen(batch: pa.Table) -> pa.Table:
         worker = PackedCandidateGen.__new__(PackedCandidateGen)

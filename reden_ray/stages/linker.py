@@ -380,24 +380,15 @@ def link_documents(candidates_ds, kb_ref, sameas_ref, rels=None,
     )
 
 
-def link_documents_packed(packed_ds, kb_ref, sameas_ref, rels=None,
-                          measure: str = "degree", prefered_uri_order: str = "ALL",
-                          num_buckets: int = DEFAULT_URL_BUCKETS):
-    """Packed per-url candidates -> links Dataset.
-
-    The shuffle moves one binary row per page; the bucket fn unpickles
-    each page's candidate tuples and links directly — no per-row
-    DataFrame iteration. Output is identical to ``link_documents``."""
+def _make_packed_link_fn(kb_ref, sameas_ref, rels, measure, prefered_uri_order):
+    """Batch fn: packed per-url rows -> links. Payloads of the same url
+    within the batch merge (deterministic order)."""
     import pickle
+    import zlib
 
-    bucketed = packed_ds.map_batches(
-        add_bucket_arrow(num_buckets), batch_format="pyarrow"
-    )
-
-    def link_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def link_batch(df: pd.DataFrame) -> pd.DataFrame:
         kb = get_broadcast(kb_ref)
         sameas = get_broadcast(sameas_ref)
-        # merge payloads per url (batch-boundary splits), deterministic order
         per_url: dict[str, list] = {}
         for url, payload in zip(df["url"].tolist(), df["payload"].tolist()):
             per_url.setdefault(url, []).append(payload)
@@ -405,7 +396,7 @@ def link_documents_packed(packed_ds, kb_ref, sameas_ref, rels=None,
         for url in sorted(per_url):
             tuples: list[tuple] = []
             for payload in per_url[url]:
-                tuples.extend(pickle.loads(payload))
+                tuples.extend(pickle.loads(zlib.decompress(payload)))
             tuples.sort(key=lambda t: (t[0], t[3]))  # (mention_id, cand_rank)
             rows = [
                 {"url": url, "mention_id": mid, "surface": surface,
@@ -417,7 +408,94 @@ def link_documents_packed(packed_ds, kb_ref, sameas_ref, rels=None,
                                     prefered_uri_order))
         return _links_arrow(out)
 
-    return bucketed.groupby("__bucket").map_groups(link_bucket, batch_format="pandas")
+    return link_batch
+
+
+def link_documents_packed(packed_ds, kb_ref, sameas_ref, rels=None,
+                          measure: str = "degree", prefered_uri_order: str = "ALL",
+                          num_buckets: int = DEFAULT_URL_BUCKETS,
+                          shuffle: str = "none"):
+    """Packed per-url candidates -> links Dataset.
+
+    ``shuffle="none"`` (default): NO shuffle at all — each packed row
+    links independently inside a plain ``map_batches``. Exact iff every
+    url has all its candidate tuples in ONE batch, which whole-block
+    packing guarantees (``generate_candidates_packed(batch_size=None)``
+    + the NER stage emitting a page's mentions contiguously). This
+    removes the single largest cost of the pipeline (the 600k-row
+    payload sort measured at 50-70% of headline wall).
+
+    ``shuffle="sort"``: the round-1 url-hash bucket groupby — one
+    zlib-compressed binary row per page through the sort; use when the
+    packed rows may be FRAGMENTED (a url's tuples split across blocks,
+    e.g. packed output re-read from arbitrary Parquet). Output of the
+    two modes is identical on unfragmented input (tested)."""
+    fn = _make_packed_link_fn(kb_ref, sameas_ref, rels, measure, prefered_uri_order)
+    if shuffle == "none":
+        return packed_ds.map_batches(fn, batch_format="pandas", batch_size=None)
+    bucketed = packed_ds.map_batches(
+        add_bucket_arrow(num_buckets), batch_format="pyarrow"
+    )
+    return bucketed.groupby("__bucket").map_groups(fn, batch_format="pandas")
+
+
+def link_documents_from_mentions(mentions_ds, dico_ref, kb_ref, sameas_ref,
+                                 rels=None, measure: str = "degree",
+                                 prefered_uri_order: str = "ALL"):
+    """Mentions -> links in ONE fused map stage, zero shuffle and zero
+    intermediate serialization.
+
+    Candidate generation (J1 broadcast exact-match, D1 dedup, K2 cap —
+    same logic as CandidateGen) runs INSIDE the link batch fn, so the
+    candidate tuples never cross a process boundary: no packing, no
+    pickling, no sort. Exact iff each url's mention rows sit in one
+    batch — guaranteed by whole-block batches (batch_size=None) over
+    the NER stage's per-page-contiguous output. For fragmented inputs
+    use the packed + sort path (``link_documents_packed``)."""
+    from .candidates import MAX_CANDIDATES
+
+    def link_batch(batch) -> "pa.Table":
+        index = get_broadcast(dico_ref)
+        kb = get_broadcast(kb_ref)
+        sameas = get_broadcast(sameas_ref)
+        out: list[dict] = []
+        cur_url, cur_rows = None, []
+
+        def flush():
+            if cur_rows:
+                out.extend(link_context(cur_rows, kb, sameas, rels, measure,
+                                        prefered_uri_order))
+
+        for url, mid, surface, norm in zip(
+            batch.column("url").to_pylist(),
+            batch.column("mention_id").to_pylist(),
+            batch.column("surface").to_pylist(),
+            batch.column("surface_norm").to_pylist(),
+        ):
+            if url != cur_url:
+                flush()
+                cur_url, cur_rows = url, []
+            cands = index.get(norm)
+            if not cands:
+                continue
+            seen: set[tuple[str, ...]] = set()  # D1
+            rank = 0
+            for entity_id, uris, _ne in cands:
+                if uris in seen:
+                    continue
+                seen.add(uris)
+                cur_rows.append(
+                    {"url": url, "mention_id": mid, "surface": surface,
+                     "surface_norm": norm, "cand_rank": rank,
+                     "entity_id": entity_id, "uris": list(uris)})
+                rank += 1
+                if rank >= MAX_CANDIDATES:  # K2
+                    break
+        flush()
+        return _links_arrow(out)
+
+    return mentions_ds.map_batches(link_batch, batch_format="pyarrow",
+                                   batch_size=None)
 
 
 def make_edges_bucket_fn(kb_ref, sameas_ref, rels=None, pruned: bool = True):

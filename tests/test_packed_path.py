@@ -1,35 +1,80 @@
-"""Equivalence: packed per-url linking path vs row-form path."""
+"""Equivalence: all three linking paths produce identical links.
+
+* row path — row-form candidates through the url-bucket sort groupby;
+* fused path (default) — candidate gen inside the link batch fn, NO
+  shuffle (exact via whole-block url contiguity);
+* packed+sort path — one compressed binary row per url through the
+  sort (for fragmented inputs).
+"""
 
 import numpy as np
 import pytest
 
-from reden_ray.pipelines.nel import NELPipeline
+from reden_ray.pipelines.nel import NELConfig, NELPipeline
 
 
 @pytest.fixture(scope="module")
-def both(unit_fixture):
+def all_paths(unit_fixture):
     p = NELPipeline(unit_fixture)
     row = p.links(p.candidates()).to_pandas()
-    packed = p.links(mentions_ds=p.mentions()).to_pandas()
-    return row, packed
+    fused = p.links(mentions_ds=p.mentions()).to_pandas()
+    p_sort = NELPipeline(unit_fixture, NELConfig(link_shuffle="sort"))
+    packed_sort = p_sort.links(mentions_ds=p_sort.mentions()).to_pandas()
+    return row, fused, packed_sort
 
 
-class TestPackedEquivalence:
-    def test_same_links(self, both):
-        row, packed = both
-        key = ["url", "mention_id"]
-        a = row.sort_values(key).reset_index(drop=True)
-        b = packed.sort_values(key).reset_index(drop=True)
-        assert len(a) == len(b)
-        assert (a["uri"].values == b["uri"].values).all()
-        assert (a["surface"].values == b["surface"].values).all()
-        an, bn = a["score"].isna(), b["score"].isna()
-        assert (an.values == bn.values).all()
-        assert np.allclose(a["score"][~an], b["score"][~bn.values])
+def _assert_same_links(a, b):
+    key = ["url", "mention_id"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert (a["uri"].values == b["uri"].values).all()
+    assert (a["surface"].values == b["surface"].values).all()
+    an, bn = a["score"].isna(), b["score"].isna()
+    assert (an.values == bn.values).all()
+    assert np.allclose(a["score"][~an], b["score"][~bn.values])
+    assert all(list(x) == list(y) for x, y in zip(a["all_uris"], b["all_uris"]))
 
-    def test_all_uris_match(self, both):
-        row, packed = both
-        key = ["url", "mention_id"]
-        a = row.sort_values(key).reset_index(drop=True)
-        b = packed.sort_values(key).reset_index(drop=True)
-        assert all(list(x) == list(y) for x, y in zip(a["all_uris"], b["all_uris"]))
+
+class TestLinkPathEquivalence:
+    def test_fused_equals_row_path(self, all_paths):
+        row, fused, _ = all_paths
+        _assert_same_links(row, fused)
+
+    def test_packed_sort_equals_row_path(self, all_paths):
+        row, _, packed_sort = all_paths
+        _assert_same_links(row, packed_sort)
+
+    def test_packed_sort_merges_fragmented_urls(self, unit_fixture):
+        """The sort path's reason to exist: url payload fragments in
+        DIFFERENT blocks must merge into one context before linking."""
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from reden_ray.stages.candidates import generate_candidates_packed
+        from reden_ray.stages.linker import link_documents_packed
+        from reden_ray.stages.ner import stable_url_hash
+
+        p = NELPipeline(unit_fixture)
+        mentions = p.mentions().to_pandas()
+        # take one url with >= 2 mentions; split its mentions across two
+        # single-block datasets, pack each separately, union -> the
+        # url's packed payload is fragmented across blocks
+        counts = mentions.groupby("url").size()
+        url = counts[counts >= 2].index[0]
+        m = mentions[mentions["url"] == url].reset_index(drop=True)
+        half = len(m) // 2
+        parts = []
+        for piece in (m.iloc[:half], m.iloc[half:]):
+            t = pa.Table.from_pandas(piece, preserve_index=False)
+            parts.append(generate_candidates_packed(
+                rd.from_arrow(t), p.dico_ref, batch_size=8192))
+        fragmented = parts[0].union(parts[1])
+        linked = link_documents_packed(
+            fragmented, p.kb_ref, p.sameas_ref, shuffle="sort",
+            num_buckets=4).to_pandas()
+        whole = p.links(p.candidates(p.mentions())).to_pandas()
+        expect = whole[whole["url"] == url].sort_values("mention_id")
+        got = linked.sort_values("mention_id")
+        assert list(got["uri"]) == list(expect["uri"])
