@@ -163,8 +163,9 @@ def _q_minhash_planted(sf_dir: str):
 
 def _q_simhash_planted(sf_dir: str):
     """SimHash hamming-0 clusters over the planted exact-dup corpus —
-    hash-verified (the md5-token base texts have no simhash collisions
-    across distinct texts, unlike raw near-dup-bearing web text)."""
+    hash-verified (the blake2b-token base texts have no simhash
+    collisions across distinct texts, unlike raw near-dup-bearing web
+    text, where planted near-dups collide at hamming 0 by design)."""
     from reden_ray.pipelines.webdemo import planted_near_dup_documents
     from reden_ray.stages.dedup import simhash_clusters
 
@@ -202,8 +203,16 @@ def _q_ann_ivf(sf_dir: str):
         int(v): e
         for v, e in zip(emb["vec_id"].to_pylist(), emb["embedding"].to_pylist())
     }
+    # cache the centroid-partitioned index per sf_dir: the build shuffle
+    # is paid once; every later probe reads only nprobe partitions
+    import hashlib
+    import os
+
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    tag = hashlib.md5(f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}".encode()).hexdigest()[:10]
+    index_dir = f"/tmp/reden_ivf_index_{tag}_c16"
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    out = ivf_topk(ds, queries, k=10)
+    out = ivf_topk(ds, queries, k=10, index_dir=index_dir)
     return out[["query_id", "vec_id"]]
 
 

@@ -172,9 +172,12 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     # Larger corpus for the scaling evidence: the efficiency ratio
     # needs per-level work to dwarf the ~3-8s fixed overhead, and the
-    # sandbox host shows bursty ±20% noise.
+    # sandbox host shows bursty ±20% noise. Raised 240 -> 480 (2.4M
+    # pages) in round 2: the fused+memoized linker roughly halved
+    # compute, so the 1.2M corpus no longer dwarfed the overhead
+    # (measured 0.71 at 1.2M vs 0.811 at 2.4M with identical code).
     replicate = os.environ.get("GRAFT_REPLICATE",
-                               os.environ.get("GRAFT_SCALING_REPLICATE", "240"))
+                               os.environ.get("GRAFT_SCALING_REPLICATE", "480"))
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_REPLICATE=replicate)
