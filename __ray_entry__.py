@@ -105,6 +105,36 @@ def _q_nel_triples(sf_dir: str):
     return p.triples(p.links(mentions_ds=mentions))
 
 
+def _q_nel_links_scale_path(sf_dir: str):
+    """The WEB-SCALE variant of nel_links: dictionary arrives via the
+    hash-partitioned J1 join (candidates_via_join — for dictionaries
+    too large to broadcast) and the KB via the distributed J3 join
+    (link_documents_via_join — for KBs too large to broadcast). Same
+    links as the broadcast path (equivalence is pytest-gated); runs
+    here as driver evidence that the scale path executes end-to-end."""
+    import ray.data as rd
+
+    from reden_ray.pipelines.webdemo import (
+        nel_pipeline_over_documents,
+        vocab_fixture,
+    )
+    from reden_ray.stages.candidates import (
+        candidates_via_join,
+        dictionary_with_order,
+    )
+    from reden_ray.stages.linker_join import link_documents_via_join
+
+    p, pages = nel_pipeline_over_documents(sf_dir)
+    fx = vocab_fixture()
+    mentions = p.mentions(p.texts(pages)).materialize()
+    dico = dictionary_with_order(f"{fx}/dictionary.parquet")
+    cands = candidates_via_join(mentions, dico, num_partitions=8).materialize()
+    kb = rd.read_parquet(f"{fx}/kb_triples.parquet")
+    sameas = rd.read_parquet(f"{fx}/sameas.parquet")
+    links = link_documents_via_join(cands, kb, sameas_ds=sameas, num_partitions=8)
+    return links.select_columns(["url", "mention_id", "surface", "uri", "score"])
+
+
 def _q_nel_ambiguity(sf_dir: str):
     from reden_ray.stages.reports import ambiguity_report
 
@@ -474,6 +504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # graph algorithm not SQL-expressible; parity is gated in pytest
         # against analytic gold fixtures instead)
         "nel_links": _q_nel_links,
+        "nel_links_scale_path": _q_nel_links_scale_path,
         "nel_triples": _q_nel_triples,
         "nel_ambiguity": _q_nel_ambiguity,
         "nel_predicate_frequency": _q_nel_predicate_frequency,
