@@ -13,12 +13,15 @@ never leaves the Dataset plane:
   of narrow int64 rows per round;
 * labels are monotonically non-increasing, so the global label sum is
   strictly decreasing until the fixed point: an unchanged sum is the
-  convergence test (one tiny scalar aggregate per round).
+  convergence test (one tiny scalar aggregate per round);
+* from round 3 on, a POINTER-JUMPING shortcut (label <- label(label),
+  one extra hash-bucket cogroup per round) kicks in, so long-diameter
+  components converge in O(log d) rounds instead of O(d).
 
 LSH duplicate clusters are near-cliques (every member collides with
-the representative in some band), so the diameter — and hence the
-round count — is small (2-4 observed); ``max_iter`` only guards
-adversarial chain graphs.
+the representative in some band), so the typical round count is 2-4
+and the shortcut never engages; it exists for adversarial chain-like
+duplicate graphs.
 
 Equivalent output to union-find: every node that appears in an edge is
 assigned the MINIMUM node id of its component.
@@ -125,15 +128,47 @@ def connected_components(
         )
         return out
 
+    def shortcut_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # kind 0: (key=node, val=label) own rows; kind 1: (key=label,
+        # val=node) lookup requests — label-of-label resolves in-bucket
+        # because every label IS a node id (min of node ids).
+        lab = df.loc[df["kind"] == 0].set_index("node")["val"]
+        req = df.loc[df["kind"] == 1]
+        return pd.DataFrame({
+            "node": req["val"].to_numpy(dtype="int64"),
+            "label": lab.reindex(req["node"]).to_numpy(dtype="int64"),
+        })
+
+    def apply_shortcut(labels_ds):
+        def enc_pair(df: pd.DataFrame) -> pd.DataFrame:
+            own = pd.DataFrame({"node": df["node"].astype("int64"),
+                                "val": df["label"].astype("int64"),
+                                "kind": np.zeros(len(df), dtype=np.int8)})
+            req = pd.DataFrame({"node": df["label"].astype("int64"),
+                                "val": df["node"].astype("int64"),
+                                "kind": np.ones(len(df), dtype=np.int8)})
+            return pd.concat([own, req], ignore_index=True)
+
+        return (
+            labels_ds.map_batches(enc_pair, batch_format="pandas")
+            .map_batches(_add_bucket(num_buckets), batch_format="pandas")
+            .groupby("__b")
+            .map_groups(shortcut_bucket, batch_format="pandas")
+            .materialize()
+        )
+
     prev_sum: int | None = None
     labels = None
-    for _ in range(max_iter):
+    for it in range(max_iter):
         labels = (
             cand.map_batches(_add_bucket(num_buckets), batch_format="pandas")
             .groupby("__b")
             .map_groups(reduce_bucket, batch_format="pandas")
             .materialize()
         )
+        if it >= 2:
+            # pointer jumping: halves the remaining diameter per round
+            labels = apply_shortcut(labels)
         # labels are per-node mins and monotonically non-increasing ->
         # unchanged sum == fixed point. (Python-int exact via Arrow sum.)
         s = labels.sum("label")
