@@ -3,9 +3,11 @@ src/fr/lip6/reden/MainNELApp.java:79-373 — SURVEY.md §3.1/§3.4).
 
     read_parquet(pages)
       -> map_batches(extract_text)              stateless, drops html
-      -> map_batches(GazetteerNER, actors)      mentions
-      -> map_batches(CandidateGen, actors)      candidates
-      -> groupby(url).map_groups(link)          fusion graph + argmax
+      -> map_batches(GazetteerNER)              mentions
+      -> map_batches(link_batch)                candidates + fusion graph
+                                                + argmax FUSED, no shuffle
+                                                (sort path for fragmented
+                                                inputs: NELConfig.link_shuffle)
       -> canonical_labels + emit_triples        dedup'd (subj,pred,obj)
 
 Everything is lazy; the caller consumes (write_parquet / to_pandas on

@@ -1,7 +1,13 @@
 """Per-document fusion graph + pruning + centrality + argmax (A1-A4).
 
-This is the algorithmic core of the reference, re-expressed as a
-``groupby("url").map_groups`` over the candidates table:
+This is the algorithmic core of the reference. The DEFAULT execution
+shape is a FUSED zero-shuffle map (``link_documents_from_mentions``):
+candidate lookup + graph linking run inside one batch fn, exact
+because a page's mention rows are block-contiguous. The url-hash
+bucket ``groupby(...).map_groups`` paths (``link_documents`` for
+row-form candidates, ``link_documents_packed(shuffle="sort")`` for
+packed rows) remain for inputs with arbitrary partitioning. Semantics
+in all paths:
 
 * A1 graph fusion — union of all candidate-neighborhood edges into one
   simple directed labeled weighted graph per context; parallel edges
