@@ -145,13 +145,25 @@ def manifest_path(out_dir: str | Path, part: int) -> Path:
     return Path(out_dir) / f"part={part}" / "_manifest.json"
 
 
-def partition_complete(out_dir: str | Path, part: int) -> bool:
+def partition_complete(out_dir: str | Path, part: int,
+                       expected_input_files: list[str] | None = None) -> bool:
+    """A partition is complete iff its manifest verifies against the
+    output files AND (when given) against the CURRENT input assignment:
+    adding/removing input files re-shuffles the round-robin assignment,
+    which must invalidate the stale partitions rather than silently
+    skipping rows."""
     mp = manifest_path(out_dir, part)
     if not mp.exists():
         return False
     try:
         m = json.loads(mp.read_text())
-        return m.get("checksum") == _checksum_dir(mp.parent)
+        if m.get("checksum") != _checksum_dir(mp.parent):
+            return False
+        if expected_input_files is not None and (
+            m.get("input_files") != list(expected_input_files)
+        ):
+            return False
+        return True
     except (json.JSONDecodeError, OSError):
         return False
 
@@ -172,7 +184,7 @@ def run_partitioned(
     t0 = time.perf_counter()
     for part, files in enumerate(parts_files):
         part_dir = out / f"part={part}"
-        if resume and partition_complete(out, part):
+        if resume and partition_complete(out, part, expected_input_files=files):
             metrics["skipped"] += 1
             continue
         # incomplete partial output -> rebuild from scratch (atomic unit)

@@ -138,6 +138,33 @@ class TestRunPartitioned:
         assert m["ran"] == 1 and m["skipped"] == 3
         assert (split / "_split_manifest.json").stat().st_mtime_ns == split_mtime
 
+    def test_changed_input_assignment_invalidates_partitions(self, tmp_path):
+        """Adding an input file re-shuffles the round-robin assignment;
+        stale manifests must NOT be trusted (silently skipping the new
+        file's rows would under-count)."""
+        in_dir = tmp_path / "pages"
+        in_dir.mkdir()
+
+        def shard(f, n=10):
+            t = pa.table({
+                "url": pa.array([f"https://x/{f}/{i}" for i in range(n)], pa.string()),
+                "val": pa.array([f * 100 + i for i in range(n)], pa.int64()),
+            })
+            pq.write_table(t, in_dir / f"shard-{f}.parquet")
+
+        for f in range(4):
+            shard(f)
+        out = tmp_path / "out"
+        m1 = run_partitioned(str(in_dir), out, _double, n_partitions=2)
+        assert m1["rows"] == 40
+        shard(4)  # new input file arrives
+        m2 = run_partitioned(str(in_dir), out, _double, n_partitions=2)
+        assert m2["ran"] >= 1  # affected partitions recomputed
+        got = read_output(out).to_pandas()
+        assert len(got) == 50  # nothing silently skipped
+        assert sorted(got["val2"]) == sorted(
+            2 * (f * 100 + i) for f in range(5) for i in range(10))
+
     def test_corrupt_manifest_detected(self, tmp_path):
         pages = _make_pages(tmp_path)
         out = tmp_path / "out"
