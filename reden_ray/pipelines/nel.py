@@ -114,13 +114,18 @@ class NELPipeline:
         src = mentions_ds if mentions_ds is not None else self.mentions()
         if self.cfg.link_shuffle == "none":
             # fused mentions->links: candidate gen runs inside the link
-            # batch fn — no packing, no serialization, no sort
+            # batch fn — no packing, no serialization, no sort. The
+            # stage self-verifies url/block contiguity at runtime and
+            # re-links any straddled urls through the sort path
+            # (stats land in self.last_link_stats).
             from ..stages.linker import link_documents_from_mentions
 
+            self.last_link_stats = {}
             return link_documents_from_mentions(
                 src, self.dico_ref, self.kb_ref, self.sameas_ref,
                 rels=self.cfg.rels, measure=self.cfg.measure,
                 prefered_uri_order=self.cfg.prefered_uri_order,
+                stats=self.last_link_stats,
             )
         packed = generate_candidates_packed(src, self.dico_ref, batch_size=8192)
         return link_documents_packed(

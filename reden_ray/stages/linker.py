@@ -2,8 +2,10 @@
 
 This is the algorithmic core of the reference. The DEFAULT execution
 shape is a FUSED zero-shuffle map (``link_documents_from_mentions``):
-candidate lookup + graph linking run inside one batch fn, exact
-because a page's mention rows are block-contiguous. The url-hash
+candidate lookup + graph linking run inside one batch fn, exact via
+per-page block contiguity which the stage PROVES at runtime (tagged
+boundary rows detect urls straddling a block split; straddled urls
+are re-linked through the sort path). The url-hash
 bucket ``groupby(...).map_groups`` paths (``link_documents`` for
 row-form candidates, ``link_documents_packed(shuffle="sort")`` for
 packed rows) remain for inputs with arbitrary partitioning. Semantics
@@ -420,22 +422,24 @@ def _make_packed_link_fn(kb_ref, sameas_ref, rels, measure, prefered_uri_order):
 def link_documents_packed(packed_ds, kb_ref, sameas_ref, rels=None,
                           measure: str = "degree", prefered_uri_order: str = "ALL",
                           num_buckets: int = DEFAULT_URL_BUCKETS,
-                          shuffle: str = "none"):
+                          shuffle: str = "sort"):
     """Packed per-url candidates -> links Dataset.
 
-    ``shuffle="none"`` (default): NO shuffle at all — each packed row
-    links independently inside a plain ``map_batches``. Exact iff every
-    url has all its candidate tuples in ONE batch, which whole-block
-    packing guarantees (``generate_candidates_packed(batch_size=None)``
-    + the NER stage emitting a page's mentions contiguously). This
-    removes the single largest cost of the pipeline (the 600k-row
-    payload sort measured at 50-70% of headline wall).
+    ``shuffle="sort"`` (default): the url-hash bucket groupby — one
+    zlib-compressed binary row per page through the sort. Exact for ANY
+    input partitioning (a url's payload fragments merge in the bucket
+    fn), so it is the safe public default for packed rows re-read from
+    arbitrary Parquet.
 
-    ``shuffle="sort"``: the round-1 url-hash bucket groupby — one
-    zlib-compressed binary row per page through the sort; use when the
-    packed rows may be FRAGMENTED (a url's tuples split across blocks,
-    e.g. packed output re-read from arbitrary Parquet). Output of the
-    two modes is identical on unfragmented input (tested)."""
+    ``shuffle="none"``: NO shuffle at all — each packed row links
+    independently inside a plain ``map_batches``. Exact iff every url
+    has all its candidate tuples in ONE batch, which whole-block
+    packing guarantees (``generate_candidates_packed(batch_size=None)``
+    + the NER stage emitting a page's mentions contiguously). Callers
+    must opt in knowingly; the NEL pipeline's default fast path is the
+    fused ``link_documents_from_mentions`` which self-verifies
+    contiguity at runtime instead of assuming it. Output of the two
+    modes is identical on unfragmented input (tested)."""
     fn = _make_packed_link_fn(kb_ref, sameas_ref, rels, measure, prefered_uri_order)
     if shuffle == "none":
         return packed_ds.map_batches(fn, batch_format="pandas", batch_size=None)
@@ -445,19 +449,59 @@ def link_documents_packed(packed_ds, kb_ref, sameas_ref, rels=None,
     return bucketed.groupby("__bucket").map_groups(fn, batch_format="pandas")
 
 
+# Per-process batch-tag state for the fused path's straddle detection:
+# a random 44-bit process salt + 20-bit in-process counter gives every
+# fused batch invocation a cluster-unique int64 tag (pids alone collide
+# across nodes).
+_BTAG_SALT: int | None = None
+_BTAG_COUNTER = 0
+
+
+def _next_btag() -> int:
+    global _BTAG_SALT, _BTAG_COUNTER
+    if _BTAG_SALT is None:
+        import os
+
+        _BTAG_SALT = int.from_bytes(os.urandom(8), "big") & 0x7FFF_FFFF_FFF0_0000
+    _BTAG_COUNTER = (_BTAG_COUNTER + 1) & 0xFFFFF
+    return _BTAG_SALT | _BTAG_COUNTER
+
+
 def link_documents_from_mentions(mentions_ds, dico_ref, kb_ref, sameas_ref,
                                  rels=None, measure: str = "degree",
-                                 prefered_uri_order: str = "ALL"):
+                                 prefered_uri_order: str = "ALL",
+                                 stats: dict | None = None):
     """Mentions -> links in ONE fused map stage, zero shuffle and zero
-    intermediate serialization.
+    intermediate serialization — SELF-VERIFYING against block
+    fragmentation.
 
     Candidate generation (J1 broadcast exact-match, D1 dedup, K2 cap —
     same logic as CandidateGen) runs INSIDE the link batch fn, so the
     candidate tuples never cross a process boundary: no packing, no
-    pickling, no sort. Exact iff each url's mention rows sit in one
-    batch — guaranteed by whole-block batches (batch_size=None) over
-    the NER stage's per-page-contiguous output. For fragmented inputs
-    use the packed + sort path (``link_documents_packed``)."""
+    pickling, no sort. Exactness needs each url's mention rows in one
+    batch; whole-block batches over the NER stage's per-page-contiguous
+    output normally guarantee that, but Ray's dynamic block splitting
+    can cut an oversized block mid-page. Instead of assuming, the stage
+    PROVES contiguity at runtime:
+
+    1. each batch also re-emits the mention rows of its FIRST and LAST
+       url tagged with a batch-unique ``__btag`` (a url fragmented
+       across blocks can only ever sit at block edges — map stages
+       preserve row order, so fragments land in adjacent batches);
+    2. after materializing, urls whose boundary rows carry >= 2
+       distinct tags are *straddled* — their fused links were computed
+       from partial contexts;
+    3. straddled urls (normally zero) have their fused links dropped
+       and are re-linked exactly through the packed + sort path, built
+       from the boundary mention rows themselves (no lineage re-run).
+
+    Common case cost: a handful of extra rows per batch and one tiny
+    driver read of distinct (url, tag) pairs — no shuffle, no fallback
+    re-execution. ``stats`` (optional dict) receives
+    ``{"straddled_urls": n, "boundary_pairs": n}``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     from .candidates import MAX_CANDIDATES
 
     def link_batch(batch) -> "pa.Table":
@@ -472,8 +516,12 @@ def link_documents_from_mentions(mentions_ds, dico_ref, kb_ref, sameas_ref,
                 out.extend(link_context(cur_rows, kb, sameas, rels, measure,
                                         prefered_uri_order))
 
+        urls = batch.column("url").to_pylist()
+        edge_urls = {urls[0], urls[-1]} if urls else set()
+        btag = _next_btag()
+        b_url, b_mid, b_surf, b_norm = [], [], [], []
         for url, mid, surface, norm in zip(
-            batch.column("url").to_pylist(),
+            urls,
             batch.column("mention_id").to_pylist(),
             batch.column("surface").to_pylist(),
             batch.column("surface_norm").to_pylist(),
@@ -481,6 +529,11 @@ def link_documents_from_mentions(mentions_ds, dico_ref, kb_ref, sameas_ref,
             if url != cur_url:
                 flush()
                 cur_url, cur_rows = url, []
+            if url in edge_urls:
+                b_url.append(url)
+                b_mid.append(mid)
+                b_surf.append(surface)
+                b_norm.append(norm)
             cands = index.get(norm)
             if not cands:
                 continue
@@ -498,10 +551,86 @@ def link_documents_from_mentions(mentions_ds, dico_ref, kb_ref, sameas_ref,
                 if rank >= MAX_CANDIDATES:  # K2
                     break
         flush()
-        return _links_arrow(out)
+        t = _links_arrow(out)
+        t = t.append_column("__btag", pa.nulls(t.num_rows, pa.int64()))
+        if b_url:
+            n = len(b_url)
+            t = pa.concat_tables([t, pa.table({
+                "url": pa.array(b_url, pa.string()),
+                "mention_id": pa.array(b_mid, pa.int64()),
+                "surface": pa.array(b_surf, pa.string()),
+                "surface_norm": pa.array(b_norm, pa.string()),
+                "uri": pa.nulls(n, pa.string()),
+                "all_uris": pa.nulls(n, pa.list_(pa.string())),
+                "score": pa.nulls(n, pa.float64()),
+                "__btag": pa.array([btag] * n, pa.int64()),
+            })])
+        return t
 
-    return mentions_ds.map_batches(link_batch, batch_format="pyarrow",
-                                   batch_size=None)
+    mixed = mentions_ds.map_batches(
+        link_batch, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    # distinct (url, __btag) pairs, deduped per block before the driver
+    # read: <= a few rows per source batch regardless of corpus size.
+    def _pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("__btag")))
+        return t.group_by(["url", "__btag"]).aggregate([])
+
+    pairs = (
+        mixed.select_columns(["url", "__btag"])
+        .map_batches(_pairs, batch_format="pyarrow")
+        .to_pandas()
+    )
+    tag_counts = pairs.groupby("url")["__btag"].nunique() if len(pairs) else None
+    straddled = (
+        set(tag_counts[tag_counts >= 2].index) if tag_counts is not None else set()
+    )
+    if stats is not None:
+        stats["straddled_urls"] = len(straddled)
+        stats["boundary_pairs"] = int(len(pairs))
+
+    if not straddled:
+        def keep_links(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_null(t.column("__btag"))).drop_columns(["__btag"])
+
+        return mixed.map_batches(keep_links, batch_format="pyarrow")
+
+    # Rare path: at least one url's fused links came from a partial
+    # context. Drop them and re-link exactly via the sort path, fed by
+    # the boundary mention rows already in `mixed` (fragments of a url
+    # are row-disjoint, so their union is the complete mention set).
+    bad = pa.array(sorted(straddled), pa.string())
+
+    def keep_good(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.is_null(t.column("__btag")),
+            pc.invert(pc.is_in(t.column("url"), value_set=bad)),
+        )
+        return t.filter(mask).drop_columns(["__btag"])
+
+    def boundary_mentions(t: pa.Table) -> pa.Table:
+        from .ner import stable_url_hash
+
+        mask = pc.and_(
+            pc.is_valid(t.column("__btag")),
+            pc.is_in(t.column("url"), value_set=bad),
+        )
+        t = t.filter(mask).select(["url", "mention_id", "surface", "surface_norm"])
+        uh = pa.array([stable_url_hash(u) for u in t.column("url").to_pylist()],
+                      pa.int64())
+        return t.append_column("url_hash", uh)
+
+    from .candidates import generate_candidates_packed
+
+    good = mixed.map_batches(keep_good, batch_format="pyarrow")
+    repair_mentions = mixed.map_batches(boundary_mentions, batch_format="pyarrow")
+    repaired = link_documents_packed(
+        generate_candidates_packed(repair_mentions, dico_ref, batch_size=8192),
+        kb_ref, sameas_ref, rels=rels, measure=measure,
+        prefered_uri_order=prefered_uri_order, num_buckets=16, shuffle="sort",
+    )
+    return good.union(repaired)
 
 
 def make_edges_bucket_fn(kb_ref, sameas_ref, rels=None, pruned: bool = True):

@@ -45,6 +45,44 @@ class TestLinkPathEquivalence:
         row, _, packed_sort = all_paths
         _assert_same_links(row, packed_sort)
 
+    def test_fused_repairs_block_split_mid_page(self, unit_fixture):
+        """Force the hazard the fused path guards against: a url's
+        mention rows cut across two blocks (what Ray's dynamic block
+        splitting would do to an oversized NER output block). The
+        self-verifying fused path must detect the straddle and still
+        emit links identical to the row-path gold."""
+        import ray.data as rd
+
+        from reden_ray.stages.linker import link_documents_from_mentions
+
+        p = NELPipeline(unit_fixture)
+        m = p.mentions().to_pandas()
+        counts = m.groupby("url", sort=False).size()
+        url = counts[counts >= 2].index[0]
+        run = m.index[m["url"] == url]
+        cut = run[0] + 1  # split that url's run after its first row
+        frag = rd.from_pandas([m.iloc[:cut], m.iloc[cut:]])
+        stats = {}
+        linked = link_documents_from_mentions(
+            frag, p.dico_ref, p.kb_ref, p.sameas_ref, stats=stats
+        ).to_pandas()
+        assert stats["straddled_urls"] >= 1
+        gold = p.links(p.candidates(p.mentions())).to_pandas()
+        _assert_same_links(gold, linked)
+
+    def test_fused_reports_zero_straddles_on_contiguous_input(self, unit_fixture):
+        from reden_ray.stages.linker import link_documents_from_mentions
+
+        p = NELPipeline(unit_fixture)
+        stats = {}
+        linked = link_documents_from_mentions(
+            p.mentions(), p.dico_ref, p.kb_ref, p.sameas_ref, stats=stats
+        ).to_pandas()
+        assert stats["straddled_urls"] == 0
+        assert stats["boundary_pairs"] >= 1
+        gold = p.links(p.candidates(p.mentions())).to_pandas()
+        _assert_same_links(gold, linked)
+
     def test_packed_sort_merges_fragmented_urls(self, unit_fixture):
         """The sort path's reason to exist: url payload fragments in
         DIFFERENT blocks must merge into one context before linking."""
