@@ -64,8 +64,10 @@ def annotate_pages(texts_ds, links_ds, num_buckets: int = DEFAULT_URL_BUCKETS,
             for t in links.sort_values(["url", "mention_id"]).itertuples(index=False):
                 a = {"mention_id": int(t.mention_id), "surface": t.surface, "uri": t.uri}
                 if add_scores:
-                    s = float(t.score)
-                    a["score"] = None if math.isnan(s) else s
+                    # score may arrive as None (e.g. an all-NoAmbiguity
+                    # batch yields an Arrow null / object column)
+                    s = None if t.score is None else float(t.score)
+                    a["score"] = None if s is None or math.isnan(s) else s
                 ann.setdefault(t.url, []).append(a)
         out = pages[["url", "text"]].copy()
         out["annotations"] = out["url"].map(lambda u: json.dumps(ann.get(u, [])))

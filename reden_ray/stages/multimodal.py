@@ -267,12 +267,15 @@ class ImageResizer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_payloads, widths, heights = [], [], []
-        for mime, payload in zip(batch.column("mime").to_pylist(),
-                                 batch.column("payload").to_pylist()):
+        for mime, payload, w0, h0 in zip(batch.column("mime").to_pylist(),
+                                         batch.column("payload").to_pylist(),
+                                         batch.column("width").to_pylist(),
+                                         batch.column("height").to_pylist()):
             if mime != "image/bmp":
+                # pass-through rows keep their sidecar metadata intact
                 out_payloads.append(payload)
-                widths.append(-1)
-                heights.append(-1)
+                widths.append(w0)
+                heights.append(h0)
                 continue
             px = decode_bmp(payload)
             h, w, _ = px.shape

@@ -64,11 +64,23 @@ def assign_files(files: list[Path], n_partitions: int) -> list[list[str]]:
     return parts
 
 
+def _file_stats(files: list[str] | list[Path]) -> list[list]:
+    """[path, size, mtime_ns] per file — the staleness signature.
+    Size alone misses same-size in-place rewrites; mtime_ns catches
+    them (the same signature the IVF index cache uses)."""
+    out = []
+    for f in sorted(str(f) for f in files):
+        st = os.stat(f)
+        out.append([f, st.st_size, st.st_mtime_ns])
+    return out
+
+
 def _input_fingerprint(files: list[Path]) -> str:
     h = hashlib.md5()
-    for f in sorted(files):
-        h.update(str(f).encode())
-        h.update(str(f.stat().st_size).encode())
+    for f, size, mtime_ns in _file_stats(files):
+        h.update(f.encode())
+        h.update(str(size).encode())
+        h.update(str(mtime_ns).encode())
     return h.hexdigest()
 
 
@@ -91,12 +103,20 @@ def _split_single_input(files: list[Path], split_dir: Path, n_partitions: int) -
 
 
 def prepare_input_partitions(
-    pages_path: str | Path, out_dir: str | Path, n_partitions: int
+    pages_path: str | Path, out_dir: str | Path, n_partitions: int,
+    url_partitioned: bool = False,
 ) -> list[list[str]]:
     """File lists per partition; splits the input once if it has fewer
-    files than partitions (idempotent, manifest-guarded)."""
+    files than partitions (idempotent, manifest-guarded).
+
+    ``url_partitioned=True`` forces the hash(url) split pass even for
+    many-file inputs. File-granular assignment does NOT co-locate a
+    url re-crawled into a different input file, so a pipeline_fn that
+    collapses re-crawls (``latest_page_per_url``) only sees one of the
+    two rows per partition; the url-hash split restores the one-
+    context-per-url invariant at the cost of one full input rewrite."""
     files = list_parquet_files(pages_path)
-    if len(files) >= n_partitions:
+    if len(files) >= n_partitions and not url_partitioned:
         return assign_files(files, n_partitions)
 
     split_dir = Path(out_dir) / "_input"
@@ -148,10 +168,11 @@ def manifest_path(out_dir: str | Path, part: int) -> Path:
 def partition_complete(out_dir: str | Path, part: int,
                        expected_input_files: list[str] | None = None) -> bool:
     """A partition is complete iff its manifest verifies against the
-    output files AND (when given) against the CURRENT input assignment:
-    adding/removing input files re-shuffles the round-robin assignment,
-    which must invalidate the stale partitions rather than silently
-    skipping rows."""
+    output files AND (when given) against the CURRENT input assignment
+    and input file stats: adding/removing input files re-shuffles the
+    round-robin assignment, and an in-place rewrite of an input file
+    (even same-size) changes its mtime_ns — both must invalidate the
+    stale partition rather than silently skipping rows."""
     mp = manifest_path(out_dir, part)
     if not mp.exists():
         return False
@@ -159,10 +180,11 @@ def partition_complete(out_dir: str | Path, part: int,
         m = json.loads(mp.read_text())
         if m.get("checksum") != _checksum_dir(mp.parent):
             return False
-        if expected_input_files is not None and (
-            m.get("input_files") != list(expected_input_files)
-        ):
-            return False
+        if expected_input_files is not None:
+            if m.get("input_files") != list(expected_input_files):
+                return False
+            if m.get("input_stat") != _file_stats(expected_input_files):
+                return False
         return True
     except (json.JSONDecodeError, OSError):
         return False
@@ -174,12 +196,20 @@ def run_partitioned(
     pipeline_fn,
     n_partitions: int = 8,
     resume: bool = True,
+    url_partitioned: bool = False,
 ) -> dict:
     """Run ``pipeline_fn(pages_ds) -> Dataset`` per file partition with
-    manifest checkpointing. Returns run metrics."""
+    manifest checkpointing. Returns run metrics.
+
+    ``url_partitioned=True``: partition on hash(url) instead of input
+    files — required when the corpus may contain re-crawls (the same
+    url in different input files) and ``pipeline_fn`` collapses them
+    with ``latest_page_per_url``: a url's rows must share a partition
+    for the collapse to see both."""
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    parts_files = prepare_input_partitions(pages_path, out, n_partitions)
+    parts_files = prepare_input_partitions(pages_path, out, n_partitions,
+                                           url_partitioned=url_partitioned)
     metrics = {"partitions": n_partitions, "skipped": 0, "ran": 0, "rows": 0, "sec": 0.0}
     t0 = time.perf_counter()
     for part, files in enumerate(parts_files):
@@ -202,6 +232,7 @@ def run_partitioned(
             "n_partitions": n_partitions,
             "input": str(pages_path),
             "input_files": [str(f) for f in files],
+            "input_stat": _file_stats(files),
             "rows": n_rows,
             "files": sorted(f.name for f in part_dir.glob("*.parquet")),
             "checksum": _checksum_dir(part_dir),

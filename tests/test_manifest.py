@@ -165,6 +165,62 @@ class TestRunPartitioned:
         assert sorted(got["val2"]) == sorted(
             2 * (f * 100 + i) for f in range(5) for i in range(10))
 
+    def test_inplace_rewrite_of_input_invalidates_partition(self, tmp_path):
+        """Same path, same byte size, new content: the manifest records
+        (size, mtime_ns) per input file, so an in-place rewrite must
+        trigger recompute, not a silent skip of the stale output."""
+        in_dir = tmp_path / "pages"
+        in_dir.mkdir()
+
+        def shard(f, base):
+            t = pa.table({
+                "url": pa.array([f"https://x/{f}/{i}" for i in range(10)], pa.string()),
+                "val": pa.array([base + i for i in range(10)], pa.int64()),
+            })
+            pq.write_table(t, in_dir / f"shard-{f}.parquet")
+
+        for f in range(4):
+            shard(f, f * 100)
+        out = tmp_path / "out"
+        run_partitioned(str(in_dir), out, _double, n_partitions=2)
+        shard(2, 9000)  # same schema/row-count -> near-identical size
+        m2 = run_partitioned(str(in_dir), out, _double, n_partitions=2)
+        assert m2["ran"] >= 1
+        got = read_output(out).to_pandas()
+        assert sorted(got["val2"])[-10:] == [2 * (9000 + i) for i in range(10)]
+
+    def test_cross_file_recrawl_collapses_with_url_partitioning(self, tmp_path):
+        """A url re-crawled into a DIFFERENT input file: file-granular
+        partitions put the two rows in different partitions, so a
+        per-partition latest_page_per_url cannot collapse them.
+        url_partitioned=True hash-splits on url first — both rows share
+        a partition and exactly the newest survives."""
+        from reden_ray.stages.extract import latest_page_per_url
+
+        in_dir = tmp_path / "pages"
+        in_dir.mkdir()
+        for f in range(4):
+            t = pa.table({
+                "url": pa.array(
+                    [f"https://x/{f}/{i}" for i in range(9)] + ["https://x/dup"],
+                    pa.string()),
+                "warc_ts": pa.array([f * 10 + i for i in range(10)], pa.int64()),
+                "val": pa.array([f * 100 + i for i in range(10)], pa.int64()),
+            })
+            pq.write_table(t, in_dir / f"shard-{f}.parquet")
+
+        def collapse(ds):
+            return latest_page_per_url(ds, num_buckets=4)
+
+        out = tmp_path / "out"
+        m = run_partitioned(str(in_dir), out, collapse, n_partitions=4,
+                            url_partitioned=True)
+        got = read_output(out).to_pandas()
+        dup = got[got["url"] == "https://x/dup"]
+        assert len(dup) == 1  # one context per url across ALL partitions
+        assert int(dup["warc_ts"].iloc[0]) == 39  # newest re-crawl wins
+        assert len(got) == 4 * 9 + 1
+
     def test_corrupt_manifest_detected(self, tmp_path):
         pages = _make_pages(tmp_path)
         out = tmp_path / "out"

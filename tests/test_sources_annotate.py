@@ -130,6 +130,24 @@ class TestAnnotate:
         assert ann[0]["score"] == 3.0
         assert ann[1]["score"] is None
 
+    def test_add_scores_all_null_score_column(self):
+        """An all-NoAmbiguity batch arrives with an Arrow null-typed /
+        object score column (every value None); annotation must
+        serialize null, not raise on float(None)."""
+        texts = rd.from_arrow(pa.Table.from_pylist([
+            {"url": "u1", "text": "alpha Dumas beta"},
+        ]))
+        links = rd.from_arrow(pa.table({
+            "url": pa.array(["u1"], pa.string()),
+            "mention_id": pa.array([0], pa.int64()),
+            "surface": pa.array(["Dumas"], pa.string()),
+            "uri": pa.array(["http://kb/d"], pa.string()),
+            "score": pa.nulls(1, pa.float64()),
+        }))
+        out = annotate_pages(texts, links, add_scores=True).to_pandas().set_index("url")
+        ann = json.loads(out.loc["u1", "annotations"])
+        assert ann[0]["score"] is None
+
 
 class TestVisu:
     def test_feature_collection(self):
