@@ -14,8 +14,10 @@ materializes O(corpus) state on the driver:
 * simhash_clusters — 64-bit simhash, Hamming<=k via 4-band exact
   blocking; the full hash rides along in the band rows so verification
   happens INSIDE the bucket group (payload co-located, no second pass).
-* ngram_jaccard_clusters — word-ngram Jaccard verified in-bucket (the
-  text rides in the single blocking-bucket row per doc).
+* ngram_jaccard_clusters — min-ngram-hash blocking over (doc_id,
+  bucket) int rows only; texts attach to candidate pairs via the same
+  semi-join shape as minhash, exact word-ngram Jaccard verifies the
+  pairs vectorized.
 * embedding_dedup_clusters — cosine near-dup over an embedding column
   (random-hyperplane LSH buckets; exact cosine verify in-bucket with a
   vectorized matmul).
@@ -100,11 +102,15 @@ def grouped_pairs(rows_ds, group_cols: list[str], hash_col: str,
     Shuffles on hash(hash_col) % num_buckets (equal groups share their
     hash column, hence a bucket), then loops the bucket's groups in
     plain pandas — Ray never dispatches per tiny group. ``pair_fn(g)``
-    returns [(a, b), ...] for one group's frame; because the group frame
-    carries the blocking payload, pair_fn can VERIFY in place.
-    Returns a Dataset with int64 columns ``a``, ``b`` (may contain
-    duplicates across groups — downstream CC tolerates them; dedup with
-    ``distinct_pairs`` when verification per pair is expensive).
+    returns ``[(a, b), ...]`` — or ``([(a, b), ...], n_dropped)`` when
+    the fn capped its group's membership — for one group's frame;
+    because the group frame carries the blocking payload, pair_fn can
+    VERIFY in place. Returns a Dataset with int64 columns ``a``, ``b``
+    (may contain duplicates across groups — downstream CC tolerates
+    them; dedup with ``distinct_pairs`` when verification per pair is
+    expensive). Groups that reported dropped members emit a MARKER row
+    ``(a=-1, b=n_dropped)``; route the output through
+    ``_strip_truncation_markers`` before CC / distinct_pairs.
     """
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -119,11 +125,48 @@ def grouped_pairs(rows_ds, group_cols: list[str], hash_col: str,
         for _, g in df.groupby(group_cols, sort=False):
             if len(g) < 2:
                 continue
-            recs.extend(pair_fn(g))
+            r = pair_fn(g)
+            pairs, dropped = r if isinstance(r, tuple) else (r, 0)
+            recs.extend(pairs)
+            if dropped:
+                recs.append((-1, dropped))
         return _pairs_frame(recs)
 
     bucketed = rows_ds.map_batches(add_bucket, batch_format="pandas")
     return bucketed.groupby("__b").map_groups(bucket_pairs, batch_format="pandas")
+
+
+def _strip_truncation_markers(pairs_ds, stats: dict | None = None):
+    """Remove ``(a=-1, b=n_dropped)`` truncation markers from a pair
+    Dataset. NEVER silent: workers log a warning per batch containing
+    markers; with a ``stats`` dict the caller additionally gets exact
+    totals (``truncated_buckets``, ``dropped_rows``) — that path
+    materializes the pairs (they are cap-bounded, not corpus-sized)."""
+    if stats is not None:
+        pairs_ds = pairs_ds.materialize()
+        mk = pairs_ds.map_batches(
+            lambda t: t.filter(pc.less(t.column("a"), 0)),
+            batch_format="pyarrow",
+        ).to_pandas()
+        stats["truncated_buckets"] = int(len(mk))
+        stats["dropped_rows"] = int(mk["b"].sum()) if len(mk) else 0
+
+    def strip(t: pa.Table) -> pa.Table:
+        mask = pc.less(t.column("a"), 0)
+        n = pc.sum(mask).as_py() or 0
+        if n:
+            import logging
+
+            dropped = pc.sum(
+                pc.if_else(mask, t.column("b"), pa.scalar(0, pa.int64()))
+            ).as_py()
+            logging.getLogger(__name__).warning(
+                "near-dup blocking: %d bucket(s) over max_bucket, "
+                "%d member row(s) not paired (raise max_bucket or add bands)",
+                n, dropped)
+        return t.filter(pc.invert(mask))
+
+    return pairs_ds.map_batches(strip, batch_format="pyarrow")
 
 
 def distinct_pairs(pairs_ds, num_buckets: int = 64):
@@ -262,8 +305,16 @@ def minhash_lsh_clusters(
     threshold: float = 0.7,
     verify: str = "jaccard",
     concurrency: int | tuple = (1, 4),
+    max_bucket: int = 200,
+    stats: dict | None = None,
 ):
     """Returns a (id_col, cluster) Dataset for docs in near-dup clusters.
+
+    ``max_bucket`` caps per-bucket membership (skew armor against hot
+    bands from boilerplate text: pairing is O(n^2) per bucket). Capped
+    buckets are REPORTED, never silent — workers log a warning, and a
+    caller-supplied ``stats`` dict receives exact
+    ``truncated_buckets`` / ``dropped_rows`` totals.
 
     shingle -> minhash -> (band, sig) groupby (the LSH bucket shuffle)
     -> verified candidate-pair Dataset -> distributed connected
@@ -293,19 +344,25 @@ def minhash_lsh_clusters(
     if exact:
         # in-bucket verification on the co-located content hash
         def equal_hash_pairs(g: pd.DataFrame):
-            items = sorted(zip(g["doc_id"], g["chash"]))[:200]
+            items = sorted(zip(g["doc_id"], g["chash"]))
+            dropped = max(0, len(items) - max_bucket)
+            items = items[:max_bucket]
             return [
                 (items[i][0], items[j][0])
                 for i in range(len(items)) for j in range(i + 1, len(items))
                 if items[i][1] == items[j][1]
-            ]
+            ], dropped
 
-        verified = grouped_pairs(sigs, ["band", "sig"], "sig", equal_hash_pairs)
+        verified = _strip_truncation_markers(
+            grouped_pairs(sigs, ["band", "sig"], "sig", equal_hash_pairs), stats)
         return _clusters_from_pairs(verified, id_col)
 
     def all_pairs(g: pd.DataFrame):
-        ids = sorted(g["doc_id"].tolist())[:200]
-        return [(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))]
+        ids = sorted(g["doc_id"].tolist())
+        dropped = max(0, len(ids) - max_bucket)
+        ids = ids[:max_bucket]
+        return ([(ids[i], ids[j]) for i in range(len(ids))
+                 for j in range(i + 1, len(ids))], dropped)
 
     # dedup before verification: the same pair collides in many bands.
     # Pairs are bounded (banding caps) and fan out to three consumers
@@ -313,7 +370,8 @@ def minhash_lsh_clusters(
     # (repartition also normalizes empty schema-less groupby blocks,
     # which otherwise break join key resolution downstream)
     pairs = distinct_pairs(
-        grouped_pairs(sigs, ["band", "sig"], "sig", all_pairs)
+        _strip_truncation_markers(
+            grouped_pairs(sigs, ["band", "sig"], "sig", all_pairs), stats)
     ).repartition(8).materialize()
     if pairs.count() == 0:  # no candidates anywhere: skip the joins
         import ray.data as rd
@@ -368,7 +426,8 @@ def minhash_dedup(ds, id_col="doc_id", text_col="text", **kw):
 
 
 def simhash_clusters(
-    ds, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+    ds, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3,
+    max_bucket: int = 200, stats: dict | None = None,
 ):
     """Near-dup clusters by 64-bit SimHash with Hamming <= max_hamming.
 
@@ -376,6 +435,8 @@ def simhash_clusters(
     Hamming 3 share at least one exact band (pigeonhole). Bucket
     groupby on (band, value); the full hash rides in the band rows, so
     the exact-Hamming verify happens inside the bucket group.
+    ``max_bucket`` caps per-bucket membership; truncation is logged and
+    totalled into ``stats`` when given (see minhash_lsh_clusters).
     Returns a (id_col, cluster) Dataset.
     """
 
@@ -402,16 +463,19 @@ def simhash_clusters(
     rows = ds.map_batches(sim_rows, batch_format="pyarrow")
 
     def hamming_pairs(g: pd.DataFrame):
-        items = sorted(zip(g["doc_id"], g["h"]))[:200]
+        items = sorted(zip(g["doc_id"], g["h"]))
+        dropped = max(0, len(items) - max_bucket)
+        items = items[:max_bucket]
         out = []
         for i in range(len(items)):
             for j in range(i + 1, len(items)):
                 (a, ha), (b, hb) = items[i], items[j]
                 if hamming64(int(ha), int(hb)) <= max_hamming:
                     out.append((a, b))
-        return out
+        return out, dropped
 
-    pairs = grouped_pairs(rows, ["band", "val"], "val", hamming_pairs)
+    pairs = _strip_truncation_markers(
+        grouped_pairs(rows, ["band", "val"], "val", hamming_pairs), stats)
     return _clusters_from_pairs(pairs, id_col)
 
 
@@ -427,17 +491,27 @@ def ngram_jaccard_clusters(
     n: int = 3,
     threshold: float = 0.5,
     blocks: int = 4,
+    max_bucket: int = 200,
+    stats: dict | None = None,
 ):
     """Blocking on the ``blocks`` SMALLEST word-ngram hashes (each doc
-    lands in up to ``blocks`` buckets); exact Jaccard verify inside the
-    bucket (text rides in the bucket rows). Multi-min blocking fixes
-    the single-min recall fragility: two docs that differ by up to
+    lands in up to ``blocks`` buckets). Multi-min blocking fixes the
+    single-min recall fragility: two docs that differ by up to
     ``blocks - 1`` n-grams are GUARANTEED to share a bucket, and docs
     with Jaccard j share one with prob ~1-(1-j)^blocks.
+
+    The blocking shuffle moves ONLY (doc_id, bucket) int64 rows — 16
+    bytes x ``blocks`` per doc, never the text (which an earlier
+    version replicated x ``blocks`` through the all-to-all). Candidate
+    pairs then get their texts attached by the same distributed
+    semi-join + two hash joins the minhash path uses, and exact
+    word-ngram Jaccard verifies vectorized over the pair rows.
+    ``max_bucket`` caps per-bucket membership; truncation is logged and
+    totalled into ``stats`` when given.
     Returns a (id_col, cluster) Dataset."""
 
     def block_rows(batch: pa.Table) -> pa.Table:
-        ids, buckets, texts = [], [], []
+        ids, buckets = [], []
         for doc_id, text in zip(
             batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
         ):
@@ -446,30 +520,47 @@ def ngram_jaccard_clusters(
             for h in hashes:
                 ids.append(doc_id)
                 buckets.append(h)
-                texts.append(text)
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
                 "bucket": pa.array(buckets, pa.int64()),
-                "text": pa.array(texts, pa.string()),
             }
         )
 
     rows = ds.map_batches(block_rows, batch_format="pyarrow")
 
-    def jaccard_pairs(g: pd.DataFrame):
-        items = sorted(zip(g["doc_id"], g["text"]))[:200]
-        grams = {i: word_ngrams(t, n) for i, t in items}
-        out = []
-        for i in range(len(items)):
-            for j in range(i + 1, len(items)):
-                a, b = items[i][0], items[j][0]
-                if jaccard(grams[a], grams[b]) >= threshold:
-                    out.append((a, b))
-        return out
+    def all_pairs(g: pd.DataFrame):
+        ids = sorted(g["doc_id"].tolist())
+        dropped = max(0, len(ids) - max_bucket)
+        ids = ids[:max_bucket]
+        return ([(ids[i], ids[j]) for i in range(len(ids))
+                 for j in range(i + 1, len(ids))], dropped)
 
-    pairs = grouped_pairs(rows, ["bucket"], "bucket", jaccard_pairs)
-    return _clusters_from_pairs(pairs, id_col)
+    pairs = distinct_pairs(
+        _strip_truncation_markers(
+            grouped_pairs(rows, ["bucket"], "bucket", all_pairs), stats)
+    ).repartition(8).materialize()
+    if pairs.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({id_col: pa.array([], pa.int64()),
+                                       "cluster": pa.array([], pa.int64())}))
+    with_texts = _attach_pair_texts(pairs, ds, id_col, text_col)
+
+    def check(t: pa.Table) -> pa.Table:
+        out_a, out_b = [], []
+        for a, b, x, y in zip(
+            t.column("a").to_pylist(), t.column("b").to_pylist(),
+            t.column("text_a").to_pylist(), t.column("text_b").to_pylist(),
+        ):
+            if jaccard(word_ngrams(x, n), word_ngrams(y, n)) >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+        return pa.table({"a": pa.array(out_a, pa.int64()),
+                         "b": pa.array(out_b, pa.int64())})
+
+    verified = with_texts.map_batches(check, batch_format="pyarrow")
+    return _clusters_from_pairs(verified, id_col)
 
 
 def hash_tuple(t: tuple) -> int:
@@ -493,12 +584,16 @@ def embedding_dedup_clusters(
     threshold: float = 0.95,
     n_planes: int = 8,
     seed: int = 11,
+    max_bucket: int = 500,
+    stats: dict | None = None,
 ):
     """Cosine near-dup via random-hyperplane LSH buckets + exact verify.
 
     Two near-identical vectors land in the same sign-pattern bucket with
     high probability; exact cosine runs only within buckets (vectorized
-    numpy matmul per bucket). Returns a (id_col, cluster) Dataset.
+    numpy matmul per bucket). ``max_bucket`` caps per-bucket membership;
+    truncation is logged and totalled into ``stats`` when given.
+    Returns a (id_col, cluster) Dataset.
     """
 
     def bucket_rows(batch: pa.Table) -> pa.Table:
@@ -522,9 +617,11 @@ def embedding_dedup_clusters(
     rows = ds.map_batches(bucket_rows, batch_format="pyarrow")
 
     def cosine_pairs(g: pd.DataFrame):
-        items = sorted(zip(g["vid"], g["vec"]))[:500]
+        items = sorted(zip(g["vid"], g["vec"]))
+        dropped = max(0, len(items) - max_bucket)
+        items = items[:max_bucket]
         if len(items) < 2:
-            return []
+            return [], dropped
         ids = [int(i) for i, _ in items]
         m = np.array([list(v) for _, v in items], dtype=np.float32)
         m = m / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-12)
@@ -534,7 +631,8 @@ def embedding_dedup_clusters(
             for j in range(i + 1, len(ids)):
                 if sims[i, j] >= threshold:
                     out.append((ids[i], ids[j]))
-        return out
+        return out, dropped
 
-    pairs = grouped_pairs(rows, ["bucket"], "bucket", cosine_pairs)
+    pairs = _strip_truncation_markers(
+        grouped_pairs(rows, ["bucket"], "bucket", cosine_pairs), stats)
     return _clusters_from_pairs(pairs, id_col)

@@ -157,6 +157,54 @@ class TestNoPairsEdge:
         assert ngram_jaccard_clusters(one).count() == 0
 
 
+class TestTruncationReporting:
+    """Per-bucket caps are skew armor; VERDICT requires they never be
+    silent. Overfill a bucket and assert the stats channel reports it."""
+
+    @pytest.fixture(scope="class")
+    def hot_ds(self):
+        # 30 identical docs -> one hot LSH bucket per band
+        rows = [{"doc_id": i, "text": BASE} for i in range(30)]
+        return rd.from_arrow(pa.Table.from_pylist(rows))
+
+    def test_minhash_overfull_bucket_reported(self, hot_ds):
+        stats: dict = {}
+        out = minhash_lsh_clusters(hot_ds, verify="exact", max_bucket=10,
+                                   stats=stats)
+        m = _cmap(out)
+        assert stats["truncated_buckets"] > 0
+        assert stats["dropped_rows"] > 0
+        # retained members still cluster correctly
+        assert all(v == 0 for k, v in m.items() if k < 10)
+
+    def test_simhash_overfull_bucket_reported(self, hot_ds):
+        stats: dict = {}
+        simhash_clusters(hot_ds, max_bucket=10, stats=stats).materialize()
+        assert stats["truncated_buckets"] > 0
+        assert stats["dropped_rows"] > 0
+
+    def test_ngram_overfull_bucket_reported(self, hot_ds):
+        stats: dict = {}
+        ngram_jaccard_clusters(hot_ds, max_bucket=10, stats=stats).materialize()
+        assert stats["truncated_buckets"] > 0
+        assert stats["dropped_rows"] > 0
+
+    def test_embedding_overfull_bucket_reported(self):
+        base = [0.1 * i for i in range(16)]
+        rows = [{"vec_id": i, "embedding": base} for i in range(30)]
+        ds = rd.from_arrow(pa.Table.from_pylist(rows))
+        stats: dict = {}
+        embedding_dedup_clusters(ds, threshold=0.999, max_bucket=10,
+                                 stats=stats).materialize()
+        assert stats["truncated_buckets"] > 0
+        assert stats["dropped_rows"] > 0
+
+    def test_no_truncation_reports_zero(self, doc_ds):
+        stats: dict = {}
+        minhash_lsh_clusters(doc_ds, verify="exact", stats=stats).materialize()
+        assert stats == {"truncated_buckets": 0, "dropped_rows": 0}
+
+
 class TestDeterminism:
     def test_minhash_stable_across_runs(self, doc_ds):
         def run():
