@@ -60,6 +60,54 @@ from ..state.broadcast import get_broadcast
 # ---------------------------------------------------------------------------
 
 
+# Per-worker cache of each candidate's expanded KB neighborhood.
+# The probe expansion (base + equivalence URIs + sameAs hop), the KB
+# lookups and the URL-decoding of every neighbor are IDENTICAL for
+# every page that mentions the same dictionary entry — profiling showed
+# they dominate build_fusion_graph. Keyed by the identity of the
+# (kb, sameas, rels) broadcast objects (pinned so ids can't be reused),
+# valued by {(entity_id, uris): (decoded_vertex, [(dst, pred, w)])}.
+_NEIGH_CACHES: dict[tuple, tuple] = {}
+_NEIGH_CACHES_MAX = 4  # distinct broadcast states per worker process
+
+
+def _neigh_cache(kb, sameas, rels) -> dict:
+    key = (id(kb), id(sameas), id(rels) if rels else 0)
+    hit = _NEIGH_CACHES.get(key)
+    if hit is None:
+        if len(_NEIGH_CACHES) >= _NEIGH_CACHES_MAX:
+            _NEIGH_CACHES.pop(next(iter(_NEIGH_CACHES)))
+        # pin the state objects: their ids are the key, so they must
+        # not be garbage-collected and reused while the cache lives
+        hit = ((kb, sameas, rels), {})
+        _NEIGH_CACHES[key] = hit
+    return hit[1]
+
+
+def _entity_edges(base: str, uris, kb, sameas, rels, cache: dict):
+    """(decoded vertex, [(decoded_dst, pred, weight)]) for one candidate."""
+    ckey = (base, tuple(uris))
+    ent = cache.get(ckey)
+    if ent is None:
+        vb = decompose(base)
+        probe: list[str] = [base]
+        for u in uris:
+            if u != base:
+                probe.append(u)
+        for u in sameas.get(base, ()):  # J4: one hop, non-transitive
+            if u not in probe:
+                probe.append(u)
+        elist: list[tuple[str, str, float]] = []
+        for u in probe:
+            for pred, obj, _is_lit, w in kb.get(u, ()):
+                if pred == SAMEAS_PRED:
+                    continue
+                elist.append((decompose(obj), pred, rels.get(pred, w) if rels else w))
+        ent = (vb, elist)
+        cache[ckey] = ent
+    return ent
+
+
 def build_fusion_graph(
     cand_rows: list[dict],
     kb: dict[str, list[tuple[str, str, bool, float]]],
@@ -74,40 +122,26 @@ def build_fusion_graph(
       adj:   {vertex: set(neighbor)}       — undirected adjacency
       inverted: {candidate_vertex: mention_id}  (J2, last-writer-wins)
     """
-    rels = rels or {}
     edges: dict[tuple[str, str], tuple[str, float]] = {}
     adj: dict[str, set[str]] = {}
     cand_vertices: set[str] = set()
     inverted: dict[str, int] = {}
-
-    def add_edge(src: str, dst: str, pred: str, w: float) -> None:
-        if src == dst:
-            return  # self-loops skipped (GraphHandlerNEL vertex1!=vertex2)
-        key = (src, dst)
-        if key not in edges:  # SimpleDirectedGraph: first edge wins
-            edges[key] = (pred, w)
-            adj.setdefault(src, set()).add(dst)
-            adj.setdefault(dst, set()).add(src)
+    cache = _neigh_cache(kb, sameas, rels)
 
     for row in cand_rows:
-        base = row["entity_id"]
-        vb = decompose(base)
+        vb, elist = _entity_edges(row["entity_id"], row["uris"], kb, sameas,
+                                  rels, cache)
         cand_vertices.add(vb)
         adj.setdefault(vb, set())
         inverted[vb] = row["mention_id"]  # last-writer-wins (J2)
-        probe: list[str] = [base]
-        for u in row["uris"]:
-            if u != base:
-                probe.append(u)
-        for u in sameas.get(base, ()):  # J4: one hop, non-transitive
-            if u not in probe:
-                probe.append(u)
-        for u in probe:
-            for pred, obj, _is_lit, w in kb.get(u, ()):
-                if pred == SAMEAS_PRED:
-                    continue
-                weight = rels.get(pred, w)
-                add_edge(vb, decompose(obj), pred, weight)
+        for dst, pred, weight in elist:
+            if vb == dst:
+                continue  # self-loops skipped (GraphHandlerNEL vertex1!=vertex2)
+            key = (vb, dst)
+            if key not in edges:  # SimpleDirectedGraph: first edge wins
+                edges[key] = (pred, weight)
+                adj.setdefault(vb, set()).add(dst)
+                adj.setdefault(dst, set()).add(vb)
     return edges, adj, cand_vertices, inverted
 
 
@@ -449,6 +483,28 @@ def link_documents_packed(packed_ds, kb_ref, sameas_ref, rels=None,
     return bucketed.groupby("__bucket").map_groups(fn, batch_format="pandas")
 
 
+# Per-worker bounded memo for the fused path: pages with IDENTICAL
+# mention sequences (mention_id is page-local, so boilerplate /
+# duplicated pages collide exactly) produce identical links modulo the
+# url column. Web corpora repeat pages heavily; a memo hit skips
+# candidate generation AND graph linking. Keyed by the broadcast-state
+# identity + the page's (mention_id, surface, surface_norm) signature;
+# FIFO-bounded.
+_CTX_MEMOS: dict[tuple, dict] = {}
+_CTX_MEMOS_MAX = 4
+_CTX_MEMO_MAX_ENTRIES = 8192
+
+
+def _ctx_memo(state_key: tuple) -> dict:
+    memo = _CTX_MEMOS.get(state_key)
+    if memo is None:
+        if len(_CTX_MEMOS) >= _CTX_MEMOS_MAX:
+            _CTX_MEMOS.pop(next(iter(_CTX_MEMOS)))
+        memo = {}
+        _CTX_MEMOS[state_key] = memo
+    return memo
+
+
 # Per-process batch-tag state for the fused path's straddle detection:
 # a random 44-bit process salt + 20-bit in-process counter gives every
 # fused batch invocation a cluster-unique int64 tag (pids alone collide
@@ -504,53 +560,72 @@ def link_documents_from_mentions(mentions_ds, dico_ref, kb_ref, sameas_ref,
 
     from .candidates import MAX_CANDIDATES
 
+    state_key = (dico_ref.hex(), kb_ref.hex(), sameas_ref.hex(), measure,
+                 prefered_uri_order,
+                 tuple(sorted(rels.items())) if rels else ())
+
     def link_batch(batch) -> "pa.Table":
         index = get_broadcast(dico_ref)
         kb = get_broadcast(kb_ref)
         sameas = get_broadcast(sameas_ref)
+        memo = _ctx_memo(state_key)
         out: list[dict] = []
-        cur_url, cur_rows = None, []
-
-        def flush():
-            if cur_rows:
-                out.extend(link_context(cur_rows, kb, sameas, rels, measure,
-                                        prefered_uri_order))
 
         urls = batch.column("url").to_pylist()
+        mids = batch.column("mention_id").to_pylist()
+        surfs = batch.column("surface").to_pylist()
+        norms = batch.column("surface_norm").to_pylist()
         edge_urls = {urls[0], urls[-1]} if urls else set()
         btag = _next_btag()
         b_url, b_mid, b_surf, b_norm = [], [], [], []
-        for url, mid, surface, norm in zip(
-            urls,
-            batch.column("mention_id").to_pylist(),
-            batch.column("surface").to_pylist(),
-            batch.column("surface_norm").to_pylist(),
-        ):
-            if url != cur_url:
-                flush()
-                cur_url, cur_rows = url, []
+
+        def link_page(url: str, s: int, e: int) -> None:
+            """Link one page's contiguous mention rows [s, e)."""
             if url in edge_urls:
-                b_url.append(url)
-                b_mid.append(mid)
-                b_surf.append(surface)
-                b_norm.append(norm)
-            cands = index.get(norm)
-            if not cands:
-                continue
-            seen: set[tuple[str, ...]] = set()  # D1
-            rank = 0
-            for entity_id, uris, _ne in cands:
-                if uris in seen:
-                    continue
-                seen.add(uris)
-                cur_rows.append(
-                    {"url": url, "mention_id": mid, "surface": surface,
-                     "surface_norm": norm, "cand_rank": rank,
-                     "entity_id": entity_id, "uris": list(uris)})
-                rank += 1
-                if rank >= MAX_CANDIDATES:  # K2
-                    break
-        flush()
+                b_url.extend([url] * (e - s))
+                b_mid.extend(mids[s:e])
+                b_surf.extend(surfs[s:e])
+                b_norm.extend(norms[s:e])
+            sig = (tuple(mids[s:e]), tuple(surfs[s:e]), tuple(norms[s:e]))
+            tpls = memo.get(sig)
+            if tpls is None:
+                cur_rows: list[dict] = []
+                for i in range(s, e):
+                    cands = index.get(norms[i])
+                    if not cands:
+                        continue
+                    seen: set[tuple[str, ...]] = set()  # D1
+                    rank = 0
+                    for entity_id, uris, _ne in cands:
+                        if uris in seen:
+                            continue
+                        seen.add(uris)
+                        cur_rows.append(
+                            {"url": url, "mention_id": mids[i],
+                             "surface": surfs[i], "surface_norm": norms[i],
+                             "cand_rank": rank, "entity_id": entity_id,
+                             "uris": list(uris)})
+                        rank += 1
+                        if rank >= MAX_CANDIDATES:  # K2
+                            break
+                tpls = [
+                    {k: v for k, v in d.items() if k != "url"}
+                    for d in link_context(cur_rows, kb, sameas, rels, measure,
+                                          prefered_uri_order)
+                ]
+                if len(memo) >= _CTX_MEMO_MAX_ENTRIES:
+                    memo.pop(next(iter(memo)))
+                memo[sig] = tpls
+            for t in tpls:
+                d = dict(t)
+                d["url"] = url
+                out.append(d)
+
+        start = 0
+        for i in range(1, len(urls) + 1):
+            if i == len(urls) or urls[i] != urls[start]:
+                link_page(urls[start], start, i)
+                start = i
         t = _links_arrow(out)
         t = t.append_column("__btag", pa.nulls(t.num_rows, pa.int64()))
         if b_url:

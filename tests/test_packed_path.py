@@ -83,6 +83,36 @@ class TestLinkPathEquivalence:
         gold = p.links(p.candidates(p.mentions())).to_pandas()
         _assert_same_links(gold, linked)
 
+    def test_fused_memo_hits_match_row_path_on_duplicate_pages(self, unit_fixture):
+        """The fused path memoizes per-page link results keyed on the
+        mention signature; duplicated pages (same text, new url) take
+        the memo-hit path and must still match the memo-free row-path
+        gold exactly, with the url column rewritten per page."""
+        import pandas as pd
+        import ray.data as rd
+
+        from reden_ray.stages.candidates import generate_candidates
+        from reden_ray.stages.linker import link_documents, link_documents_from_mentions
+        from reden_ray.stages.ner import stable_url_hash
+
+        p = NELPipeline(unit_fixture)
+        m = p.mentions().to_pandas()
+        copies = []
+        for r in range(3):  # replicate every page under 3 new urls
+            c = m.copy()
+            c["url"] = c["url"] + f"?copy={r}"
+            c["url_hash"] = [stable_url_hash(u) for u in c["url"]]
+            copies.append(c)
+        dup = pd.concat([m] + copies, ignore_index=True)
+        dup_ds = rd.from_arrow(
+            __import__("pyarrow").Table.from_pandas(dup, preserve_index=False))
+        fused = link_documents_from_mentions(
+            dup_ds, p.dico_ref, p.kb_ref, p.sameas_ref).to_pandas()
+        gold = link_documents(
+            generate_candidates(dup_ds, p.dico_ref), p.kb_ref, p.sameas_ref
+        ).to_pandas()
+        _assert_same_links(gold, fused)
+
     def test_packed_sort_merges_fragmented_urls(self, unit_fixture):
         """The sort path's reason to exist: url payload fragments in
         DIFFERENT blocks must merge into one context before linking."""
