@@ -248,15 +248,16 @@ def _q_ann_ivf(sf_dir: str):
 
 def _q_multimodal(sf_dir: str):
     """Media decode + feature extraction: REAL pure-Python codecs for
-    BMP images and WAV audio (width/height/channel means; duration/RMS/
-    peak/ZCR); only the video rows fall back to the deterministic fake
-    (no video container codec exists in this environment)."""
+    ALL THREE modalities — BMP images (width/height/channel means), WAV
+    audio (duration/RMS/peak/ZCR), and uncompressed-AVI video (frame
+    count/fps/duration/brightness/motion). fake=False: no stubbed
+    decode remains."""
     import ray.data as rd
 
     from reden_ray.stages.multimodal import decode_features, synth_media_table
 
     media = rd.from_arrow(synth_media_table(n=48))
-    return decode_features(media, fake=True).select_columns(
+    return decode_features(media, fake=False).select_columns(
         ["media_id", "kind"]
     )
 

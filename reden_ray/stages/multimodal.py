@@ -12,12 +12,16 @@ for two modalities (no external codec libs exist in this container):
   ``resize_images`` does nearest-neighbor resampling and re-encodes.
 * WAV (16-bit PCM mono) — encode/decode via stdlib ``wave``;
   features: duration, RMS, peak, zero-crossing rate.
+* AVI (RIFF container, uncompressed 24-bit DIB frames) — encode/decode
+  in struct + numpy (round 3; closes the last declared stub); features:
+  width, height, frame count, fps, duration, brightness, inter-frame
+  motion; ``sample_video_frames`` re-encodes sampled frames as BMP.
 
-Video (and any codec this container can't parse, e.g. JPEG/MP3) stays
-behind ``DecodeStub``: ``NotImplementedError`` unless ``fake=True``
-runs the deterministic fake — the declared environment limitation; the
-Ray-side plumbing (schema, batch sizing, actor signature, output
-layout) is identical to the real-codec path and tested.
+Codecs this container genuinely can't parse (JPEG/MP3/MP4) raise
+``NotImplementedError`` unless ``fake_fallback=True`` substitutes the
+deterministic fake — the declared environment limitation; the Ray-side
+plumbing (schema, batch sizing, actor signature, output layout) is
+identical to the real-codec path and tested.
 
 Batch-size guidance: payload bytes x batch_size x concurrency must fit
 the worker heap; for ~1 MiB images use batch_size<=64. Blocks holding
@@ -121,6 +125,118 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return pcm, rate
 
 
+def _dib_rows(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> bottom-up BGR rows padded to 4 bytes (the
+    DIB pixel layout shared by BMP files and uncompressed AVI frames)."""
+    h, w, _ = pixels.shape
+    row_size = (w * 3 + 3) & ~3
+    bgr = pixels[::-1, :, ::-1]
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    return rows.tobytes()
+
+
+def _undib_rows(data: bytes, w: int, h: int) -> np.ndarray:
+    """Bottom-up padded BGR rows -> (H, W, 3) uint8 RGB."""
+    row_size = (w * 3 + 3) & ~3
+    rows = np.frombuffer(data, dtype=np.uint8, count=row_size * h)
+    rows = rows.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+    return rows[::-1, :, ::-1].copy()
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """(N, H, W, 3) uint8 RGB -> uncompressed AVI (RIFF) bytes.
+
+    Standard RIFF 'AVI ' layout: LIST hdrl {avih, LIST strl {strh
+    'vids'/'DIB ', strf BITMAPINFOHEADER}} + LIST movi {'00db' DIB
+    frames}. No index chunk (players tolerate its absence; our decoder
+    walks movi directly)."""
+    n, h, w, _ = frames.shape
+    frame_bytes = [_dib_rows(f) for f in frames]
+    frame_size = len(frame_bytes[0]) if frame_bytes else 0
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps,   # dwMicroSecPerFrame
+        frame_size * fps,   # dwMaxBytesPerSec
+        0,                  # dwPaddingGranularity
+        0,                  # dwFlags
+        n,                  # dwTotalFrames
+        0,                  # dwInitialFrames
+        1,                  # dwStreams
+        frame_size,         # dwSuggestedBufferSize
+        w, h, 0, 0, 0, 0,   # dwWidth, dwHeight, dwReserved[4]
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h",
+        b"vids", b"DIB ",
+        0, 0, 0,            # dwFlags, wPriority, wLanguage
+        0,                  # dwInitialFrames
+        1, fps,             # dwScale, dwRate -> fps = rate/scale
+        0, n,               # dwStart, dwLength (frames)
+        frame_size, 0, 0,   # dwSuggestedBufferSize, dwQuality, dwSampleSize
+        0, 0, w, h,         # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 2835, 2835, 0, 0
+    )
+
+    def chunk(fcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) & 1 else b""
+        return fcc + struct.pack("<I", len(data)) + data + pad
+
+    def list_chunk(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    strl = list_chunk(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = list_chunk(b"hdrl", chunk(b"avih", avih) + strl)
+    movi = list_chunk(b"movi", b"".join(chunk(b"00db", fb) for fb in frame_bytes))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(payload: bytes) -> tuple[np.ndarray, float]:
+    """Uncompressed AVI bytes -> ((N, H, W, 3) uint8 RGB, fps).
+
+    Generic RIFF chunk walk: reads avih for dimensions, strh for the
+    frame-rate rational, and every '00db'/'00dc' chunk under LIST movi
+    as one DIB frame."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    w = h = 0
+    usec_per_frame = 0
+    rate, scale = 0, 1
+    frames_raw: list[bytes] = []
+
+    def walk(buf: bytes, start: int, end: int) -> None:
+        nonlocal w, h, usec_per_frame, rate, scale
+        pos = start
+        while pos + 8 <= end:
+            fcc = buf[pos:pos + 4]
+            size = struct.unpack_from("<I", buf, pos + 4)[0]
+            data_start = pos + 8
+            if fcc == b"LIST":
+                walk(buf, data_start + 4, data_start + size)  # skip list kind
+            elif fcc == b"avih":
+                usec_per_frame = struct.unpack_from("<I", buf, data_start)[0]
+                w, h = struct.unpack_from("<II", buf, data_start + 32)
+            elif fcc == b"strh":
+                if buf[data_start:data_start + 4] == b"vids":
+                    scale, rate = struct.unpack_from("<II", buf, data_start + 20)
+            elif fcc[2:4] in (b"db", b"dc") and size:
+                frames_raw.append(buf[data_start:data_start + size])
+            pos = data_start + size + (size & 1)  # chunks are word-aligned
+
+    walk(payload, 12, 8 + struct.unpack_from("<I", payload, 4)[0])
+    if not w or not h:
+        raise ValueError("AVI header missing dimensions")
+    fps = (rate / scale) if scale and rate else (
+        1_000_000 / usec_per_frame if usec_per_frame else 0.0)
+    frames = np.stack([_undib_rows(fr, w, h) for fr in frames_raw]) if frames_raw \
+        else np.zeros((0, h, w, 3), dtype=np.uint8)
+    return frames, fps
+
+
 def resize_nearest(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Nearest-neighbor resample of an (H, W, 3) image (vectorized)."""
     h, w, _ = pixels.shape
@@ -155,6 +271,23 @@ def audio_features(payload: bytes) -> np.ndarray:
                     dtype=np.float32)
 
 
+def video_features(payload: bytes) -> np.ndarray:
+    """AVI -> [w, h, n_frames, fps, duration_s, brightness, motion, 0]."""
+    frames, fps = decode_avi(payload)
+    n = len(frames)
+    h, w = (frames.shape[1], frames.shape[2]) if n else (0, 0)
+    dur = n / fps if fps else 0.0
+    bright = float(frames.mean()) / 255.0 if n else 0.0
+    motion = (
+        float(np.abs(np.diff(frames.astype(np.int16), axis=0)).mean()) / 255.0
+        if n > 1 else 0.0
+    )
+    return np.array([w, h, n, fps, dur, bright, motion, 0.0], dtype=np.float32)
+
+
+VIDEO_MIMES = ("video/avi", "video/x-msvideo")
+
+
 def _fake_decode(payload: bytes, out_dim: int) -> np.ndarray:
     """Deterministic fake 'decode->feature' from payload bytes."""
     h = hashlib.blake2b(payload, digest_size=out_dim * 4 if out_dim <= 16 else 64).digest()
@@ -166,9 +299,9 @@ class MediaDecoder:
     """Actor-pool stage: media batches -> fixed-width feature vectors.
 
     REAL decode for mimes this container can parse (image/bmp,
-    audio/wav); other mimes (video containers, JPEG, MP3 — no codec
-    libs here) fall back to ``DecodeStub`` semantics: raise unless
-    ``fake_fallback=True``.
+    audio/wav, video/avi); other mimes (JPEG, MP3, MP4 — no codec libs
+    here) raise unless ``fake_fallback=True`` substitutes the
+    deterministic fake.
     """
 
     def __init__(self, fake_fallback: bool = False):
@@ -179,6 +312,8 @@ class MediaDecoder:
             return image_features(payload)
         if mime in ("audio/wav", "audio/x-wav"):
             return audio_features(payload)
+        if mime in VIDEO_MIMES:
+            return video_features(payload)
         if self.fake_fallback:
             return _fake_decode(payload, FEATURE_DIM)
         raise NotImplementedError(
@@ -202,55 +337,73 @@ class MediaDecoder:
         )
 
 
-class DecodeStub:
-    """Round-1 compatible stage: fake-or-raise for every mime (kept for
-    codecs the container cannot parse at all)."""
-
-    def __init__(self, feature_dim: int = FEATURE_DIM, fake: bool = False):
-        self.feature_dim = feature_dim
-        self.fake = fake
-
-    def _decode_one(self, payload: bytes) -> np.ndarray:
-        if not self.fake:
-            raise NotImplementedError(
-                "media codecs are not available in this environment; "
-                "construct DecodeStub(fake=True) for plumbing tests"
-            )
-        return _fake_decode(payload, self.feature_dim)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = [self._decode_one(p) for p in batch.column("payload").to_pylist()]
-        return pa.table(
-            {
-                "media_id": batch.column("media_id"),
-                "url": batch.column("url"),
-                "kind": batch.column("kind"),
-                "feature": pa.array([f.tolist() for f in feats], pa.list_(pa.float32())),
-            }
-        )
-
-
 def decode_features(media_ds, feature_dim: int = FEATURE_DIM, fake: bool = False,
-                    concurrency: int | tuple = (1, 2), batch_size: int = 64,
-                    real_codecs: bool = True):
+                    concurrency: int | tuple = (1, 2), batch_size: int = 64):
     """media Dataset -> (media_id, url, kind, feature) Dataset.
 
-    ``real_codecs=True`` decodes BMP/WAV payloads for real and uses
-    ``fake`` only as the fallback for unparseable mimes. Drops the
-    payload column in the output — shuffle-safe narrow rows.
+    Decodes BMP / WAV / AVI payloads for real; ``fake`` enables the
+    deterministic-fake fallback for genuinely unparseable mimes. Drops
+    the payload column in the output — shuffle-safe narrow rows.
     """
-    if real_codecs:
-        return media_ds.map_batches(
-            MediaDecoder,
-            fn_constructor_kwargs={"fake_fallback": fake},
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=concurrency,
-            num_cpus=1,
-        )
     return media_ds.map_batches(
-        DecodeStub,
-        fn_constructor_kwargs={"feature_dim": feature_dim, "fake": fake},
+        MediaDecoder,
+        fn_constructor_kwargs={"fake_fallback": fake},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+class FrameSampler:
+    """Actor-pool stage: AVI payloads -> up to ``k`` evenly-spaced
+    frames per video, each re-encoded as a standalone BMP row (the
+    frame-sample operator of a multimodal training-data pipeline).
+    Non-video rows are dropped; output rows are (media_id, url,
+    frame_idx, payload, width, height)."""
+
+    def __init__(self, k: int = 4):
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mids, urls, idxs, payloads, ws, hs = [], [], [], [], [], []
+        for mid, url, mime, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("url").to_pylist(),
+            batch.column("mime").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            if mime not in VIDEO_MIMES:
+                continue
+            frames, _fps = decode_avi(payload)
+            n = len(frames)
+            if not n:
+                continue
+            take = np.unique(np.linspace(0, n - 1, min(self.k, n)).astype(int))
+            for fi in take:
+                px = frames[fi]
+                mids.append(mid)
+                urls.append(url)
+                idxs.append(int(fi))
+                payloads.append(encode_bmp(px))
+                hs.append(px.shape[0])
+                ws.append(px.shape[1])
+        return pa.table({
+            "media_id": pa.array(mids, pa.int64()),
+            "url": pa.array(urls, pa.string()),
+            "frame_idx": pa.array(idxs, pa.int32()),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(ws, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+        })
+
+
+def sample_video_frames(media_ds, k: int = 4,
+                        concurrency: int | tuple = (1, 2), batch_size: int = 16):
+    """media Dataset -> one BMP row per sampled video frame."""
+    return media_ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"k": k},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -307,8 +460,7 @@ def resize_images(media_ds, max_side: int = 64,
 
 
 def synth_media_table(n: int = 32, seed: int = 5) -> pa.Table:
-    """Deterministic media rows with REAL BMP / WAV payloads (video
-    rows keep an opaque payload — no pure-Python video container)."""
+    """Deterministic media rows with REAL BMP / WAV / AVI payloads."""
     rng = np.random.RandomState(seed)
     kinds = ["image", "audio", "video"]
     rows = {name: [] for name in MEDIA_SCHEMA.names}
@@ -335,11 +487,14 @@ def synth_media_table(n: int = 32, seed: int = 5) -> pa.Table:
             rows["height"].append(-1)
             rows["duration_ms"].append(dur_ms)
         else:
-            rows["mime"].append("video/mp4")
-            rows["payload"].append(rng.bytes(256))
-            rows["width"].append(640)
-            rows["height"].append(480)
-            rows["duration_ms"].append(1000 + i)
+            w, h = 16, 12
+            n_frames, fps = 4 + (i % 3) * 2, 10
+            frames = rng.randint(0, 256, size=(n_frames, h, w, 3), dtype=np.uint8)
+            rows["mime"].append("video/avi")
+            rows["payload"].append(encode_avi(frames, fps=fps))
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["duration_ms"].append(n_frames * 1000 // fps)
     return pa.table(
         {name: pa.array(rows[name], MEDIA_SCHEMA.field(name).type)
          for name in MEDIA_SCHEMA.names}
