@@ -251,15 +251,43 @@ def _q_multimodal(sf_dir: str):
     ALL THREE modalities — BMP images (width/height/channel means), WAV
     audio (duration/RMS/peak/ZCR), and uncompressed-AVI video (frame
     count/fps/duration/brightness/motion). fake=False: no stubbed
-    decode remains."""
+    decode remains.
+
+    HASH-VERIFIED against DuckDB: the projection exposes integer values
+    recovered by DECODING the payloads (image width/height, audio
+    duration, video frame count/duration) and the oracle recomputes
+    them from the synth generator's closed-form parameters — if any
+    codec round-trip broke, the hashes diverge."""
+    import pyarrow as pa
+
     import ray.data as rd
 
     from reden_ray.stages.multimodal import decode_features, synth_media_table
 
     media = rd.from_arrow(synth_media_table(n=48))
-    return decode_features(media, fake=False).select_columns(
-        ["media_id", "kind"]
-    )
+    feats = decode_features(media, fake=False)
+
+    def project(t: pa.Table) -> pa.Table:
+        d1, d2 = [], []
+        for kind, f in zip(t.column("kind").to_pylist(),
+                           t.column("feature").to_pylist()):
+            if kind == "image":          # decoded width / height
+                d1.append(round(f[0]))
+                d2.append(round(f[1]))
+            elif kind == "audio":        # decoded duration_ms
+                d1.append(round(f[0] * 1000))
+                d2.append(-1)
+            else:                        # decoded frame count / duration_ms
+                d1.append(round(f[2]))
+                d2.append(round(f[4] * 1000))
+        return pa.table({
+            "media_id": t.column("media_id"),
+            "kind": t.column("kind"),
+            "dim1": pa.array(d1, pa.int64()),
+            "dim2": pa.array(d2, pa.int64()),
+        })
+
+    return feats.map_batches(project, batch_format="pyarrow")
 
 
 def _q_doc_ann(sf_dir: str):
@@ -361,6 +389,90 @@ def _q_enrichment(sf_dir: str):
     p, cands = _nel_parts(sf_dir)
     links = p.links(cands).select_columns(["url", "mention_id", "uri"])
     return enrich_links(links, p.kb_ref, {"occupation": [PRED_OCC]})
+
+
+def _q_candidate_enrichment(sf_dir: str):
+    """J7 enrichment (list-order coalesce) HASH-VERIFIED against SQL:
+    every candidate row's entity URI gains its first occupation literal
+    from the deterministic vocab KB. The oracle recomputes mention
+    ordinality x candidate expansion x the 'sense {word}/{v}' literal
+    in closed form — any drift in the dictionary lookup, rank order, or
+    the coalesce itself diverges the hashes. (q26_enrichment stays the
+    linker-fed variant; linking is not SQL-expressible.)"""
+    import pyarrow as pa
+
+    from reden_ray.fixtures import PRED_OCC
+    from reden_ray.stages.reports import enrich_links
+
+    p, cands = _nel_parts(sf_dir)
+    rows = cands.select_columns(["url", "mention_id", "cand_rank", "entity_id"])
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["url", "mention_id", "cand_rank", "uri"])
+
+    return enrich_links(rows.map_batches(rename, batch_format="pyarrow"),
+                        p.kb_ref, {"occupation": [PRED_OCC]})
+
+
+def _mention_ordinality_cte() -> str:
+    """CTE producing one row per NER mention with its page-positional
+    mention_id — the SQL mirror of the gazetteer trie over lower(text)."""
+    from reden_ray.pipelines.webdemo import GAZETTEER_WORDS, URL_PREFIX
+
+    alt = "|".join(GAZETTEER_WORDS)
+    return rf"""
+WITH x AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\b({alt})\b') AS ws
+  FROM documents
+), m AS (
+  SELECT '{URL_PREFIX}' || CAST(doc_id AS VARCHAR) AS url,
+         CAST(generate_subscripts(ws, 1) - 1 AS BIGINT) AS mention_id,
+         unnest(ws) AS w
+  FROM x
+)
+"""
+
+
+def _nel_ambiguity_sql() -> str:
+    from reden_ray.pipelines.webdemo import VOCAB_AMBIGUOUS
+
+    amb = ", ".join(f"'{w}'" for w in sorted(VOCAB_AMBIGUOUS))
+    return (
+        _mention_ordinality_cte()
+        + f"SELECT url, mention_id, "
+          f"CAST(CASE WHEN w IN ({amb}) THEN 2 ELSE 1 END AS BIGINT) "
+          f"AS n_candidates FROM m"
+    )
+
+
+def _candidate_enrichment_sql() -> str:
+    from reden_ray.fixtures import KB
+    from reden_ray.pipelines.webdemo import VOCAB_AMBIGUOUS
+
+    amb = ", ".join(f"'{w}'" for w in sorted(VOCAB_AMBIGUOUS))
+    return (
+        _mention_ordinality_cte()
+        + f"""
+SELECT m.url, m.mention_id, CAST(v.r AS INTEGER) AS cand_rank,
+       '{KB}/word/' || m.w || CASE v.r WHEN 0 THEN '' ELSE '-alt' END AS uri,
+       'sense ' || m.w || '/' || CAST(v.r AS VARCHAR) AS occupation
+FROM m JOIN (VALUES (0), (1)) v(r)
+  ON v.r = 0 OR m.w IN ({amb})
+"""
+    )
+
+
+_MULTIMODAL_SQL = """
+SELECT CAST(i AS BIGINT) AS media_id,
+       CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(CASE i % 3 WHEN 0 THEN 16 + (i % 4) * 8
+                       WHEN 1 THEN 250 + (i % 5) * 125
+                       ELSE 4 + (i % 3) * 2 END AS BIGINT) AS dim1,
+       CAST(CASE i % 3 WHEN 0 THEN 12 + (i % 3) * 8
+                       WHEN 1 THEN -1
+                       ELSE (4 + (i % 3) * 2) * 100 END AS BIGINT) AS dim2
+FROM range(48) t(i)
+"""
 
 
 def _q_tumbling_window(sf_dir: str):
@@ -494,6 +606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q31_eval_records": _q_eval_records,
         "q25_annotate_pages": _q_annotate_pages,
         "q26_enrichment": _q_enrichment,
+        "q26b_candidate_enrichment": _q_candidate_enrichment,
         # windowed aggregates over the event log
         "q27_tumbling_window": _q_tumbling_window,
         "q28_sliding_window": _q_sliding_window,
@@ -589,7 +702,10 @@ def oracle_sql() -> dict[str, str]:
         "q28_sliding_window": __import__(
             "reden_ray.stages.windows", fromlist=["SLIDING_SQL"]
         ).SLIDING_SQL.format(m=60),
+        "q22_multimodal_features": _MULTIMODAL_SQL,
         "q23_text_quality": _text_quality_sql(),
+        "q26b_candidate_enrichment": _candidate_enrichment_sql(),
+        "nel_ambiguity": _nel_ambiguity_sql(),
         "q24_dictionary_build": (
             "SELECT c_name AS surface, "
             "lower(regexp_replace(c_name, '[\\s''’-]+', '', 'g')) AS surface_norm, "
