@@ -135,6 +135,37 @@ def _q_nel_links_scale_path(sf_dir: str):
     return links.select_columns(["url", "mention_id", "surface", "uri", "score"])
 
 
+def _q_nel_links_unambiguous(sf_dir: str):
+    """Hash-verified projection of the REAL link output. A mention whose
+    surface has exactly one dictionary candidate must link to that
+    candidate — via the M11 NoAmbiguity fast path (linker.py:278-283) or
+    as the argmax over its single row on the graph path — so the emitted
+    uri is SQL-reconstructable from the deterministic vocab fixture.
+    This puts url/mention_id/uri parity of the full extract -> NER ->
+    candidates -> link chain under the DuckDB oracle (the ambiguous
+    remainder stays pytest-gated: centrality argmax is not SQL)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from reden_ray.pipelines.webdemo import VOCAB_AMBIGUOUS
+
+    amb = pa.array(sorted(VOCAB_AMBIGUOUS))
+    p, mentions = _nel_mentions(sf_dir)
+    links = p.links(mentions_ds=mentions)
+
+    def proj(t: pa.Table) -> pa.Table:
+        surf = pc.utf8_lower(t.column("surface"))
+        t = t.filter(pc.invert(pc.is_in(surf, value_set=amb)))
+        return pa.table({
+            "url": t["url"],
+            "mention_id": t["mention_id"],
+            "surface": pc.utf8_lower(t.column("surface")),
+            "uri": t["uri"],
+        })
+
+    return links.map_batches(proj, batch_format="pyarrow")
+
+
 def _q_nel_ambiguity(sf_dir: str):
     from reden_ray.stages.reports import ambiguity_report
 
@@ -433,6 +464,18 @@ WITH x AS (
 """
 
 
+def _nel_links_unambiguous_sql() -> str:
+    from reden_ray.fixtures import KB
+    from reden_ray.pipelines.webdemo import VOCAB_AMBIGUOUS
+
+    amb = ", ".join(f"'{w}'" for w in sorted(VOCAB_AMBIGUOUS))
+    return (
+        _mention_ordinality_cte()
+        + f"SELECT url, mention_id, w AS surface, "
+          f"'{KB}/word/' || w AS uri FROM m WHERE w NOT IN ({amb})"
+    )
+
+
 def _nel_ambiguity_sql() -> str:
     from reden_ray.pipelines.webdemo import VOCAB_AMBIGUOUS
 
@@ -618,6 +661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # graph algorithm not SQL-expressible; parity is gated in pytest
         # against analytic gold fixtures instead)
         "nel_links": _q_nel_links,
+        "nel_links_unambiguous": _q_nel_links_unambiguous,
         "nel_links_scale_path": _q_nel_links_scale_path,
         "nel_triples": _q_nel_triples,
         "nel_ambiguity": _q_nel_ambiguity,
@@ -706,6 +750,7 @@ def oracle_sql() -> dict[str, str]:
         "q23_text_quality": _text_quality_sql(),
         "q26b_candidate_enrichment": _candidate_enrichment_sql(),
         "nel_ambiguity": _nel_ambiguity_sql(),
+        "nel_links_unambiguous": _nel_links_unambiguous_sql(),
         "q24_dictionary_build": (
             "SELECT c_name AS surface, "
             "lower(regexp_replace(c_name, '[\\s''’-]+', '', 'g')) AS surface_norm, "

@@ -125,26 +125,59 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 """
 
 
-# Q3 — broadcast (small-side) join, J1 pattern
-class _SegmentLookup:
-    def __init__(self, ref):
+# Largest dimension table we will collect to the driver and ship to
+# every worker as a broadcast lookup.  `customer` GROWS with sf (~150k
+# rows/sf in TPC-H terms): at sandbox scales it is a textbook broadcast
+# side, but at 100-TB scale it must flow through a hash-partitioned
+# `Dataset.join` instead.  `ds.count()` on a fresh parquet read is
+# metadata-only (row counts from footers), so the gate itself is cheap.
+# Tests force this to 0 to exercise the distributed path
+# (tests/test_relational.py::test_q3_q14_distributed_join_path).
+BROADCAST_ROW_LIMIT = 2_000_000
+
+
+def _join_partitions() -> int:
+    """Partition count for hash-shuffle Dataset.join. Ray schedules
+    `num_partitions` aggregator actors that all need CPU slots at once:
+    32 partitions under a 4-CPU test session stalls the whole join
+    (observed), so track the session's CPU count — which on a real
+    cluster is the total core count, exactly the right task width."""
+    try:
+        return max(8, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        return 8
+
+
+# Q3 — small-side broadcast join (J1 pattern), distributed join above gate
+class _KeyLookup:
+    """Vectorized key->value map lookup appended as a new column."""
+
+    def __init__(self, ref, key_col: str, out_col: str):
         # pandas Series index = C-speed vectorized hash lookup per batch
-        self.seg = pd.Series(get_broadcast(ref))  # custkey -> mktsegment
+        self.m = pd.Series(get_broadcast(ref))
+        self.key_col, self.out_col = key_col, out_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        keys = t["o_custkey"].to_numpy(zero_copy_only=False)
-        segs = self.seg.reindex(keys).fillna("UNKNOWN").to_numpy()
-        return t.append_column("c_mktsegment", pa.array(segs, pa.string()))
+        keys = t[self.key_col].to_numpy(zero_copy_only=False)
+        vals = self.m.reindex(keys).fillna("UNKNOWN").to_numpy()
+        return t.append_column(self.out_col, pa.array(vals, pa.string()))
 
 
 def q3_segment_revenue(sf_dir: str) -> pd.DataFrame:
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    if cust_ds.count() <= BROADCAST_ROW_LIMIT:
+        cust = cust_ds.to_pandas()
+        ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+        withseg = orders.map_batches(
+            _KeyLookup, fn_constructor_args=(ref, "o_custkey", "c_mktsegment"),
+            batch_format="pyarrow", concurrency=(1, 2), num_cpus=1)
+    else:  # scale path: customer too big to broadcast
+        withseg = orders.join(cust_ds, join_type="inner",
+                              num_partitions=_join_partitions(),
+                              on=("o_custkey",), right_on=("c_custkey",))
     out = (
-        orders.map_batches(_SegmentLookup, fn_constructor_args=(ref,),
-                           batch_format="pyarrow", concurrency=(1, 2), num_cpus=1)
-        .groupby("c_mktsegment")
+        withseg.groupby("c_mktsegment")
         .aggregate(Sum("o_totalprice", alias_name="revenue"),
                    Count(alias_name="n_orders"))
         .to_pandas()
@@ -339,30 +372,34 @@ FROM documents GROUP BY lang
 """
 
 
-# Q14 — multi-way join through dimension chain
+# Q14 — multi-way join through dimension chain.  nation (25) and region
+# (5) are constant-size regardless of sf and always pre-merged on the
+# driver; customer scales with sf, so the custkey hop is broadcast only
+# below BROADCAST_ROW_LIMIT and a hash-partitioned Dataset.join above.
 def q14_nation_revenue(sf_dir: str) -> pd.DataFrame:
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
     region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
-    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey").merge(
-        region, left_on="n_regionkey", right_on="r_regionkey"
-    )
-    ref = ray.put(dict(zip(dim["c_custkey"], dim["r_name"])))
-
-    class RegionLookup:
-        def __init__(self):
-            self.m = pd.Series(get_broadcast(ref))
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t["o_custkey"].to_numpy(zero_copy_only=False)
-            names = self.m.reindex(keys).fillna("UNKNOWN").to_numpy()
-            return t.append_column("r_name", pa.array(names, pa.string()))
-
+    nr = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    if cust_ds.count() <= BROADCAST_ROW_LIMIT:
+        cust = cust_ds.to_pandas()
+        dim = cust.merge(nr, left_on="c_nationkey", right_on="n_nationkey")
+        ref = ray.put(dict(zip(dim["c_custkey"], dim["r_name"])))
+        withr = orders.map_batches(
+            _KeyLookup, fn_constructor_args=(ref, "o_custkey", "r_name"),
+            batch_format="pyarrow", concurrency=(1, 2), num_cpus=1)
+    else:  # scale path: one big join for the scaling hop, then a
+        # constant-size nationkey->r_name broadcast for the dimension tail
+        joined = orders.join(cust_ds, join_type="inner",
+                             num_partitions=_join_partitions(),
+                             on=("o_custkey",), right_on=("c_custkey",))
+        ref = ray.put(dict(zip(nr["n_nationkey"], nr["r_name"])))
+        withr = joined.map_batches(
+            _KeyLookup, fn_constructor_args=(ref, "c_nationkey", "r_name"),
+            batch_format="pyarrow", concurrency=(1, 2), num_cpus=1)
     out = (
-        orders.map_batches(RegionLookup, batch_format="pyarrow",
-                           concurrency=(1, 2), num_cpus=1)
-        .groupby("r_name")
+        withr.groupby("r_name")
         .aggregate(Sum("o_totalprice", alias_name="revenue"),
                    Count(alias_name="n_orders"))
         .to_pandas()

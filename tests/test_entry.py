@@ -58,10 +58,23 @@ class TestEntry:
 
 @pytest.mark.parametrize("name", ["q1_pricing_summary", "q5_distinct_flags",
                                   "q8_text_stats", "q11_extract_text",
-                                  "q16_user_sessions"])
+                                  "q16_user_sessions", "nel_links_unambiguous"])
 class TestOracleSubset:
     def test_matches_duckdb(self, con, name):
         ray_df = to_pandas(E.queries()[name](SF))
         sql_df = con.sql(E.oracle_sql()[name]).df()
         a, b = canon(ray_df), canon(sql_df)
         pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.parametrize("name", ["q3_segment_revenue", "q14_nation_revenue"])
+def test_q3_q14_distributed_join_path(con, name, monkeypatch):
+    """Above BROADCAST_ROW_LIMIT the scaling dimension (customer) must
+    route through Dataset.join, not a driver broadcast — force the gate
+    to 0 and require oracle-identical output."""
+    from reden_ray.pipelines import relational
+
+    monkeypatch.setattr(relational, "BROADCAST_ROW_LIMIT", 0)
+    ray_df = to_pandas(E.queries()[name](SF))
+    sql_df = con.sql(E.oracle_sql()[name]).df()
+    pd.testing.assert_frame_equal(canon(ray_df), canon(sql_df))
