@@ -42,20 +42,40 @@ def _replicated_pages(sf_dir: str, factor: int, num_blocks: int = 64):
     import ray.data as rd
 
     from reden_ray.functions.text import text_to_html
+    from reden_ray.pipelines.webdemo import GAZETTEER_WORDS, VOCAB_AMBIGUOUS
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "lang"]).repartition(num_blocks)
+
+    # Unambiguous words only: salting must not flip a NoAmbiguity page
+    # onto the graph path, or the corpus gets harder as factor grows
+    salt_words = [w for w in GAZETTEER_WORDS if w not in VOCAB_AMBIGUOUS]
+
+    def salt(r: int) -> str:
+        # Unique word sequence per replica index (its base-len(salt_words)
+        # digits mapped to words): every replica of a doc gets a DISTINCT
+        # mention sequence, so the linker's per-worker page memo
+        # (stages/linker.py:_CTX_MEMOS) can never hit across replicas.
+        # Without this the 480x-replicated corpus measured memo lookups,
+        # not linking (~99% hit rate, and it skewed N-vs-4N legs: fewer
+        # workers -> higher per-worker hit rate -> inflated 8-CPU leg).
+        ws = []
+        while True:
+            ws.append(salt_words[r % len(salt_words)])
+            r //= len(salt_words)
+            if r == 0:
+                return " ".join(ws)
 
     def to_pages(t: pa.Table) -> pa.Table:
         urls, ts, htmls, texts, langs = [], [], [], [], []
         for i, x, lang in zip(t["doc_id"].to_pylist(), t["text"].to_pylist(),
                               t["lang"].to_pylist()):
-            h = text_to_html(x, title=f"Doc {i}")
             for r in range(factor):
+                xr = f"{x}\n{salt(r)}"
                 urls.append(f"https://docs.example/{r}/{i}")
                 ts.append(1_700_000_000_000 + i * 1000 + r)
-                htmls.append(h)
-                texts.append(x)
+                htmls.append(text_to_html(xr, title=f"Doc {i}"))
+                texts.append(xr)
                 langs.append(lang)
         return pa.table({
             "url": pa.array(urls, pa.string()),
@@ -89,7 +109,9 @@ def run_bench() -> dict:
     # (untimed, cached across processes) — the timed run then reads it
     # like a production job, with real source parallelism, and warms the
     # OS page cache with one untimed pass.
-    pages_dir = f"/tmp/reden_bench_pages_{os.path.basename(SF_DIR)}_x{REPLICATE}"
+    # "u2" = replica-salted (unique unambiguous mention tail per replica)
+    # corpus format — keep distinct from earlier cached corpora
+    pages_dir = f"/tmp/reden_bench_pages_{os.path.basename(SF_DIR)}_x{REPLICATE}_u2"
     marker = os.path.join(pages_dir, "_complete")
     if not os.path.exists(marker):
         _replicated_pages(SF_DIR, REPLICATE).write_parquet(pages_dir)
