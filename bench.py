@@ -91,8 +91,16 @@ def _replicated_pages(sf_dir: str, factor: int, num_blocks: int = 64):
 def run_bench() -> dict:
     import ray
 
+    # Half of physical RAM for the object store: Ray's default (~40% of
+    # *available*) left ~37 GiB, and each headline run materializes
+    # ~10 GiB of link rows — by the 2nd-3rd run LRU eviction pressure
+    # stalled allocations (measured 61 -> 78 -> 101 s for the identical
+    # stage; flat at 64 GiB). A production cluster sizes the store the
+    # same way.
+    total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             object_store_memory=int(total * 0.5))
     from ray.data import DataContext
 
     ctx = DataContext.get_current()

@@ -483,24 +483,49 @@ def link_documents_packed(packed_ds, kb_ref, sameas_ref, rels=None,
     return bucketed.groupby("__bucket").map_groups(fn, batch_format="pandas")
 
 
-# Per-worker bounded memo for the fused path: pages with IDENTICAL
-# mention sequences (mention_id is page-local, so boilerplate /
-# duplicated pages collide exactly) produce identical links modulo the
-# url column. Web corpora repeat pages heavily; a memo hit skips
+# Per-worker bounded ADAPTIVE memo for the fused path: pages with
+# IDENTICAL mention sequences (mention_id is page-local, so boilerplate
+# / duplicated pages collide exactly) produce identical links modulo
+# the url column. Web corpora repeat pages heavily; a memo hit skips
 # candidate generation AND graph linking. Keyed by the broadcast-state
 # identity + the page's (mention_id, surface, surface_norm) signature;
-# FIFO-bounded.
-_CTX_MEMOS: dict[tuple, dict] = {}
+# FIFO-bounded. On corpora with no repeats the memo is pure overhead
+# (8192 fat tuple entries churning through FIFO eviction + GC pressure
+# — measured ~15-20% on the fused stage), so each worker self-disables
+# after a probe window with a sub-threshold hit rate.
+_CTX_MEMOS: dict[tuple, "_CtxMemo"] = {}
 _CTX_MEMOS_MAX = 4
-_CTX_MEMO_MAX_ENTRIES = 8192
+# Per-memo entry cap; env-tunable (REDEN_CTX_MEMO_MAX=0 disables
+# memoization outright for corpora known to have no repeated pages).
+import os as _os
+
+_CTX_MEMO_MAX_ENTRIES = int(_os.environ.get("REDEN_CTX_MEMO_MAX", "8192"))
+_CTX_MEMO_PROBE = 20_000   # pages before the hit rate is judged
+_CTX_MEMO_MIN_RATE = 0.02  # keep memoizing only above this hit rate
 
 
-def _ctx_memo(state_key: tuple) -> dict:
+class _CtxMemo:
+    __slots__ = ("map", "hits", "misses", "off")
+
+    def __init__(self):
+        self.map: dict = {}
+        self.hits = 0
+        self.misses = 0
+        self.off = _CTX_MEMO_MAX_ENTRIES <= 0
+
+    def judge(self) -> None:
+        n = self.hits + self.misses
+        if n >= _CTX_MEMO_PROBE and self.hits < n * _CTX_MEMO_MIN_RATE:
+            self.off = True
+            self.map.clear()
+
+
+def _ctx_memo(state_key: tuple) -> "_CtxMemo":
     memo = _CTX_MEMOS.get(state_key)
     if memo is None:
         if len(_CTX_MEMOS) >= _CTX_MEMOS_MAX:
             _CTX_MEMOS.pop(next(iter(_CTX_MEMOS)))
-        memo = {}
+        memo = _CtxMemo()
         _CTX_MEMOS[state_key] = memo
     return memo
 
@@ -586,8 +611,15 @@ def link_documents_from_mentions(mentions_ds, dico_ref, kb_ref, sameas_ref,
                 b_mid.extend(mids[s:e])
                 b_surf.extend(surfs[s:e])
                 b_norm.extend(norms[s:e])
-            sig = (tuple(mids[s:e]), tuple(surfs[s:e]), tuple(norms[s:e]))
-            tpls = memo.get(sig)
+            sig = None
+            tpls = None
+            if not memo.off:
+                sig = (tuple(mids[s:e]), tuple(surfs[s:e]), tuple(norms[s:e]))
+                tpls = memo.map.get(sig)
+                if tpls is None:
+                    memo.misses += 1
+                else:
+                    memo.hits += 1
             if tpls is None:
                 cur_rows: list[dict] = []
                 for i in range(s, e):
@@ -613,9 +645,11 @@ def link_documents_from_mentions(mentions_ds, dico_ref, kb_ref, sameas_ref,
                     for d in link_context(cur_rows, kb, sameas, rels, measure,
                                           prefered_uri_order)
                 ]
-                if len(memo) >= _CTX_MEMO_MAX_ENTRIES:
-                    memo.pop(next(iter(memo)))
-                memo[sig] = tpls
+                if sig is not None:
+                    if len(memo.map) >= _CTX_MEMO_MAX_ENTRIES:
+                        memo.map.pop(next(iter(memo.map)))
+                    memo.map[sig] = tpls
+                    memo.judge()
             for t in tpls:
                 d = dict(t)
                 d["url"] = url
