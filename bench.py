@@ -30,6 +30,43 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "120"))
 
+# The sandbox host is SHARED: /proc/loadavg regularly shows 10+ of
+# external load with zero processes of ours running, and a burst
+# landing on one timed leg skews the N-vs-4N ratio by 2-3x. Each timed
+# run therefore (a) waits for the host to go quiet (bounded), and
+# (b) records loadavg + host CPU-busy around the run so contaminated
+# samples are visible in the output instead of silently wrong.
+QUIET_LOAD = float(os.environ.get("GRAFT_QUIET_LOAD", "2.0"))
+QUIET_WAIT_S = float(os.environ.get("GRAFT_QUIET_WAIT_S", "300"))
+
+
+def _cpu_busy_s() -> float:
+    """Host-wide busy CPU seconds since boot (user+nice+sys+irq+softirq+steal)."""
+    with open("/proc/stat") as fh:
+        f = fh.readline().split()
+    jiffies = int(f[1]) + int(f[2]) + int(f[3]) + int(f[6]) + int(f[7]) + int(f[8])
+    return jiffies / os.sysconf("SC_CLK_TCK")
+
+
+def _busy_cpus_now(window_s: float = 2.0) -> float:
+    """Average busy CPUs over a short window (instantaneous, unlike
+    loadavg, which takes minutes to decay after our own runs)."""
+    b0 = _cpu_busy_s()
+    time.sleep(window_s)
+    return (_cpu_busy_s() - b0) / window_s
+
+
+def _wait_quiet() -> float:
+    """Block until the host's busy-CPU rate drops under QUIET_LOAD
+    (bounded wait); returns the rate seen at release. Between our runs
+    all Ray workers idle, so the sample measures EXTERNAL tenants."""
+    deadline = time.monotonic() + QUIET_WAIT_S
+    busy = _busy_cpus_now()
+    while busy > QUIET_LOAD and time.monotonic() < deadline:
+        time.sleep(8.0)
+        busy = _busy_cpus_now()
+    return busy
+
 
 def _replicated_pages(sf_dir: str, factor: int, num_blocks: int = 64):
     """documents -> pages, replicated ``factor``x with distinct urls.
@@ -153,10 +190,20 @@ def run_bench() -> dict:
     # wall budget — the warm-up already absorbed cold-start effects)
     n_runs = int(os.environ.get("GRAFT_BENCH_RUNS", "2"))
     best, n_triples = None, 0
+    run_evidence = []
     for _ in range(n_runs):
+        load0 = _wait_quiet()
+        busy0 = _cpu_busy_s()
         t0 = time.perf_counter()
         n_triples = headline()
         dt = time.perf_counter() - t0
+        # busy CPUs averaged over the run, minus our own budget ->
+        # roughly the external load that ran concurrently
+        busy_cpus = (_cpu_busy_s() - busy0) / dt
+        run_evidence.append({
+            "sec": round(dt, 3), "ext_busy_at_start": round(load0, 2),
+            "busy_cpus_avg": round(busy_cpus, 1),
+        })
         best = dt if best is None else min(best, dt)
     timings["nel_kg_construction"] = round(best, 3)
 
@@ -198,6 +245,7 @@ def run_bench() -> dict:
         "triples": n_triples,
         "triples_per_sec": round(n_triples / headline, 1) if headline else None,
         "pages_per_sec": round(n_pages / headline, 1) if headline else None,
+        "runs": run_evidence,
     }
     ray.shutdown()
     return out
@@ -214,10 +262,9 @@ def run_scaling() -> dict:
                                os.environ.get("GRAFT_SCALING_REPLICATE", "480"))
 
     def one(ncpu: int) -> dict:
-        # best-of-2 timed runs per leg: a single sample is fragile
-        # against the host's bursty ±25% noise (measured 0.615 vs 0.811
-        # efficiency for the same code, single vs best-of-2 legs);
-        # component queries are skipped — only the headline matters here
+        # each leg: quiet-gated timed runs (see _wait_quiet) in a fresh
+        # process; component queries are skipped — only the headline
+        # matters here
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_REPLICATE=replicate,
                    GRAFT_BENCH_RUNS=os.environ.get("GRAFT_BENCH_RUNS", "2"),
                    GRAFT_BENCH_COMPONENTS=os.environ.get(
@@ -227,7 +274,20 @@ def run_scaling() -> dict:
                              cwd=os.path.dirname(os.path.abspath(__file__)))
         return json.loads(res.stdout.strip().splitlines()[-1])
 
-    lo, hi = one(8), one(32)
+    # Legs run INTERLEAVED in (8, 32) pairs so a host-noise burst hits
+    # adjacent legs rather than one whole side of the comparison; the
+    # reported ratio uses the best leg of each side (a noise burst can
+    # only ever SLOW a leg, so per-side best is the least-contaminated
+    # estimate of the true throughput at that parallelism).
+    n_pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "2"))
+    lo_runs, hi_runs, pair_effs = [], [], []
+    for _ in range(n_pairs):
+        lo, hi = one(8), one(32)
+        lo_runs.append(lo)
+        hi_runs.append(hi)
+        pair_effs.append(round(lo["value"] / hi["value"] / 4.0, 3))
+    lo = min(lo_runs, key=lambda r: r["value"])
+    hi = min(hi_runs, key=lambda r: r["value"])
     speedup = lo["value"] / hi["value"] if hi["value"] else 0.0
     eff = speedup / (32 / 8)
     return {
@@ -239,6 +299,9 @@ def run_scaling() -> dict:
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(eff, 3),
         "pages": lo["pages"],
+        "pair_efficiencies": pair_effs,
+        "runs_8": [r["runs"] for r in lo_runs],
+        "runs_32": [r["runs"] for r in hi_runs],
     }
 
 

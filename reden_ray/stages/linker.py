@@ -47,12 +47,14 @@ function, edges arriving as rows.
 from __future__ import annotations
 
 import math
+import operator as _operator
 
 import pandas as pd
 
 from .. import SAMEAS_PRED
 from ..functions.uri import decompose
 from ..state.broadcast import get_broadcast
+from .candidates import MAX_CANDIDATES
 
 
 # ---------------------------------------------------------------------------
@@ -69,6 +71,214 @@ from ..state.broadcast import get_broadcast
 # valued by {(entity_id, uris): (decoded_vertex, [(dst, pred, w)])}.
 _NEIGH_CACHES: dict[tuple, tuple] = {}
 _NEIGH_CACHES_MAX = 4  # distinct broadcast states per worker process
+
+
+# ---------------------------------------------------------------------------
+# Interned link state (hot-path core shared by the fused / packed / bucket
+# paths). Centrality measures never read edge predicates or weights (the
+# reference's Degree/Closeness/Eigenvector/Betweenness are all unweighted,
+# CentralityHandler.java:136-171), so the LINKING graph only needs edge
+# EXISTENCE — vertices intern to small ints once per worker and edges pack
+# into single ints, replacing per-page hashing of long URI strings
+# (measured ~2.5x on the fused link stage; the string-keyed
+# ``build_fusion_graph`` above remains the S11 edge-dump path, which does
+# need predicates).
+# ---------------------------------------------------------------------------
+
+
+class _LinkState:
+    """Per-worker interned views of the broadcast dictionaries.
+
+    * ``intern``: decomposed vertex string -> small int vid
+    * ``ent_recs``: (entity_id, uris) -> (entity_id, vid, emitted_uris,
+      dst_vids) — the candidate's decoded vertex, its ``_emit`` URI list
+      (depends only on prefered_uri_order) and its expanded KB
+      neighborhood as int vids (J4 sameAs hop included)
+    * ``norm_recs``: surface_norm -> tuple of candidate records in
+      cand_rank order, D1-deduped and K2-capped — the whole per-mention
+      candidate generation collapses to one dict hit
+    """
+
+    __slots__ = ("index", "kb", "sameas", "pref", "intern",
+                 "ent_recs", "norm_recs")
+
+    def __init__(self, index, kb, sameas, pref: str):
+        self.index = index
+        self.kb = kb
+        self.sameas = sameas
+        self.pref = pref
+        self.intern: dict[str, int] = {}
+        self.ent_recs: dict[tuple, tuple] = {}
+        self.norm_recs: dict[str, tuple] = {}
+
+    def _vid(self, vertex: str) -> int:
+        vid = self.intern.get(vertex)
+        if vid is None:
+            vid = len(self.intern)
+            self.intern[vertex] = vid
+        return vid
+
+    def ent_rec(self, entity_id: str, uris: tuple) -> tuple:
+        rec = self.ent_recs.get((entity_id, uris))
+        if rec is None:
+            vid = self._vid(decompose(entity_id))
+            probe: list[str] = [entity_id]
+            for u in uris:
+                if u != entity_id:
+                    probe.append(u)
+            for u in self.sameas.get(entity_id, ()):  # J4: one hop
+                if u not in probe:
+                    probe.append(u)
+            dsts: list[int] = []
+            for u in probe:
+                for pred, obj, _is_lit, _w in self.kb.get(u, ()):
+                    if pred == SAMEAS_PRED:
+                        continue
+                    dsts.append(self._vid(decompose(obj)))
+            if self.pref == "ALL":
+                emitted = list(uris)  # CentralityHandler.java:205-211
+            else:
+                emitted = [u for u in uris if self.pref in u] or [entity_id]
+            rec = (entity_id, vid, emitted, dsts)
+            self.ent_recs[(entity_id, uris)] = rec
+        return rec
+
+    def mention_recs(self, norm: str) -> tuple:
+        recs = self.norm_recs.get(norm)
+        if recs is None:
+            cands = self.index.get(norm) if self.index is not None else None
+            if not cands:
+                recs = ()
+            else:
+                seen: set[tuple] = set()  # D1
+                out = []
+                for entity_id, uris, _ne in cands:
+                    if uris in seen:
+                        continue
+                    seen.add(uris)
+                    out.append(self.ent_rec(entity_id, uris))
+                    if len(out) >= MAX_CANDIDATES:  # K2
+                        break
+                recs = tuple(out)
+            self.norm_recs[norm] = recs
+        return recs
+
+
+_LINK_STATES: dict[tuple, tuple] = {}
+_LINK_STATES_MAX = 4
+
+
+def _link_state(index, kb, sameas, pref: str) -> _LinkState:
+    key = (id(index), id(kb), id(sameas), pref)
+    hit = _LINK_STATES.get(key)
+    if hit is None:
+        if len(_LINK_STATES) >= _LINK_STATES_MAX:
+            _LINK_STATES.pop(next(iter(_LINK_STATES)))
+        # pin (index, kb, sameas) — ids are the key
+        hit = ((index, kb, sameas), _LinkState(index, kb, sameas, pref))
+        _LINK_STATES[key] = hit
+    return hit[1]
+
+
+def _int_adj_scores(mention_recs: list, measure: str):
+    """Graph fusion (A1) + pruning (A2) + centrality (A3) over the int-
+    interned representation. ``mention_recs``: [(mention_id, recs)] in
+    ascending mention_id, recs in cand_rank order. Returns {vid: score}.
+
+    Semantics mirror build_fusion_graph/prune_graph exactly: simple
+    directed graph (first edge wins = existence), self-loops skipped,
+    J2 inverted index last-writer-wins in (mention_id, cand_rank) order,
+    non-candidate vertices covering < 2 distinct mentions pruned."""
+    edges: set[int] = set()       # (src << 32) | dst
+    adj: dict[int, set[int]] = {}
+    cand_vids: set[int] = set()
+    inverted: dict[int, int] = {}
+    for mid, recs in mention_recs:
+        for _eid, vid, _emitted, dsts in recs:
+            cand_vids.add(vid)
+            nb = adj.get(vid)
+            if nb is None:
+                nb = adj[vid] = set()
+            inverted[vid] = mid  # J2 last-writer-wins
+            for dst in dsts:
+                if dst == vid:
+                    continue  # self-loops (GraphHandlerNEL vertex1!=vertex2)
+                key = (vid << 32) | dst
+                if key not in edges:
+                    edges.add(key)
+                    nb.add(dst)
+                    dnb = adj.get(dst)
+                    if dnb is None:
+                        adj[dst] = {vid}
+                    else:
+                        dnb.add(vid)
+    # A2 prune
+    doomed = []
+    for v, neigh in adj.items():
+        if v in cand_vids:
+            continue
+        seen_mids = {inverted[n] for n in neigh if n in inverted}
+        if len(seen_mids) < 2:
+            doomed.append(v)
+    for v in doomed:
+        for n in adj.pop(v, ()):
+            adj[n].discard(v)
+            edges.discard((v << 32) | n)
+            edges.discard((n << 32) | v)
+    # A3
+    if measure == "degree":
+        deg: dict[int, float] = {}
+        for e in edges:
+            src = e >> 32
+            dst = e & 0xFFFFFFFF
+            deg[src] = deg.get(src, 0.0) + 1.0
+            deg[dst] = deg.get(dst, 0.0) + 1.0
+        return deg
+    return _MEASURES[measure](None, adj)  # closeness/eigen/betweenness: adj only
+
+
+def _link_page_cols(mention_recs: list, state: _LinkState, measure: str):
+    """Link one page given [(mid, surface, norm, recs)] in ascending
+    mention_id. Returns (mids, surfs, norms, uris, all_uris, scores)
+    column lists — url is attached by the caller."""
+    o_mid: list[int] = []
+    o_surf: list[str] = []
+    o_norm: list[str] = []
+    o_uri: list[str] = []
+    o_all: list[list] = []
+    o_score: list[float] = []
+    graph = False
+    for _mid, _s, _n, recs in mention_recs:
+        if len(recs) > 1:
+            graph = True
+            break
+    if not graph:
+        # M11 NoAmbiguity fast path
+        for mid, surface, norm, recs in mention_recs:
+            eid, _vid, emitted, _d = recs[0]
+            o_mid.append(mid)
+            o_surf.append(surface)
+            o_norm.append(norm)
+            o_uri.append(eid)
+            o_all.append(emitted)
+            o_score.append(float("nan"))
+        return o_mid, o_surf, o_norm, o_uri, o_all, o_score
+    scores = _int_adj_scores([(m[0], m[3]) for m in mention_recs], measure)
+    for mid, surface, norm, recs in mention_recs:
+        best = None
+        best_key = None
+        for rec in recs:
+            s = scores.get(rec[1], 0.0)
+            key = (s, rec[0])  # tie -> lexicographically largest URI
+            if best_key is None or key > best_key:
+                best, best_key = rec, key
+        o_mid.append(mid)
+        o_surf.append(surface)
+        o_norm.append(norm)
+        o_uri.append(best[0])
+        o_all.append(best[2])
+        o_score.append(best_key[0])
+    return o_mid, o_surf, o_norm, o_uri, o_all, o_score
 
 
 def _neigh_cache(kb, sameas, rels) -> dict:
@@ -265,39 +475,35 @@ def link_context(
     measure: str = "degree",
     prefered_uri_order: str = "ALL",
 ) -> list[dict]:
-    """Link one context's mentions. Returns link dicts."""
+    """Link one context's mentions. Returns link dicts.
+
+    Thin dict-row adapter over the interned ``_link_page_cols`` core —
+    the fused, packed and bucket paths all reduce to the same per-page
+    function, so path equivalence is structural, not coincidental.
+    ``rels`` is accepted for API parity but cannot affect the result:
+    every centrality measure is unweighted (CentralityHandler.java:136-171);
+    weights only surface in the S11 edge dump (``fusion_edges``)."""
     if not cand_rows:
         return []
     by_mention: dict[int, list[dict]] = {}
     for row in cand_rows:
         by_mention.setdefault(row["mention_id"], []).append(row)
-    for rows in by_mention.values():
-        rows.sort(key=lambda r: r["cand_rank"])
-
-    # M11 eligibility: NoAmbiguity fast path (no mention has >1 candidate)
-    if all(len(rows) <= 1 for rows in by_mention.values()):
-        out = []
-        for mid in sorted(by_mention):
-            row = by_mention[mid][0]
-            out.append(_emit(row, None, prefered_uri_order))
-        return out
-
-    edges, adj, cand_vertices, inverted = build_fusion_graph(cand_rows, kb, sameas, rels)
-    prune_graph(edges, adj, cand_vertices, inverted)
-    scores = _MEASURES[measure](edges, adj)
-
-    out = []
+    state = _link_state(None, kb, sameas, prefered_uri_order)
+    page = []
     for mid in sorted(by_mention):
         rows = by_mention[mid]
-        best_row, best_key = None, None
-        for row in rows:
-            vb = decompose(row["entity_id"])
-            s = scores.get(vb, 0.0)
-            key = (s, row["entity_id"])  # tie -> lexicographically largest URI
-            if best_key is None or key > best_key:
-                best_row, best_key = row, key
-        out.append(_emit(best_row, best_key[0], prefered_uri_order))
-    return out
+        rows.sort(key=_BY_RANK)
+        recs = tuple(
+            state.ent_rec(r["entity_id"], tuple(r["uris"])) for r in rows
+        )
+        page.append((mid, rows[0]["surface"], rows[0]["surface_norm"], recs))
+    mids, surfs, norms, uris, all_uris, scores = _link_page_cols(page, state, measure)
+    url = cand_rows[0]["url"]
+    return [
+        {"url": url, "mention_id": m, "surface": s, "surface_norm": n,
+         "uri": u, "all_uris": a, "score": sc}
+        for m, s, n, u, a, sc in zip(mids, surfs, norms, uris, all_uris, scores)
+    ]
 
 
 def _emit(row: dict, score: float | None, prefered_uri_order: str) -> dict:
@@ -394,17 +600,34 @@ def make_link_bucket_fn(kb_ref, sameas_ref, rels=None, measure="degree",
 
 def _links_arrow(out: list[dict]):
     """Arrow links table (zero-copy-friendly downstream blocks)."""
+    return _links_arrow_cols(
+        [r["url"] for r in out],
+        [r["mention_id"] for r in out],
+        [r["surface"] for r in out],
+        [r["surface_norm"] for r in out],
+        [r["uri"] for r in out],
+        [r["all_uris"] for r in out],
+        [r["score"] for r in out],
+    )
+
+
+def _links_arrow_cols(urls, mids, surfs, norms, uris, all_uris, scores):
+    """Arrow links table from pre-accumulated column lists."""
     import pyarrow as pa
 
     return pa.table({
-        "url": pa.array([r["url"] for r in out], pa.string()),
-        "mention_id": pa.array([r["mention_id"] for r in out], pa.int64()),
-        "surface": pa.array([r["surface"] for r in out], pa.string()),
-        "surface_norm": pa.array([r["surface_norm"] for r in out], pa.string()),
-        "uri": pa.array([r["uri"] for r in out], pa.string()),
-        "all_uris": pa.array([r["all_uris"] for r in out], pa.list_(pa.string())),
-        "score": pa.array([r["score"] for r in out], pa.float64()),
+        "url": pa.array(urls, pa.string()),
+        "mention_id": pa.array(mids, pa.int64()),
+        "surface": pa.array(surfs, pa.string()),
+        "surface_norm": pa.array(norms, pa.string()),
+        "uri": pa.array(uris, pa.string()),
+        "all_uris": pa.array(all_uris, pa.list_(pa.string())),
+        "score": pa.array(scores, pa.float64()),
     })
+
+
+_BY_MID = _operator.itemgetter(0)
+_BY_RANK = _operator.itemgetter("cand_rank")
 
 
 def link_documents(candidates_ds, kb_ref, sameas_ref, rels=None,
@@ -500,7 +723,13 @@ _CTX_MEMOS_MAX = 4
 import os as _os
 
 _CTX_MEMO_MAX_ENTRIES = int(_os.environ.get("REDEN_CTX_MEMO_MAX", "8192"))
-_CTX_MEMO_PROBE = 20_000   # pages before the hit rate is judged
+# Probe window is per WORKER: at the old 20k-page window a 32-worker run
+# over a 600k-page no-repeat corpus paid signature+insert overhead on
+# EVERY page (32 x 20k >= corpus) while an 8-worker run paid it on 27%
+# — the asymmetry alone skewed measured N-vs-4N scaling. 2k pages is
+# plenty to detect boilerplate repetition (hot pages repeat thousands
+# of times in web corpora) at ~0.3% of a 600k-page/32-worker run.
+_CTX_MEMO_PROBE = 2_000    # pages before the hit rate is judged
 _CTX_MEMO_MIN_RATE = 0.02  # keep memoizing only above this hit rate
 
 
@@ -583,18 +812,15 @@ def link_documents_from_mentions(mentions_ds, dico_ref, kb_ref, sameas_ref,
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from .candidates import MAX_CANDIDATES
-
     state_key = (dico_ref.hex(), kb_ref.hex(), sameas_ref.hex(), measure,
                  prefered_uri_order,
                  tuple(sorted(rels.items())) if rels else ())
 
     def link_batch(batch) -> "pa.Table":
-        index = get_broadcast(dico_ref)
-        kb = get_broadcast(kb_ref)
-        sameas = get_broadcast(sameas_ref)
+        state = _link_state(get_broadcast(dico_ref), get_broadcast(kb_ref),
+                            get_broadcast(sameas_ref), prefered_uri_order)
         memo = _ctx_memo(state_key)
-        out: list[dict] = []
+        mention_recs = state.mention_recs
 
         urls = batch.column("url").to_pylist()
         mids = batch.column("mention_id").to_pylist()
@@ -603,6 +829,13 @@ def link_documents_from_mentions(mentions_ds, dico_ref, kb_ref, sameas_ref,
         edge_urls = {urls[0], urls[-1]} if urls else set()
         btag = _next_btag()
         b_url, b_mid, b_surf, b_norm = [], [], [], []
+        o_url: list[str] = []
+        o_mid: list[int] = []
+        o_surf: list[str] = []
+        o_norm: list[str] = []
+        o_uri: list[str] = []
+        o_all: list[list] = []
+        o_score: list[float] = []
 
         def link_page(url: str, s: int, e: int) -> None:
             """Link one page's contiguous mention rows [s, e)."""
@@ -612,55 +845,41 @@ def link_documents_from_mentions(mentions_ds, dico_ref, kb_ref, sameas_ref,
                 b_surf.extend(surfs[s:e])
                 b_norm.extend(norms[s:e])
             sig = None
-            tpls = None
+            cols = None
             if not memo.off:
                 sig = (tuple(mids[s:e]), tuple(surfs[s:e]), tuple(norms[s:e]))
-                tpls = memo.map.get(sig)
-                if tpls is None:
+                cols = memo.map.get(sig)
+                if cols is None:
                     memo.misses += 1
                 else:
                     memo.hits += 1
-            if tpls is None:
-                cur_rows: list[dict] = []
+            if cols is None:
+                page = []
                 for i in range(s, e):
-                    cands = index.get(norms[i])
-                    if not cands:
-                        continue
-                    seen: set[tuple[str, ...]] = set()  # D1
-                    rank = 0
-                    for entity_id, uris, _ne in cands:
-                        if uris in seen:
-                            continue
-                        seen.add(uris)
-                        cur_rows.append(
-                            {"url": url, "mention_id": mids[i],
-                             "surface": surfs[i], "surface_norm": norms[i],
-                             "cand_rank": rank, "entity_id": entity_id,
-                             "uris": list(uris)})
-                        rank += 1
-                        if rank >= MAX_CANDIDATES:  # K2
-                            break
-                tpls = [
-                    {k: v for k, v in d.items() if k != "url"}
-                    for d in link_context(cur_rows, kb, sameas, rels, measure,
-                                          prefered_uri_order)
-                ]
+                    recs = mention_recs(norms[i])
+                    if recs:
+                        page.append((mids[i], surfs[i], norms[i], recs))
+                page.sort(key=_BY_MID)  # ascending mention_id (A4 emit order)
+                cols = _link_page_cols(page, state, measure)
                 if sig is not None:
                     if len(memo.map) >= _CTX_MEMO_MAX_ENTRIES:
                         memo.map.pop(next(iter(memo.map)))
-                    memo.map[sig] = tpls
+                    memo.map[sig] = cols
                     memo.judge()
-            for t in tpls:
-                d = dict(t)
-                d["url"] = url
-                out.append(d)
+            o_url.extend([url] * len(cols[0]))
+            o_mid.extend(cols[0])
+            o_surf.extend(cols[1])
+            o_norm.extend(cols[2])
+            o_uri.extend(cols[3])
+            o_all.extend(cols[4])
+            o_score.extend(cols[5])
 
         start = 0
         for i in range(1, len(urls) + 1):
             if i == len(urls) or urls[i] != urls[start]:
                 link_page(urls[start], start, i)
                 start = i
-        t = _links_arrow(out)
+        t = _links_arrow_cols(o_url, o_mid, o_surf, o_norm, o_uri, o_all, o_score)
         t = t.append_column("__btag", pa.nulls(t.num_rows, pa.int64()))
         if b_url:
             n = len(b_url)
