@@ -22,7 +22,7 @@ from dataclasses import dataclass, field
 import ray.data as rd
 
 from ..stages.candidates import generate_candidates, generate_candidates_packed
-from ..stages.canonicalize import canonical_labels, emit_triples
+from ..stages.canonicalize import canonical_labels, emit_triples, label_partials
 from ..stages.extract import extract_pages
 from ..stages.linker import link_documents, link_documents_packed
 from ..stages.ner import detect_mentions
@@ -142,7 +142,16 @@ class NELPipeline:
         # Parquet instead (state/manifest.py) — that is also the resume
         # point.
         ds = ds.materialize()
-        labels = canonical_labels(ds)
+        # One full links scan feeds BOTH small reduction branches
+        # (canonical labels + distinct linked entities): the (uri,
+        # surface, cnt) partials are ~vocabulary-sized, so pinning them
+        # is free and saves a second 12M-row scan per run.
+        partials = label_partials(ds).materialize()
+        # Labels are one row per distinct linked uri — materialized
+        # (vocabulary-sized) they double as the entity-emission list,
+        # so the whole distinct-uri reduction disappears.
+        labels = canonical_labels(ds, partials=partials).materialize()
+        entities = labels.select_columns(["uri"])
         # Structured fast path: skips the D5 all-to-all on the full
         # triple stream. Its one cross-batch hazard — a url's link rows
         # split across blocks, duplicating (url, mentions, uri) —
@@ -163,7 +172,8 @@ class NELPipeline:
         needs_pair_dedup = max_block >= target // 2
         return emit_triples(ds, labels, self.kb_ref, self.sameas_ref,
                             global_dedup=False,
-                            mention_pair_dedup=needs_pair_dedup)
+                            mention_pair_dedup=needs_pair_dedup,
+                            partials=partials, entities_ds=entities)
 
 
 def run_nel(fixture_dir: str, config: NELConfig | None = None):

@@ -113,13 +113,60 @@ def salted_counts(ds, key_col: str, num_salts: int = 16,
     return partials.groupby("__bucket").map_groups(unsalt, batch_format="pandas")
 
 
-def canonical_labels(links_ds, num_buckets: int = DEFAULT_KEY_BUCKETS):
+def label_partials(links_ds):
+    """links -> per-batch distinct (uri, surface, cnt) partial counts.
+
+    One full scan of the links produces everything the two small
+    reduction branches of triple emission need: ``canonical_labels``
+    merges the counts and ``distinct_linked_entities`` projects the
+    distinct uris — so callers that materialize this (tiny) Dataset
+    once avoid a second full links scan (measured ~1 s per extra scan
+    at 600k pages / 12.4M links)."""
+    return links_ds.map_batches(_partial_label_counts, batch_format="pyarrow")
+
+
+def _materialized_bytes(ds) -> int | None:
+    """Total size of a MATERIALIZED Dataset from block metadata (no
+    execution); None when the plan is lazy or sizes are unknown."""
+    try:
+        from ray.data.dataset import MaterializedDataset
+
+        if not isinstance(ds, MaterializedDataset):
+            return None
+        total = 0
+        for bundle in ds.iter_internal_ref_bundles():
+            for meta in bundle.metadata:
+                if meta.size_bytes is None:
+                    return None
+                total += meta.size_bytes
+        return total
+    except Exception:
+        return None
+
+
+# A merged-reduction input this small finishes faster in ONE task than
+# through a bucket shuffle (the groupby sort costs ~0.5-1 s of fixed
+# overhead regardless of data size — measured on the 600k-page bench).
+SMALL_REDUCE_BYTES = 64 << 20
+
+
+def canonical_labels(links_ds, num_buckets: int = DEFAULT_KEY_BUCKETS,
+                     partials=None):
     """links Dataset -> (uri, canonical_label) Dataset.
 
     Phase 1 combiner collapses each batch to distinct (uri, surface)
     partial counts (bounds what the shuffle moves for head surfaces);
-    phase 2 shuffles on hash(uri) buckets and finishes vectorized."""
-    partials = links_ds.map_batches(_partial_label_counts, batch_format="pyarrow")
+    phase 2 shuffles on hash(uri) buckets and finishes vectorized.
+    ``partials`` short-circuits phase 1 with a precomputed (ideally
+    materialized) ``label_partials`` Dataset shared across consumers;
+    when the materialized partials MEASURE small (< SMALL_REDUCE_BYTES)
+    the merge runs as one single-block task instead of a bucket
+    groupby — same result, none of the sort's fixed overhead."""
+    if partials is None:
+        partials = label_partials(links_ds)
+    elif (sz := _materialized_bytes(partials)) is not None and sz < SMALL_REDUCE_BYTES:
+        return partials.repartition(1).map_batches(
+            _label_argmax_bucket, batch_format="pandas", batch_size=None)
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -240,12 +287,19 @@ def make_entity_emitter(kb_ref, sameas_ref):
     return emit
 
 
-def distinct_linked_entities(links_ds):
+def distinct_linked_entities(links_ds, partials=None):
     """links -> distinct (uri) Dataset (combiner + groupby dedup).
-    Per-batch-unique rows are tiny; coalesce before the shuffle."""
-    pre = links_ds.select_columns(["uri"]).map_batches(
-        _batch_unique(["uri"]), batch_format="pyarrow"
-    ).repartition(8)
+    Per-batch-unique rows are tiny; coalesce before the shuffle.
+    ``partials``: a ``label_partials`` Dataset — its distinct uris are
+    exactly the linked uris, so passing it skips the full links scan."""
+    if partials is not None:
+        pre = partials.select_columns(["uri"]).map_batches(
+            _batch_unique(["uri"]), batch_format="pyarrow"
+        ).repartition(8)
+    else:
+        pre = links_ds.select_columns(["uri"]).map_batches(
+            _batch_unique(["uri"]), batch_format="pyarrow"
+        ).repartition(8)
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -260,7 +314,8 @@ def distinct_linked_entities(links_ds):
 
 def emit_triples(links_ds, labels_ds, kb_ref, sameas_ref,
                  concurrency: int | tuple = (1, 2), global_dedup: bool = True,
-                 mention_pair_dedup: bool = True):
+                 mention_pair_dedup: bool = True, partials=None,
+                 entities_ds=None):
     """links + labels -> deduplicated (subj, pred, obj) triples Dataset.
 
     ``global_dedup=False`` is the structured fast path: it skips the D5
@@ -290,7 +345,11 @@ def emit_triples(links_ds, labels_ds, kb_ref, sameas_ref,
     mention_t = mention_pairs.map_batches(_pairs_to_mention_triples,
                                           batch_format="pyarrow")
     label_t = labels_ds.map_batches(_label_triples, batch_format="pyarrow")
-    entities = distinct_linked_entities(links_ds)
+    # The labels table has EXACTLY one row per distinct linked uri, so a
+    # caller holding (materialized) labels can pass them as the entity
+    # list and skip the distinct-uri reduction entirely.
+    entities = (entities_ds if entities_ds is not None
+                else distinct_linked_entities(links_ds, partials=partials))
     entity_t = entities.map_batches(
         make_entity_emitter(kb_ref, sameas_ref), batch_format="pyarrow"
     )
