@@ -139,7 +139,19 @@ class _LinkState:
                 emitted = list(uris)  # CentralityHandler.java:205-211
             else:
                 emitted = [u for u in uris if self.pref in u] or [entity_id]
-            rec = (entity_id, vid, emitted, dsts)
+            # Pre-packed UNIQUE directed edge keys (vid << 32 | dst),
+            # self-loops dropped (GraphHandlerNEL vertex1 != vertex2) —
+            # page-level graph fusion reduces to np.unique over the
+            # concatenation of these per-candidate arrays.
+            import numpy as np
+
+            if dsts:
+                arr = np.unique(np.asarray(dsts, dtype=np.int64))
+                arr = arr[arr != vid]
+                edge_keys = (vid << 32) | arr
+            else:
+                edge_keys = np.empty(0, dtype=np.int64)
+            rec = (entity_id, vid, emitted, edge_keys)
             self.ent_recs[(entity_id, uris)] = rec
         return rec
 
@@ -188,24 +200,34 @@ def _int_adj_scores(mention_recs: list, measure: str):
     Semantics mirror build_fusion_graph/prune_graph exactly: simple
     directed graph (first edge wins = existence), self-loops skipped,
     J2 inverted index last-writer-wins in (mention_id, cand_rank) order,
-    non-candidate vertices covering < 2 distinct mentions pruned."""
+    non-candidate vertices covering < 2 distinct mentions pruned.
+
+    Degree (the production default) is sized-adaptive: typical web
+    pages (tens-hundreds of edges) run the dict/set build — measured
+    35 us/page vs 129 us for numpy, whose fixed per-op overhead
+    dominates small graphs — while outlier pages with big fused graphs
+    switch to the fully vectorized ``_int_degree_scores`` (np.unique
+    over the pre-packed per-rec edge keys, O(E log E) in C). The other
+    measures always use the dict build (they need full adjacency)."""
+    if measure == "degree":
+        n_keys = sum(r[3].size for _mid, recs in mention_recs for r in recs)
+        if n_keys > _DEGREE_VECTORIZE_MIN_KEYS:
+            return _int_degree_scores(mention_recs)
     edges: set[int] = set()       # (src << 32) | dst
     adj: dict[int, set[int]] = {}
     cand_vids: set[int] = set()
     inverted: dict[int, int] = {}
     for mid, recs in mention_recs:
-        for _eid, vid, _emitted, dsts in recs:
+        for _eid, vid, _emitted, edge_keys in recs:
             cand_vids.add(vid)
             nb = adj.get(vid)
             if nb is None:
                 nb = adj[vid] = set()
             inverted[vid] = mid  # J2 last-writer-wins
-            for dst in dsts:
-                if dst == vid:
-                    continue  # self-loops (GraphHandlerNEL vertex1!=vertex2)
-                key = (vid << 32) | dst
+            for key in edge_keys.tolist():  # pre-uniqued, no self-loops
                 if key not in edges:
                     edges.add(key)
+                    dst = key & 0xFFFFFFFF
                     nb.add(dst)
                     dnb = adj.get(dst)
                     if dnb is None:
@@ -225,16 +247,82 @@ def _int_adj_scores(mention_recs: list, measure: str):
             adj[n].discard(v)
             edges.discard((v << 32) | n)
             edges.discard((n << 32) | v)
-    # A3
     if measure == "degree":
         deg: dict[int, float] = {}
+        get = deg.get
         for e in edges:
-            src = e >> 32
-            dst = e & 0xFFFFFFFF
-            deg[src] = deg.get(src, 0.0) + 1.0
-            deg[dst] = deg.get(dst, 0.0) + 1.0
+            s = e >> 32
+            d = e & 0xFFFFFFFF
+            deg[s] = get(s, 0.0) + 1.0
+            deg[d] = get(d, 0.0) + 1.0
         return deg
     return _MEASURES[measure](None, adj)  # closeness/eigen/betweenness: adj only
+
+
+# crossover where np.unique-based scoring beats the dict/set build
+# (measured: dict 0.45 us/edge-key linear; numpy ~100 us fixed + C sort)
+_DEGREE_VECTORIZE_MIN_KEYS = 1024
+
+
+def _int_degree_scores(mention_recs: list) -> dict:
+    """Vectorized A1+A2+A3(degree): same semantics as the dict path.
+
+    * fusion: np.unique over the concatenated per-rec edge-key arrays
+      (keys pre-deduped per rec, self-loops pre-dropped);
+    * prune: a non-candidate vertex only ever appears as an edge DST
+      (non-candidates emit no edges), so coverage = distinct mentions
+      among its unique (src-candidate -> mention) pairs;
+    * degree: per remaining unique directed edge, +1 to both endpoints
+      (matches the dict path's count over the edge set)."""
+    import numpy as np
+
+    inverted: dict[int, int] = {}   # vid -> mention ordinal (LWW)
+    mid_ord: dict[int, int] = {}
+    parts = []
+    for mid, recs in mention_recs:
+        mi = mid_ord.setdefault(mid, len(mid_ord))
+        for rec in recs:
+            inverted[rec[1]] = mi  # J2 last-writer-wins
+            if rec[3].size:
+                parts.append(rec[3])
+    if not parts:
+        return {}
+    keys = np.unique(np.concatenate(parts)) if len(parts) > 1 else parts[0]
+    src = keys >> 32
+    dst = keys & 0xFFFFFFFF
+    cand = np.fromiter(inverted.keys(), dtype=np.int64, count=len(inverted))
+    cand_sorted = np.sort(cand)
+    nc_mask = ~_isin_sorted(dst, cand_sorted)
+    if nc_mask.any():
+        nc_src = src[nc_mask]
+        nc_dst = dst[nc_mask]
+        us, inv = np.unique(nc_src, return_inverse=True)
+        us_mid = np.fromiter((inverted[int(v)] for v in us),
+                             dtype=np.int64, count=len(us))
+        upairs = np.unique((nc_dst << 32) | us_mid[inv])
+        ud, cnt = np.unique(upairs >> 32, return_counts=True)
+        doomed = ud[cnt < 2]
+        if doomed.size:
+            keep = ~_isin_sorted(dst, doomed)
+            src = src[keep]
+            dst = dst[keep]
+    if not src.size:  # every edge pruned -> all degrees 0
+        return {}
+    verts, counts = np.unique(np.concatenate([src, dst]), return_counts=True)
+    pos = np.searchsorted(verts, cand)
+    pos_c = np.minimum(pos, verts.size - 1)
+    ok = verts[pos_c] == cand
+    return {int(v): float(c)
+            for v, c in zip(cand[ok].tolist(), counts[pos_c[ok]].tolist())}
+
+
+def _isin_sorted(values, sorted_arr):
+    """np.isin against an already-sorted unique array via searchsorted."""
+    import numpy as np
+
+    pos = np.searchsorted(sorted_arr, values)
+    pos = np.minimum(pos, sorted_arr.size - 1)
+    return sorted_arr[pos] == values
 
 
 def _link_page_cols(mention_recs: list, state: _LinkState, measure: str):

@@ -175,3 +175,98 @@ class TestLinkContext:
 
     def test_empty(self):
         assert link_context([], {}, {}) == []
+
+
+class TestVectorizedDegreeEquivalence:
+    """_int_degree_scores (vectorized default) vs an independent dict/set
+    reference of the fusion+prune+degree semantics, on randomized pages."""
+
+    @staticmethod
+    def _ref_degree(mention_recs):
+        edges, adj, cand, inverted = set(), {}, set(), {}
+        for mid, recs in mention_recs:
+            for _eid, vid, _em, edge_keys in recs:
+                cand.add(vid)
+                adj.setdefault(vid, set())
+                inverted[vid] = mid
+                for key in edge_keys.tolist():
+                    if key not in edges:
+                        edges.add(key)
+                        dst = key & 0xFFFFFFFF
+                        adj[vid].add(dst)
+                        adj.setdefault(dst, set()).add(vid)
+        doomed = [v for v, nb in adj.items()
+                  if v not in cand
+                  and len({inverted[n] for n in nb if n in inverted}) < 2]
+        for v in doomed:
+            for n in adj.pop(v):
+                adj[n].discard(v)
+                edges.discard((v << 32) | n)
+                edges.discard((n << 32) | v)
+        deg = {}
+        for e in edges:
+            deg[e >> 32] = deg.get(e >> 32, 0.0) + 1.0
+            deg[e & 0xFFFFFFFF] = deg.get(e & 0xFFFFFFFF, 0.0) + 1.0
+        return deg
+
+    def test_random_pages_match_reference(self):
+        import random
+
+        import numpy as np
+
+        from reden_ray.stages.linker import _int_degree_scores
+
+        rng = random.Random(4242)
+        for trial in range(200):
+            n_mentions = rng.randint(1, 8)
+            n_vertices = rng.randint(2, 30)
+            page = []
+            for mi in range(n_mentions):
+                mid = rng.choice([mi, mi + 100, 7])  # allow repeated mids
+                recs = []
+                for _ in range(rng.randint(1, 4)):
+                    vid = rng.randrange(n_vertices)
+                    dsts = [rng.randrange(n_vertices)
+                            for _ in range(rng.randint(0, 6))]
+                    arr = np.unique(np.asarray(dsts, dtype=np.int64)) \
+                        if dsts else np.empty(0, dtype=np.int64)
+                    arr = arr[arr != vid]
+                    recs.append((f"e{vid}", vid, [f"e{vid}"],
+                                 (vid << 32) | arr))
+                page.append((mid, tuple(recs)))
+            want = self._ref_degree(page)
+            cand_vids = {r[1] for _m, recs in page for r in recs}
+            # both the vectorized path and the size-adaptive dispatcher
+            # (dict path at this page size) must match the reference
+            from reden_ray.stages.linker import _int_adj_scores
+
+            for got in (_int_degree_scores(page), _int_adj_scores(page, "degree")):
+                for v in cand_vids:
+                    assert got.get(v, 0.0) == want.get(v, 0.0), (trial, v)
+
+    def test_large_page_crosses_vectorized_threshold(self):
+        import random
+
+        import numpy as np
+
+        from reden_ray.stages.linker import (_DEGREE_VECTORIZE_MIN_KEYS,
+                                             _int_adj_scores)
+
+        rng = random.Random(7)
+        page = []
+        total = 0
+        mi = 0
+        while total <= _DEGREE_VECTORIZE_MIN_KEYS:
+            vid = rng.randrange(500)
+            dsts = np.unique(np.asarray(
+                [rng.randrange(500) for _ in range(40)], dtype=np.int64))
+            dsts = dsts[dsts != vid]
+            page.append((mi, ((f"e{vid}", vid, [f"e{vid}"],
+                               (vid << 32) | dsts),)))
+            total += dsts.size
+            mi += 1
+        got = _int_adj_scores(page, "degree")  # dispatches vectorized
+        want = self._ref_degree(page)
+        for _m, recs in page:
+            v = recs[0][1]
+            assert got.get(v, 0.0) == want.get(v, 0.0)
