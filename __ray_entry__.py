@@ -105,6 +105,57 @@ def _q_nel_triples(sf_dir: str):
     return p.triples(p.links(mentions_ds=mentions))
 
 
+def _q_nel_mention_triples_unambiguous(sf_dir: str):
+    """Hash-verified projection of the REAL triples output: mention
+    triples (url -mentions-> entity) whose object is an unambiguous
+    word's entity. Unambiguous surfaces link deterministically (single
+    candidate) and no ambiguous surface can link to another word's
+    entity (its candidates are word/w and word/w-alt only), so this
+    subset is exactly SQL-reconstructable: DISTINCT (url, word-uri)
+    over the gazetteer matches. It puts the triple-emission path —
+    per-batch (url, uri) combiner + the measured-guard pair dedup the
+    structured fast path relies on — under the DuckDB oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from reden_ray import MENTIONS_PRED
+    from reden_ray.fixtures import KB
+    from reden_ray.pipelines.webdemo import GAZETTEER_WORDS, VOCAB_AMBIGUOUS
+
+    good = pa.array(sorted(
+        f"{KB}/word/{w}" for w in GAZETTEER_WORDS if w not in VOCAB_AMBIGUOUS))
+    p, mentions = _nel_mentions(sf_dir)
+    triples = p.triples(p.links(mentions_ds=mentions))
+
+    def proj(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(t.column("pred"), MENTIONS_PRED),
+            pc.is_in(t.column("obj"), value_set=good),
+        )
+        return t.filter(keep)
+
+    return triples.map_batches(proj, batch_format="pyarrow")
+
+
+def _nel_mention_triples_unambiguous_sql() -> str:
+    from reden_ray import MENTIONS_PRED
+    from reden_ray.fixtures import KB
+    from reden_ray.pipelines.webdemo import GAZETTEER_WORDS, URL_PREFIX, VOCAB_AMBIGUOUS
+
+    alt = "|".join(w for w in GAZETTEER_WORDS if w not in VOCAB_AMBIGUOUS)
+    return rf"""
+WITH x AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '\b({alt})\b')) AS w
+  FROM documents
+)
+SELECT DISTINCT '{URL_PREFIX}' || CAST(doc_id AS VARCHAR) AS subj,
+       '{MENTIONS_PRED}' AS pred,
+       '{KB}/word/' || w AS obj
+FROM x
+"""
+
+
 def _q_nel_links_scale_path(sf_dir: str):
     """The WEB-SCALE variant of nel_links: dictionary arrives via the
     hash-partitioned J1 join (candidates_via_join — for dictionaries
@@ -664,6 +715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nel_links_unambiguous": _q_nel_links_unambiguous,
         "nel_links_scale_path": _q_nel_links_scale_path,
         "nel_triples": _q_nel_triples,
+        "nel_mention_triples_unambiguous": _q_nel_mention_triples_unambiguous,
         "nel_ambiguity": _q_nel_ambiguity,
         "nel_predicate_frequency": _q_nel_predicate_frequency,
     }
@@ -751,6 +803,7 @@ def oracle_sql() -> dict[str, str]:
         "q26b_candidate_enrichment": _candidate_enrichment_sql(),
         "nel_ambiguity": _nel_ambiguity_sql(),
         "nel_links_unambiguous": _nel_links_unambiguous_sql(),
+        "nel_mention_triples_unambiguous": _nel_mention_triples_unambiguous_sql(),
         "q24_dictionary_build": (
             "SELECT c_name AS surface, "
             "lower(regexp_replace(c_name, '[\\s''’-]+', '', 'g')) AS surface_norm, "

@@ -121,12 +121,17 @@ class NELPipeline:
             from ..stages.linker import link_documents_from_mentions
 
             self.last_link_stats = {}
-            return link_documents_from_mentions(
+            ds = link_documents_from_mentions(
                 src, self.dico_ref, self.kb_ref, self.sameas_ref,
                 rels=self.cfg.rels, measure=self.cfg.measure,
                 prefered_uri_order=self.cfg.prefered_uri_order,
                 stats=self.last_link_stats,
             )
+            # remember the exact dataset object: triples() can then skip
+            # re-materializing it (it is a cheap filter view over the
+            # blocks the fused stage already pinned)
+            self._last_fused_links = ds
+            return ds
         packed = generate_candidates_packed(src, self.dico_ref, batch_size=8192)
         return link_documents_packed(
             packed, self.kb_ref, self.sameas_ref, rels=self.cfg.rels,
@@ -140,8 +145,17 @@ class NELPipeline:
         # narrow link rows once instead of re-running the linker twice.
         # The at-scale production path checkpoints links to partitioned
         # Parquet instead (state/manifest.py) — that is also the resume
-        # point.
-        ds = ds.materialize()
+        # point. EXCEPTION: links straight off a clean fused run are
+        # already a zero-copy filter over blocks the link stage pinned —
+        # re-materializing would rewrite ~10 GiB into the object store;
+        # each consumer's filter re-scan is cheaper, and the link stage
+        # already measured the block ceiling for the fast-path guard.
+        fused_clean = (
+            ds is getattr(self, "_last_fused_links", None)
+            and self.last_link_stats.get("fused_clean")
+        )
+        if not fused_clean:
+            ds = ds.materialize()
         # One full links scan feeds BOTH small reduction branches
         # (canonical labels + distinct linked entities): the (uri,
         # surface, cnt) partials are ~vocabulary-sized, so pinning them
@@ -165,10 +179,13 @@ class NELPipeline:
         from ray.data import DataContext
 
         target = DataContext.get_current().target_max_block_size or (128 << 20)
-        max_block = 0
-        for bundle in ds.iter_internal_ref_bundles():
-            for meta in bundle.metadata:
-                max_block = max(max_block, meta.size_bytes or 0)
+        if fused_clean:
+            max_block = self.last_link_stats["max_block_bytes"]
+        else:
+            max_block = 0
+            for bundle in ds.iter_internal_ref_bundles():
+                for meta in bundle.metadata:
+                    max_block = max(max_block, meta.size_bytes or 0)
         needs_pair_dedup = max_block >= target // 2
         return emit_triples(ds, labels, self.kb_ref, self.sameas_ref,
                             global_dedup=False,

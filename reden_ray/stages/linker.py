@@ -1005,6 +1005,19 @@ def link_documents_from_mentions(mentions_ds, dico_ref, kb_ref, sameas_ref,
     if stats is not None:
         stats["straddled_urls"] = len(straddled)
         stats["boundary_pairs"] = int(len(pairs))
+        # Publish the materialized link-block ceiling so downstream
+        # consumers (NELPipeline.triples' structured-fast-path guard)
+        # can decide WITHOUT re-materializing: the returned dataset is
+        # a zero-copy Arrow filter over these already-pinned blocks,
+        # cheap to re-scan per consumer — rewriting ~10 GiB of link
+        # rows into the object store just to measure them costs more
+        # than every consumer's filter re-scan combined.
+        max_block = 0
+        for bundle in mixed.iter_internal_ref_bundles():
+            for meta in bundle.metadata:
+                max_block = max(max_block, meta.size_bytes or 0)
+        stats["max_block_bytes"] = max_block
+        stats["fused_clean"] = not straddled
 
     if not straddled:
         def keep_links(t: pa.Table) -> pa.Table:

@@ -58,7 +58,8 @@ class TestEntry:
 
 @pytest.mark.parametrize("name", ["q1_pricing_summary", "q5_distinct_flags",
                                   "q8_text_stats", "q11_extract_text",
-                                  "q16_user_sessions", "nel_links_unambiguous"])
+                                  "q16_user_sessions", "nel_links_unambiguous",
+                                  "nel_mention_triples_unambiguous"])
 class TestOracleSubset:
     def test_matches_duckdb(self, con, name):
         ray_df = to_pandas(E.queries()[name](SF))
