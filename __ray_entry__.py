@@ -464,6 +464,90 @@ def _q_annotate_pages(sf_dir: str):
     return annotate_pages(texts, links)
 
 
+def _q_annotation_surfaces(sf_dir: str):
+    """Hash-verified projection of the REAL annotate_pages output (q25):
+    per url, the annotation count and the space-joined lowered surfaces
+    in mention_id order. Every gazetteer mention gets a link (the vocab
+    dictionary covers all surfaces), so the per-page annotation sequence
+    is exactly the NER match sequence — SQL-reconstructable. This puts
+    the S10 writer's bucketed left join (pages with zero links must
+    survive with an empty list) under the DuckDB oracle; the uri choice
+    for ambiguous surfaces stays pytest-gated."""
+    import json as _json
+
+    import pandas as pd
+
+    ann = _q_annotate_pages(sf_dir)
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        surfaces = df["annotations"].map(
+            lambda a: " ".join(x["surface"].lower() for x in _json.loads(a)))
+        n = df["annotations"].map(lambda a: len(_json.loads(a)))
+        return pd.DataFrame({
+            "url": df["url"],
+            "n_ann": n.astype("int64"),
+            "surfaces_str": surfaces,
+        })
+
+    return ann.map_batches(proj, batch_format="pandas")
+
+
+def _annotation_surfaces_sql() -> str:
+    from reden_ray.pipelines.webdemo import GAZETTEER_WORDS, URL_PREFIX
+
+    alt = "|".join(GAZETTEER_WORDS)
+    return rf"""
+WITH x AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\b({alt})\b') AS ws
+  FROM documents
+)
+SELECT '{URL_PREFIX}' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(len(ws) AS BIGINT) AS n_ann,
+       array_to_string(ws, ' ') AS surfaces_str
+FROM x
+"""
+
+
+def _q_nel_mention_triple_count(sf_dir: str):
+    """Total mention-triple count, hash-verified. Each page emits one
+    mention triple per DISTINCT linked entity; an ambiguous surface w
+    links to exactly ONE of word/w | word/w-alt per page (per-context
+    scoring is deterministic and neither uri can collide with another
+    word's entity), so the count — unlike the uri — is
+    SQL-reconstructable as distinct (page, word) pairs. Complements
+    nel_mention_triples_unambiguous by pinning the AMBIGUOUS rows'
+    cardinality: a double-link (both senses emitted) or a dropped
+    ambiguous mention shifts this count."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from reden_ray import MENTIONS_PRED
+
+    p, mentions = _nel_mentions(sf_dir)
+    triples = p.triples(p.links(mentions_ds=mentions))
+    n = triples.map_batches(
+        lambda t: pd.DataFrame({"c": [int(pc.sum(pc.cast(pc.equal(
+            t.column("pred"), MENTIONS_PRED), "int64")).as_py() or 0)]}),
+        batch_format="pyarrow",
+    ).sum("c")
+    return pd.DataFrame({"n": pd.array([int(n)], dtype="int64")})
+
+
+def _nel_mention_triple_count_sql() -> str:
+    from reden_ray.pipelines.webdemo import GAZETTEER_WORDS
+
+    alt = "|".join(GAZETTEER_WORDS)
+    return rf"""
+WITH x AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '\b({alt})\b')) AS w
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT DISTINCT doc_id, w FROM x)
+"""
+
+
 def _q_enrichment(sf_dir: str):
     from reden_ray.fixtures import PRED_OCC
     from reden_ray.stages.reports import enrich_links
@@ -716,6 +800,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nel_links_scale_path": _q_nel_links_scale_path,
         "nel_triples": _q_nel_triples,
         "nel_mention_triples_unambiguous": _q_nel_mention_triples_unambiguous,
+        "nel_mention_triple_count": _q_nel_mention_triple_count,
+        "q25b_annotation_surfaces": _q_annotation_surfaces,
         "nel_ambiguity": _q_nel_ambiguity,
         "nel_predicate_frequency": _q_nel_predicate_frequency,
     }
@@ -804,6 +890,8 @@ def oracle_sql() -> dict[str, str]:
         "nel_ambiguity": _nel_ambiguity_sql(),
         "nel_links_unambiguous": _nel_links_unambiguous_sql(),
         "nel_mention_triples_unambiguous": _nel_mention_triples_unambiguous_sql(),
+        "nel_mention_triple_count": _nel_mention_triple_count_sql(),
+        "q25b_annotation_surfaces": _annotation_surfaces_sql(),
         "q24_dictionary_build": (
             "SELECT c_name AS surface, "
             "lower(regexp_replace(c_name, '[\\s''’-]+', '', 'g')) AS surface_norm, "

@@ -179,14 +179,21 @@ class NELPipeline:
         from ray.data import DataContext
 
         target = DataContext.get_current().target_max_block_size or (128 << 20)
-        if fused_clean:
-            max_block = self.last_link_stats["max_block_bytes"]
+        if fused_clean and self.last_link_stats.get("url_aligned_blocks"):
+            # The fused link stage yields url-aligned chunks bounded
+            # well under the 0.5x-target slice threshold, so every
+            # materialized link block is url-aligned by construction
+            # (see linker._FUSED_CHUNK_BYTES) — with zero straddled
+            # urls the per-batch pair combiner is globally exact and
+            # the (url, uri) dedup shuffle is pure overhead (~12 s of
+            # poorly-scaling all-to-all at 2.4M pages / 32 CPUs).
+            needs_pair_dedup = False
         else:
             max_block = 0
             for bundle in ds.iter_internal_ref_bundles():
                 for meta in bundle.metadata:
                     max_block = max(max_block, meta.size_bytes or 0)
-        needs_pair_dedup = max_block >= target // 2
+            needs_pair_dedup = max_block >= target // 2
         return emit_triples(ds, labels, self.kb_ref, self.sameas_ref,
                             global_dedup=False,
                             mention_pair_dedup=needs_pair_dedup,

@@ -865,10 +865,47 @@ def _next_btag() -> int:
     return _BTAG_SALT | _BTAG_COUNTER
 
 
+# Fused-path output chunking: the link batch fn yields url-aligned
+# chunks of ~this many (estimated Arrow) bytes. Ray's BlockOutputBuffer
+# concatenates yielded batches and cuts blocks at ADD boundaries; it
+# only slices INSIDE a built block when the block reaches 1.5x
+# target_max_block_size, and since the buffer is always <= target
+# before an add, that needs a single added chunk >= 0.5x target
+# (64 MiB at the 128 MiB default). Chunks bounded well under that make
+# every materialized link block url-aligned BY CONSTRUCTION — which is
+# what lets NELPipeline.triples skip the (url, uri) pair-dedup shuffle
+# on clean fused runs (measured ~12 s of poorly-scaling all-to-all at
+# 2.4M pages / 32 CPUs).
+_FUSED_CHUNK_BYTES = 16 << 20
+# A single page whose link rows alone approach the 0.5x-target slice
+# bound would void the url-alignment guarantee (a page cannot be split
+# across yields) — fail loudly instead of risking silent duplicates.
+_FUSED_PAGE_BYTES_HARD = 48 << 20
+
+
+def _cols_arrow_bytes(cols) -> int:
+    """Estimated Arrow bytes of one page's link columns (url excluded):
+    string data + 16B/element offset+validity slack, 36B/row fixed
+    (mention_id + score + __btag)."""
+    b = 36 * len(cols[0])
+    for s in cols[1]:
+        b += len(s) + 16
+    for s in cols[2]:
+        b += len(s) + 16
+    for s in cols[3]:
+        b += len(s) + 16
+    for lst in cols[4]:
+        b += 16
+        for s in lst:
+            b += len(s) + 16
+    return b
+
+
 def link_documents_from_mentions(mentions_ds, dico_ref, kb_ref, sameas_ref,
                                  rels=None, measure: str = "degree",
                                  prefered_uri_order: str = "ALL",
-                                 stats: dict | None = None):
+                                 stats: dict | None = None,
+                                 chunk_bytes: int = _FUSED_CHUNK_BYTES):
     """Mentions -> links in ONE fused map stage, zero shuffle and zero
     intermediate serialization — SELF-VERIFYING against block
     fragmentation.
@@ -895,8 +932,13 @@ def link_documents_from_mentions(mentions_ds, dico_ref, kb_ref, sameas_ref,
 
     Common case cost: a handful of extra rows per batch and one tiny
     driver read of distinct (url, tag) pairs — no shuffle, no fallback
-    re-execution. ``stats`` (optional dict) receives
-    ``{"straddled_urls": n, "boundary_pairs": n}``."""
+    re-execution. Output is YIELDED in url-aligned ~``chunk_bytes``
+    chunks (never cutting a page), which keeps every materialized link
+    block url-aligned (see ``_FUSED_CHUNK_BYTES``) — downstream triple
+    emission relies on that to skip its (url, uri) dedup shuffle on
+    clean runs. ``stats`` (optional dict) receives
+    ``{"straddled_urls": n, "boundary_pairs": n, "max_block_bytes": n,
+    "fused_clean": bool, "url_aligned_blocks": bool}``."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -904,7 +946,9 @@ def link_documents_from_mentions(mentions_ds, dico_ref, kb_ref, sameas_ref,
                  prefered_uri_order,
                  tuple(sorted(rels.items())) if rels else ())
 
-    def link_batch(batch) -> "pa.Table":
+    chunk = int(chunk_bytes)
+
+    def link_batch(batch):
         state = _link_state(get_broadcast(dico_ref), get_broadcast(kb_ref),
                             get_broadcast(sameas_ref), prefered_uri_order)
         memo = _ctx_memo(state_key)
@@ -925,23 +969,29 @@ def link_documents_from_mentions(mentions_ds, dico_ref, kb_ref, sameas_ref,
         o_all: list[list] = []
         o_score: list[float] = []
 
-        def link_page(url: str, s: int, e: int) -> None:
-            """Link one page's contiguous mention rows [s, e)."""
+        def flush() -> "pa.Table":
+            t = _links_arrow_cols(o_url, o_mid, o_surf, o_norm, o_uri, o_all,
+                                  o_score)
+            return t.append_column("__btag", pa.nulls(t.num_rows, pa.int64()))
+
+        def link_page(url: str, s: int, e: int) -> int:
+            """Link one page's contiguous mention rows [s, e); returns the
+            page's estimated Arrow output bytes (for chunk accounting)."""
             if url in edge_urls:
                 b_url.extend([url] * (e - s))
                 b_mid.extend(mids[s:e])
                 b_surf.extend(surfs[s:e])
                 b_norm.extend(norms[s:e])
             sig = None
-            cols = None
+            entry = None
             if not memo.off:
                 sig = (tuple(mids[s:e]), tuple(surfs[s:e]), tuple(norms[s:e]))
-                cols = memo.map.get(sig)
-                if cols is None:
+                entry = memo.map.get(sig)
+                if entry is None:
                     memo.misses += 1
                 else:
                     memo.hits += 1
-            if cols is None:
+            if entry is None:
                 page = []
                 for i in range(s, e):
                     recs = mention_recs(norms[i])
@@ -949,11 +999,13 @@ def link_documents_from_mentions(mentions_ds, dico_ref, kb_ref, sameas_ref,
                         page.append((mids[i], surfs[i], norms[i], recs))
                 page.sort(key=_BY_MID)  # ascending mention_id (A4 emit order)
                 cols = _link_page_cols(page, state, measure)
+                entry = (cols, _cols_arrow_bytes(cols))
                 if sig is not None:
                     if len(memo.map) >= _CTX_MEMO_MAX_ENTRIES:
                         memo.map.pop(next(iter(memo.map)))
-                    memo.map[sig] = cols
+                    memo.map[sig] = entry
                     memo.judge()
+            cols, col_bytes = entry
             o_url.extend([url] * len(cols[0]))
             o_mid.extend(cols[0])
             o_surf.extend(cols[1])
@@ -961,17 +1013,37 @@ def link_documents_from_mentions(mentions_ds, dico_ref, kb_ref, sameas_ref,
             o_uri.extend(cols[3])
             o_all.extend(cols[4])
             o_score.extend(cols[5])
+            return col_bytes + len(cols[0]) * (len(url) + 16)
 
+        acc = 0
         start = 0
         for i in range(1, len(urls) + 1):
             if i == len(urls) or urls[i] != urls[start]:
-                link_page(urls[start], start, i)
+                page_bytes = link_page(urls[start], start, i)
                 start = i
-        t = _links_arrow_cols(o_url, o_mid, o_surf, o_norm, o_uri, o_all, o_score)
-        t = t.append_column("__btag", pa.nulls(t.num_rows, pa.int64()))
+                if page_bytes >= _FUSED_PAGE_BYTES_HARD:
+                    raise RuntimeError(
+                        f"fused link path: one page ({urls[start - 1]!r}) "
+                        f"produced ~{page_bytes >> 20} MiB of link rows — too "
+                        "large to keep link blocks url-aligned. Re-run with "
+                        "NELConfig.link_shuffle='sort' for this corpus."
+                    )
+                acc += page_bytes
+                if acc >= chunk:
+                    # url-aligned chunk: flushed only BETWEEN pages, and
+                    # bounded (chunk + one page) << 0.5x target block
+                    # size, so Ray never slices inside it (see
+                    # _FUSED_CHUNK_BYTES note above)
+                    yield flush()
+                    for lst in (o_url, o_mid, o_surf, o_norm, o_uri, o_all,
+                                o_score):
+                        lst.clear()
+                    acc = 0
+        # final (possibly empty) chunk keeps the per-batch schema stable
+        yield flush()
         if b_url:
             n = len(b_url)
-            t = pa.concat_tables([t, pa.table({
+            yield pa.table({
                 "url": pa.array(b_url, pa.string()),
                 "mention_id": pa.array(b_mid, pa.int64()),
                 "surface": pa.array(b_surf, pa.string()),
@@ -980,8 +1052,7 @@ def link_documents_from_mentions(mentions_ds, dico_ref, kb_ref, sameas_ref,
                 "all_uris": pa.nulls(n, pa.list_(pa.string())),
                 "score": pa.nulls(n, pa.float64()),
                 "__btag": pa.array([btag] * n, pa.int64()),
-            })])
-        return t
+            })
 
     mixed = mentions_ds.map_batches(
         link_batch, batch_format="pyarrow", batch_size=None
@@ -1018,6 +1089,11 @@ def link_documents_from_mentions(mentions_ds, dico_ref, kb_ref, sameas_ref,
                 max_block = max(max_block, meta.size_bytes or 0)
         stats["max_block_bytes"] = max_block
         stats["fused_clean"] = not straddled
+        # chunked yields (see _FUSED_CHUNK_BYTES) keep every link block
+        # url-aligned, so on a clean run the per-batch (url, uri)
+        # combiner in triple emission is globally exact with NO dedup
+        # shuffle
+        stats["url_aligned_blocks"] = True
 
     if not straddled:
         def keep_links(t: pa.Table) -> pa.Table:

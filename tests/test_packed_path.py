@@ -83,6 +83,45 @@ class TestLinkPathEquivalence:
         gold = p.links(p.candidates(p.mentions())).to_pandas()
         _assert_same_links(gold, linked)
 
+    def test_fused_chunked_yields_match_gold(self, unit_fixture):
+        """chunk_bytes=1 forces a flush after EVERY page — the most
+        aggressive chunking the generator can produce. Links must be
+        identical to the row-path gold (chunking must never cut or
+        reorder a page's rows)."""
+        from reden_ray.stages.linker import link_documents_from_mentions
+
+        p = NELPipeline(unit_fixture)
+        stats = {}
+        linked = link_documents_from_mentions(
+            p.mentions(), p.dico_ref, p.kb_ref, p.sameas_ref, stats=stats,
+            chunk_bytes=1,
+        ).to_pandas()
+        assert stats["url_aligned_blocks"] is True
+        assert stats["straddled_urls"] == 0
+        gold = p.links(p.candidates(p.mentions())).to_pandas()
+        _assert_same_links(gold, linked)
+
+    def test_triples_fast_path_without_pair_dedup_matches_dedup_path(
+            self, unit_fixture):
+        """Clean fused runs skip the (url, uri) pair-dedup shuffle
+        because link blocks are url-aligned by construction; the
+        emitted triples must equal the conservative dedup path's."""
+        from reden_ray.stages.canonicalize import canonical_labels, emit_triples
+
+        p = NELPipeline(unit_fixture)
+        links = p.links(mentions_ds=p.mentions())
+        fast = p.triples(links).to_pandas()
+        assert p.last_link_stats.get("fused_clean")
+        labels = canonical_labels(links).materialize()
+        slow = emit_triples(links, labels, p.kb_ref, p.sameas_ref,
+                            global_dedup=False,
+                            mention_pair_dedup=True).to_pandas()
+        key = ["subj", "pred", "obj"]
+        fast = fast.sort_values(key).reset_index(drop=True)
+        slow = slow.sort_values(key).reset_index(drop=True)
+        assert len(fast) == len(slow)
+        assert (fast[key].values == slow[key].values).all()
+
     def test_fused_memo_hits_match_row_path_on_duplicate_pages(self, unit_fixture):
         """The fused path memoizes per-page link results keyed on the
         mention signature; duplicated pages (same text, new url) take
