@@ -905,7 +905,8 @@ def link_documents_from_mentions(mentions_ds, dico_ref, kb_ref, sameas_ref,
                                  rels=None, measure: str = "degree",
                                  prefered_uri_order: str = "ALL",
                                  stats: dict | None = None,
-                                 chunk_bytes: int = _FUSED_CHUNK_BYTES):
+                                 chunk_bytes: int = _FUSED_CHUNK_BYTES,
+                                 page_bytes_hard: int = _FUSED_PAGE_BYTES_HARD):
     """Mentions -> links in ONE fused map stage, zero shuffle and zero
     intermediate serialization — SELF-VERIFYING against block
     fragmentation.
@@ -947,6 +948,7 @@ def link_documents_from_mentions(mentions_ds, dico_ref, kb_ref, sameas_ref,
                  tuple(sorted(rels.items())) if rels else ())
 
     chunk = int(chunk_bytes)
+    page_hard = int(page_bytes_hard)
 
     def link_batch(batch):
         state = _link_state(get_broadcast(dico_ref), get_broadcast(kb_ref),
@@ -1021,7 +1023,7 @@ def link_documents_from_mentions(mentions_ds, dico_ref, kb_ref, sameas_ref,
             if i == len(urls) or urls[i] != urls[start]:
                 page_bytes = link_page(urls[start], start, i)
                 start = i
-                if page_bytes >= _FUSED_PAGE_BYTES_HARD:
+                if page_bytes >= page_hard:
                     raise RuntimeError(
                         f"fused link path: one page ({urls[start - 1]!r}) "
                         f"produced ~{page_bytes >> 20} MiB of link rows — too "

@@ -101,6 +101,21 @@ class TestLinkPathEquivalence:
         gold = p.links(p.candidates(p.mentions())).to_pandas()
         _assert_same_links(gold, linked)
 
+    def test_fused_oversized_page_fails_loudly(self, unit_fixture):
+        """A page whose link rows alone would void the url-alignment
+        bound must raise (never silently risk a mid-url block slice)."""
+        import ray.exceptions
+
+        from reden_ray.stages.linker import link_documents_from_mentions
+
+        p = NELPipeline(unit_fixture)
+        with pytest.raises((RuntimeError, ray.exceptions.RayTaskError),
+                           match="too[ -]large|link_shuffle"):
+            link_documents_from_mentions(
+                p.mentions(), p.dico_ref, p.kb_ref, p.sameas_ref,
+                page_bytes_hard=1,
+            ).to_pandas()
+
     def test_triples_fast_path_without_pair_dedup_matches_dedup_path(
             self, unit_fixture):
         """Clean fused runs skip the (url, uri) pair-dedup shuffle
