@@ -328,6 +328,36 @@ def _q_ann_ivf(sf_dir: str):
     return out[["query_id", "vec_id"]]
 
 
+def _q_ann_ivf_full_probe(sf_dir: str):
+    """IVF probed with nprobe = n_clusters (exhaustive probe) is EXACT
+    top-k, so the whole IVF machinery — k-means assignment, hive
+    partitioning, partition-pruned file glob, in-partition vectorized
+    scan, global merge-rank — runs under the same DuckDB oracle as q10.
+    q21 (nprobe=4) stays the approximate/pruned-read path; this variant
+    hash-verifies that the index itself loses nothing."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from reden_ray.stages.similarity import ivf_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "in", [0, 1])])
+    queries = {
+        int(v): e
+        for v, e in zip(emb["vec_id"].to_pylist(), emb["embedding"].to_pylist())
+    }
+    import hashlib
+    import os
+
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    tag = hashlib.md5(f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}".encode()).hexdigest()[:10]
+    index_dir = f"/tmp/reden_ivf_index_{tag}_c16"  # shared with q21: built once
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = ivf_topk(ds, queries, k=10, nprobe=16, index_dir=index_dir)
+    return out[["query_id", "vec_id"]]
+
+
 def _q_multimodal(sf_dir: str):
     """Media decode + feature extraction: REAL pure-Python codecs for
     ALL THREE modalities — BMP images (width/height/channel means), WAV
@@ -776,6 +806,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search / multimodal / text analysis (rows-only where
         # approximate or not SQL-expressible)
         "q21_ann_ivf": _q_ann_ivf,
+        "q21b_ann_ivf_full_probe": _q_ann_ivf_full_probe,
         "q22_multimodal_features": _q_multimodal,
         "q23_text_quality": _q_text_quality,
         # Mode 2 / Mode 3 surfaces
@@ -850,6 +881,8 @@ def oracle_sql() -> dict[str, str]:
         "q8_text_stats": R.Q8_SQL,
         "q9_token_totals": R.Q9_SQL,
         "q10_topk_cosine": R.Q10_SQL,
+        # exhaustive-probe IVF is exact -> same gold as brute-force q10
+        "q21b_ann_ivf_full_probe": R.Q10_SQL,
         "q11_extract_text": (
             f"SELECT '{URL_PREFIX}' || CAST(doc_id AS VARCHAR) AS url, text FROM documents"
         ),

@@ -107,6 +107,24 @@ class TestIVF:
             g = set(out[out["query_id"] == qid]["vec_id"])
             assert len(g & e) >= 9  # recall@10 >= 0.9 at nprobe=6/8
 
+    def test_full_probe_is_exact(self, tmp_path):
+        """nprobe = n_clusters reads every partition and must return
+        EXACTLY the brute-force top-k (same ids, same order) — the
+        invariant behind the q21b SQL oracle."""
+        from reden_ray.stages.similarity import ivf_build, ivf_probe
+
+        ds, vecs = _make_ds(n=300, seed=7)
+        idx = str(tmp_path / "ivf_full")
+        ivf_build(ds, idx, n_clusters=8)
+        q = {0: vecs[0].tolist(), 3: vecs[3].tolist()}
+        out, stats = ivf_probe(idx, q, k=10, nprobe=8)
+        assert stats["read_fraction"] == 1.0
+        exact = brute_force_topk(ds, q, k=10)
+        for qid in (0, 3):
+            e = list(exact[exact["query_id"] == qid]["vec_id"])
+            g = list(out[out["query_id"] == qid]["vec_id"])
+            assert g == e
+
     def test_probe_reuses_index_without_rebuild(self, tmp_path):
         from reden_ray.stages.similarity import ivf_build, ivf_probe
 
