@@ -217,6 +217,41 @@ def _q_nel_links_unambiguous(sf_dir: str):
     return links.map_batches(proj, batch_format="pyarrow")
 
 
+def _q_nel_links_scored(sf_dir: str):
+    """FULL link decision — including graph-scored ambiguous mentions —
+    under the DuckDB oracle. Projects the real link output to
+    (url, mention_id, surface, uri, score_i): degree scores are whole
+    numbers (edge counts) so they hash exactly as BIGINT; NoAmbiguity
+    pages carry score_i -1 (the M11 fast path emits NaN; a non-null
+    sentinel keeps the int column hash-stable across pandas/DuckDB
+    null representations). The SQL
+    side re-derives candidate neighborhoods (J4 probe expansion), graph
+    fusion (A1), the <2-distinct-mention prune (A2), degree centrality
+    (A3) and the (score, uri) argmax (A4) as relational CTEs over the
+    vocab fixture inlined as VALUES — an independent implementation of
+    the whole linking algorithm, not a replay of the Python one."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    p, mentions = _nel_mentions(sf_dir)
+    links = p.links(mentions_ds=mentions)
+
+    def proj(t: pa.Table) -> pa.Table:
+        score = t.column("score").cast(pa.float64())
+        bad = pc.or_kleene(pc.is_null(score), pc.is_nan(score))
+        ints = pc.cast(pc.round(pc.if_else(bad, pa.scalar(0.0), score)),
+                       pa.int64())
+        return pa.table({
+            "url": t["url"],
+            "mention_id": t["mention_id"],
+            "surface": pc.utf8_lower(t.column("surface")),
+            "uri": t["uri"],
+            "score_i": pc.if_else(bad, pa.scalar(-1, pa.int64()), ints),
+        })
+
+    return links.map_batches(proj, batch_format="pyarrow")
+
+
 def _q_nel_ambiguity(sf_dir: str):
     from reden_ray.stages.reports import ambiguity_report
 
@@ -641,6 +676,118 @@ def _nel_links_unambiguous_sql() -> str:
     )
 
 
+def _nel_links_scored_sql() -> str:
+    """SQL mirror of the WHOLE linking algorithm (graph path included).
+
+    The vocab fixture's dictionary / KB / sameAs tables are inlined as
+    VALUES (raw data, same inputs the Ray pipeline loads); the
+    ALGORITHM — J4 probe expansion, A1 graph fusion, A2 pruning, A3
+    degree centrality, A4 argmax — is re-implemented relationally, so
+    DuckDB computes every ambiguous mention's winner independently.
+    Two deliberate simplifications, both exact on this fixture: vertex
+    identity is the raw URI string (no %-escapes, URL-decode is the
+    identity), and A2's "distinct mentions covered" equals distinct
+    WORDS among a vertex's candidate neighbors (same-word candidates
+    share their last-writer-wins mention id; different words never
+    share one)."""
+    import pyarrow.parquet as pq
+
+    from reden_ray import SAMEAS_PRED
+    from reden_ray.fixtures import KB
+    from reden_ray.pipelines.webdemo import VOCAB_AMBIGUOUS, vocab_fixture
+
+    vd = vocab_fixture()
+    dico = pq.read_table(f"{vd}/dictionary.parquet")
+    kb = pq.read_table(f"{vd}/kb_triples.parquet")
+    sa = pq.read_table(f"{vd}/sameas.parquet")
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    dico_rows = sorted({(w, e) for w, e in zip(
+        dico["surface_norm"].to_pylist(), dico["entity_id"].to_pylist())})
+    uri_rows = sorted({(e, u) for e, us in zip(
+        dico["entity_id"].to_pylist(), dico["uris"].to_pylist()) for u in us})
+    kb_rows = sorted({(s_, o) for s_, p_, o in zip(
+        kb["subj"].to_pylist(), kb["pred"].to_pylist(), kb["obj"].to_pylist())
+        if p_ != SAMEAS_PRED})
+    sa_rows = sorted({(u, e) for u, e in zip(
+        sa["uri"].to_pylist(), sa["equiv_uri"].to_pylist())})
+
+    dico_v = ", ".join(f"({q(w)}, {q(e)})" for w, e in dico_rows)
+    uris_v = ", ".join(f"({q(e)}, {q(u)})" for e, u in uri_rows)
+    kb_v = ", ".join(f"({q(s_)}, {q(o)})" for s_, o in kb_rows)
+    sa_v = ", ".join(f"({q(u)}, {q(e)})" for u, e in sa_rows)
+    amb = ", ".join(f"'{w}'" for w in sorted(VOCAB_AMBIGUOUS))
+
+    return (
+        _mention_ordinality_cte()
+        + f"""
+, dico(w, entity_id) AS (VALUES {dico_v})
+, euris(entity_id, u) AS (VALUES {uris_v})
+, kbt(subj, obj) AS (VALUES {kb_v})
+, sameq(entity_id, u) AS (VALUES {sa_v})
+-- J4 probe expansion: base + equivalence URIs + one sameAs hop
+, probe AS (SELECT entity_id, u FROM euris UNION SELECT entity_id, u FROM sameq)
+-- per-candidate KB neighborhood re-rooted at the base URI (self-loops out)
+, nbhd AS (
+    SELECT DISTINCT p.entity_id AS src, k.obj AS dst
+    FROM probe p JOIN kbt k ON k.subj = p.u
+    WHERE k.obj <> p.entity_id
+)
+, wrd AS (SELECT DISTINCT url, w FROM m)
+, amb_page AS (
+    SELECT url, max(CASE WHEN w IN ({amb}) THEN 1 ELSE 0 END) AS has_amb
+    FROM wrd GROUP BY url
+)
+-- candidates of pages on the graph path (>=1 multi-candidate mention)
+, cand AS (
+    SELECT wo.url, wo.w, d.entity_id AS uri
+    FROM wrd wo JOIN dico d ON d.w = wo.w
+    JOIN amb_page a ON a.url = wo.url AND a.has_amb = 1
+)
+-- A1 fusion: union of candidate neighborhoods; parallel edges collapse
+, edges AS (
+    SELECT DISTINCT c.url, n.src, n.dst FROM cand c JOIN nbhd n ON n.src = c.uri
+)
+-- A2: non-candidate vertices must cover >= 2 distinct mentions
+, kept_nc AS (
+    SELECT e.url, e.dst
+    FROM edges e JOIN cand c ON c.url = e.url AND c.uri = e.src
+    WHERE NOT EXISTS (SELECT 1 FROM cand x WHERE x.url = e.url AND x.uri = e.dst)
+    GROUP BY e.url, e.dst
+    HAVING count(DISTINCT c.w) >= 2
+)
+, kept_edges AS (
+    SELECT e.url, e.src, e.dst FROM edges e
+    WHERE EXISTS (SELECT 1 FROM cand x WHERE x.url = e.url AND x.uri = e.dst)
+       OR EXISTS (SELECT 1 FROM kept_nc n WHERE n.url = e.url AND n.dst = e.dst)
+)
+-- A3 degree over the pruned simple digraph: +1 per incident edge
+, deg AS (
+    SELECT url, uri, CAST(SUM(cnt) AS BIGINT) AS degree FROM (
+        SELECT url, src AS uri, count(*) AS cnt FROM kept_edges GROUP BY url, src
+        UNION ALL
+        SELECT url, dst AS uri, count(*) AS cnt FROM kept_edges GROUP BY url, dst
+    ) GROUP BY url, uri
+)
+-- A4 argmax: max score, ties to the lexicographically LARGEST uri
+, winner AS (
+    SELECT c.url, c.w, c.uri, COALESCE(d.degree, 0) AS score,
+           row_number() OVER (PARTITION BY c.url, c.w
+                              ORDER BY COALESCE(d.degree, 0) DESC, c.uri DESC) AS rn
+    FROM cand c LEFT JOIN deg d ON d.url = c.url AND d.uri = c.uri
+)
+SELECT m.url, m.mention_id, m.w AS surface,
+       CASE WHEN a.has_amb = 1 THEN wi.uri ELSE '{KB}/word/' || m.w END AS uri,
+       CAST(CASE WHEN a.has_amb = 1 THEN wi.score ELSE -1 END AS BIGINT) AS score_i
+FROM m
+JOIN amb_page a ON a.url = m.url
+LEFT JOIN winner wi ON wi.url = m.url AND wi.w = m.w AND wi.rn = 1
+"""
+    )
+
+
 def _nel_ambiguity_sql() -> str:
     from reden_ray.pipelines.webdemo import VOCAB_AMBIGUOUS
 
@@ -828,6 +975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # against analytic gold fixtures instead)
         "nel_links": _q_nel_links,
         "nel_links_unambiguous": _q_nel_links_unambiguous,
+        "nel_links_scored": _q_nel_links_scored,
         "nel_links_scale_path": _q_nel_links_scale_path,
         "nel_triples": _q_nel_triples,
         "nel_mention_triples_unambiguous": _q_nel_mention_triples_unambiguous,
@@ -922,6 +1070,7 @@ def oracle_sql() -> dict[str, str]:
         "q26b_candidate_enrichment": _candidate_enrichment_sql(),
         "nel_ambiguity": _nel_ambiguity_sql(),
         "nel_links_unambiguous": _nel_links_unambiguous_sql(),
+        "nel_links_scored": _nel_links_scored_sql(),
         "nel_mention_triples_unambiguous": _nel_mention_triples_unambiguous_sql(),
         "nel_mention_triple_count": _nel_mention_triple_count_sql(),
         "q25b_annotation_surfaces": _annotation_surfaces_sql(),
