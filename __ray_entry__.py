@@ -676,14 +676,19 @@ def _nel_links_unambiguous_sql() -> str:
     )
 
 
-def _nel_links_scored_sql() -> str:
-    """SQL mirror of the WHOLE linking algorithm (graph path included).
+def _nel_algebra_ctes() -> str:
+    """Shared CTE program: the WHOLE linking algorithm in SQL.
 
     The vocab fixture's dictionary / KB / sameAs tables are inlined as
     VALUES (raw data, same inputs the Ray pipeline loads); the
-    ALGORITHM — J4 probe expansion, A1 graph fusion, A2 pruning, A3
-    degree centrality, A4 argmax — is re-implemented relationally, so
+    ALGORITHM -- J4 probe expansion, A1 graph fusion, A2 pruning, A3
+    degree centrality, A4 argmax -- is re-implemented relationally, so
     DuckDB computes every ambiguous mention's winner independently.
+    Ends with ``linkrow``: one row per NER mention with its positional
+    mention_id, case-preserved surface (w_raw), lowercase key (w), the
+    winning uri and the BIGINT degree score (-1 on NoAmbiguity pages,
+    where the M11 fast path emits no score).
+
     Two deliberate simplifications, both exact on this fixture: vertex
     identity is the raw URI string (no %-escapes, URL-decode is the
     identity), and A2's "distinct mentions covered" equals distinct
@@ -694,7 +699,8 @@ def _nel_links_scored_sql() -> str:
 
     from reden_ray import SAMEAS_PRED
     from reden_ray.fixtures import KB
-    from reden_ray.pipelines.webdemo import VOCAB_AMBIGUOUS, vocab_fixture
+    from reden_ray.pipelines.webdemo import (GAZETTEER_WORDS, URL_PREFIX,
+                                             VOCAB_AMBIGUOUS, vocab_fixture)
 
     vd = vocab_fixture()
     dico = pq.read_table(f"{vd}/dictionary.parquet")
@@ -708,7 +714,8 @@ def _nel_links_scored_sql() -> str:
         dico["surface_norm"].to_pylist(), dico["entity_id"].to_pylist())})
     uri_rows = sorted({(e, u) for e, us in zip(
         dico["entity_id"].to_pylist(), dico["uris"].to_pylist()) for u in us})
-    kb_rows = sorted({(s_, o) for s_, p_, o in zip(
+    # sameAs predicates never become graph edges nor emitted triples
+    kb_rows = sorted({(s_, p_, o) for s_, p_, o in zip(
         kb["subj"].to_pylist(), kb["pred"].to_pylist(), kb["obj"].to_pylist())
         if p_ != SAMEAS_PRED})
     sa_rows = sorted({(u, e) for u, e in zip(
@@ -716,16 +723,25 @@ def _nel_links_scored_sql() -> str:
 
     dico_v = ", ".join(f"({q(w)}, {q(e)})" for w, e in dico_rows)
     uris_v = ", ".join(f"({q(e)}, {q(u)})" for e, u in uri_rows)
-    kb_v = ", ".join(f"({q(s_)}, {q(o)})" for s_, o in kb_rows)
+    kb_v = ", ".join(f"({q(s_)}, {q(p_)}, {q(o)})" for s_, p_, o in kb_rows)
     sa_v = ", ".join(f"({q(u)}, {q(e)})" for u, e in sa_rows)
     amb = ", ".join(f"'{w}'" for w in sorted(VOCAB_AMBIGUOUS))
+    alt = "|".join(GAZETTEER_WORDS)
 
-    return (
-        _mention_ordinality_cte()
-        + f"""
+    return rf"""
+WITH x AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '\b({alt})\b', 1, 'i') AS ws
+  FROM documents
+), m0 AS (
+  SELECT '{URL_PREFIX}' || CAST(doc_id AS VARCHAR) AS url,
+         CAST(generate_subscripts(ws, 1) - 1 AS BIGINT) AS mention_id,
+         unnest(ws) AS w_raw
+  FROM x
+), m AS (SELECT url, mention_id, w_raw, lower(w_raw) AS w FROM m0)
 , dico(w, entity_id) AS (VALUES {dico_v})
 , euris(entity_id, u) AS (VALUES {uris_v})
-, kbt(subj, obj) AS (VALUES {kb_v})
+, kbt(subj, pred, obj) AS (VALUES {kb_v})
 , sameq(entity_id, u) AS (VALUES {sa_v})
 -- J4 probe expansion: base + equivalence URIs + one sameAs hop
 , probe AS (SELECT entity_id, u FROM euris UNION SELECT entity_id, u FROM sameq)
@@ -778,12 +794,63 @@ def _nel_links_scored_sql() -> str:
                               ORDER BY COALESCE(d.degree, 0) DESC, c.uri DESC) AS rn
     FROM cand c LEFT JOIN deg d ON d.url = c.url AND d.uri = c.uri
 )
-SELECT m.url, m.mention_id, m.w AS surface,
-       CASE WHEN a.has_amb = 1 THEN wi.uri ELSE '{KB}/word/' || m.w END AS uri,
-       CAST(CASE WHEN a.has_amb = 1 THEN wi.score ELSE -1 END AS BIGINT) AS score_i
-FROM m
-JOIN amb_page a ON a.url = m.url
-LEFT JOIN winner wi ON wi.url = m.url AND wi.w = m.w AND wi.rn = 1
+, linkrow AS (
+    SELECT m.url, m.mention_id, m.w_raw, m.w,
+           CASE WHEN a.has_amb = 1 THEN wi.uri ELSE '{KB}/word/' || m.w END AS uri,
+           CAST(CASE WHEN a.has_amb = 1 THEN wi.score ELSE -1 END AS BIGINT) AS score_i
+    FROM m
+    JOIN amb_page a ON a.url = m.url
+    LEFT JOIN winner wi ON wi.url = m.url AND wi.w = m.w AND wi.rn = 1
+)
+"""
+
+
+def _nel_links_scored_sql() -> str:
+    """Per-mention projection of the full SQL linking algorithm
+    (see ``_nel_algebra_ctes``)."""
+    return (
+        _nel_algebra_ctes()
+        + "SELECT url, mention_id, w AS surface, uri, score_i FROM linkrow"
+    )
+
+
+def _nel_triples_sql() -> str:
+    """FULL oracle for the flagship triples output: all three emission
+    branches re-derived from the SQL ``linkrow`` winners --
+    * mention triples: DISTINCT (url, winner uri);
+    * canonical-label triples: per-uri argmax over case-preserved
+      surface counts (ties -> largest surface), mirroring
+      ``canonicalize._label_argmax_bucket``;
+    * entity triples: KB rows of each distinct linked uri re-rooted at
+      the base (probe = base + one sameAs hop; per-subject (pred, obj)
+      dedup), mirroring ``canonicalize.EntityTripleEmitter``.
+    Branch predicates are disjoint, so UNION ALL is exact."""
+    from reden_ray import CANONICAL_LABEL_PRED, MENTIONS_PRED
+
+    return (
+        _nel_algebra_ctes()
+        + f"""
+, linked AS (SELECT DISTINCT uri FROM linkrow)
+, eprobe AS (
+    SELECT uri AS entity_id, uri AS u FROM linked
+    UNION
+    SELECT s.entity_id, s.u FROM sameq s JOIN linked l ON l.uri = s.entity_id
+)
+, lab AS (
+    SELECT uri, w_raw AS surface, count(*) AS cnt FROM linkrow GROUP BY uri, w_raw
+)
+, lab_best AS (
+    SELECT uri, surface,
+           row_number() OVER (PARTITION BY uri ORDER BY cnt DESC, surface DESC) AS rn
+    FROM lab
+)
+SELECT DISTINCT url AS subj, '{MENTIONS_PRED}' AS pred, uri AS obj FROM linkrow
+UNION ALL
+SELECT uri AS subj, '{CANONICAL_LABEL_PRED}' AS pred, surface AS obj
+FROM lab_best WHERE rn = 1
+UNION ALL
+SELECT DISTINCT p.entity_id AS subj, k.pred, k.obj
+FROM eprobe p JOIN kbt k ON k.subj = p.u
 """
     )
 
@@ -1071,6 +1138,7 @@ def oracle_sql() -> dict[str, str]:
         "nel_ambiguity": _nel_ambiguity_sql(),
         "nel_links_unambiguous": _nel_links_unambiguous_sql(),
         "nel_links_scored": _nel_links_scored_sql(),
+        "nel_triples": _nel_triples_sql(),
         "nel_mention_triples_unambiguous": _nel_mention_triples_unambiguous_sql(),
         "nel_mention_triple_count": _nel_mention_triple_count_sql(),
         "q25b_annotation_surfaces": _annotation_surfaces_sql(),

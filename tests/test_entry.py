@@ -59,7 +59,7 @@ class TestEntry:
 @pytest.mark.parametrize("name", ["q1_pricing_summary", "q5_distinct_flags",
                                   "q8_text_stats", "q11_extract_text",
                                   "q16_user_sessions", "nel_links_unambiguous",
-                                  "nel_links_scored",
+                                  "nel_links_scored", "nel_triples",
                                   "nel_mention_triples_unambiguous",
                                   "nel_mention_triple_count",
                                   "q25b_annotation_surfaces"])
