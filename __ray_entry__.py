@@ -855,6 +855,29 @@ FROM eprobe p JOIN kbt k ON k.subj = p.u
     )
 
 
+def _nel_predicate_frequency_sql() -> str:
+    """Oracle for the S13 report: per-predicate counts of the PRUNED
+    fusion-graph edges. M11 NoAmbiguity contexts build no graph
+    (make_edges_bucket_fn flushes them empty), so the graph-path
+    ``kept_edges`` from the shared CTEs is exactly the dumped edge set;
+    predicates attach by (src, dst) join — exact here because no
+    (src, dst) pair carries two predicates in the vocab KB
+    (first-predicate-wins never has to choose)."""
+    return (
+        _nel_algebra_ctes()
+        + """
+, nbhdp AS (
+    SELECT DISTINCT p.entity_id AS src, k.pred, k.obj AS dst
+    FROM probe p JOIN kbt k ON k.subj = p.u
+    WHERE k.obj <> p.entity_id
+)
+SELECT n.pred, CAST(count(*) AS BIGINT) AS freq
+FROM kept_edges e JOIN nbhdp n ON n.src = e.src AND n.dst = e.dst
+GROUP BY n.pred ORDER BY freq DESC
+"""
+    )
+
+
 def _nel_ambiguity_sql() -> str:
     from reden_ray.pipelines.webdemo import VOCAB_AMBIGUOUS
 
@@ -1139,6 +1162,7 @@ def oracle_sql() -> dict[str, str]:
         "nel_links_unambiguous": _nel_links_unambiguous_sql(),
         "nel_links_scored": _nel_links_scored_sql(),
         "nel_triples": _nel_triples_sql(),
+        "nel_predicate_frequency": _nel_predicate_frequency_sql(),
         "nel_mention_triples_unambiguous": _nel_mention_triples_unambiguous_sql(),
         "nel_mention_triple_count": _nel_mention_triple_count_sql(),
         "q25b_annotation_surfaces": _annotation_surfaces_sql(),

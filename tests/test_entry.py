@@ -60,6 +60,7 @@ class TestEntry:
                                   "q8_text_stats", "q11_extract_text",
                                   "q16_user_sessions", "nel_links_unambiguous",
                                   "nel_links_scored", "nel_triples",
+                                  "nel_predicate_frequency",
                                   "nel_mention_triples_unambiguous",
                                   "nel_mention_triple_count",
                                   "q25b_annotation_surfaces"])
