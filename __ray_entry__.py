@@ -495,6 +495,37 @@ def _q_eval_records(sf_dir: str):
     return eval_records(links, gold, cands)
 
 
+def _q_eval_records_scored(sf_dir: str):
+    """S14 EvalInfo verdicts over the webdemo corpus, hash-verified.
+    Gold is DERIVED deterministically: an ambiguous word's gold is its
+    -ALT entity, an unambiguous word's its base entity. The -alt gold
+    makes the J5 substring verdict nontrivial BOTH ways: a base winner
+    is WRONG for gold '<base>-alt' (not a substring of the emitted
+    list), an -alt winner is right — so the correct/incorrect verdict
+    paths are all exercised and hash-checked. Booleans are projected
+    as BIGINT 0/1 for hash stability."""
+    from reden_ray.pipelines.webdemo import VOCAB_AMBIGUOUS
+    from reden_ray.fixtures import KB
+    from reden_ray.stages.evaluate import eval_records
+
+    p, mentions = _nel_mentions(sf_dir)
+    mentions = mentions.materialize()
+    cands = p.candidates(mentions).materialize()
+    links = p.links(mentions_ds=mentions)
+    gold = mentions.select_columns(["url", "mention_id", "surface"]).to_pandas()
+    gold["surface"] = gold["surface"].str.lower()
+    alt = gold["surface"].isin(sorted(VOCAB_AMBIGUOUS))
+    gold["gold_uri"] = (f"{KB}/word/" + gold["surface"]
+                        + alt.map({True: "-alt", False: ""}))
+    rec = eval_records(links, gold, cands)
+    rec["choice_is_correct_i"] = rec["choice_is_correct"].astype("int64")
+    rec["gold_in_candidates_i"] = rec["gold_in_candidates"].astype("int64")
+    rec["n_candidates"] = rec["n_candidates"].astype("int64")
+    return rec[["url", "mention_id", "surface", "gold_uri", "chosen_uri",
+                "emitted_uris", "n_candidates", "cand_uris",
+                "choice_is_correct_i", "gold_in_candidates_i"]]
+
+
 def _q_dictionary_build(sf_dir: str):
     import pyarrow as pa
 
@@ -878,6 +909,62 @@ GROUP BY n.pred ORDER BY freq DESC
     )
 
 
+def _eval_records_scored_sql() -> str:
+    """Oracle for the derived-gold EvalInfo table: verdicts recomputed
+    from the SQL ``linkrow`` winners; candidate sets / equivalence
+    lists inlined as VALUES in dictionary row order (cand_rank)."""
+    import pyarrow.parquet as pq
+
+    from reden_ray.fixtures import KB
+    from reden_ray.pipelines.webdemo import VOCAB_AMBIGUOUS, vocab_fixture
+
+    vd = vocab_fixture()
+    dico = pq.read_table(f"{vd}/dictionary.parquet")
+    amb = ", ".join(f"'{w}'" for w in sorted(VOCAB_AMBIGUOUS))
+
+    def q(x: str) -> str:
+        return "'" + x.replace("'", "''") + "'"
+
+    emitted = {}   # entity_id -> space-joined uris (list order)
+    per_word = {}  # w -> [joined uris per candidate, in row order]
+    for w, e, us in zip(dico["surface_norm"].to_pylist(),
+                        dico["entity_id"].to_pylist(),
+                        dico["uris"].to_pylist()):
+        emitted[e] = " ".join(us)
+        per_word.setdefault(w, []).append(" ".join(us))
+
+    em_v = ", ".join(f"({q(e)}, {q(x)})" for e, x in sorted(emitted.items()))
+    cu_v = ", ".join(
+        f"({q(w)}, {q(' '.join(lst))}, {len(lst)})"
+        for w, lst in sorted(per_word.items()))
+
+    return (
+        _nel_algebra_ctes()
+        + f"""
+, emset(entity_id, em) AS (VALUES {em_v})
+, candu(w, cu, nc) AS (VALUES {cu_v})
+, g AS (
+    SELECT l.*, '{KB}/word/' || l.w ||
+           CASE WHEN l.w IN ({amb}) THEN '-alt' ELSE '' END AS gold_uri
+    FROM linkrow l
+)
+SELECT l.url, l.mention_id, l.w AS surface,
+       l.gold_uri,
+       l.uri AS chosen_uri,
+       e.em AS emitted_uris,
+       CAST(c.nc AS BIGINT) AS n_candidates,
+       c.cu AS cand_uris,
+       CAST(CASE WHEN position(l.gold_uri IN e.em) > 0
+            THEN 1 ELSE 0 END AS BIGINT) AS choice_is_correct_i,
+       CAST(CASE WHEN position(lower(l.gold_uri) IN lower(c.cu)) > 0
+            THEN 1 ELSE 0 END AS BIGINT) AS gold_in_candidates_i
+FROM g l
+JOIN emset e ON e.entity_id = l.uri
+JOIN candu c ON c.w = l.w
+"""
+    )
+
+
 def _nel_ambiguity_sql() -> str:
     from reden_ray.pipelines.webdemo import VOCAB_AMBIGUOUS
 
@@ -1050,6 +1137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q24_dictionary_build": _q_dictionary_build,
         # per-mention EvalInfo verdicts (S14 eval surface)
         "q31_eval_records": _q_eval_records,
+        "q31b_eval_records_scored": _q_eval_records_scored,
         "q25_annotate_pages": _q_annotate_pages,
         "q26_enrichment": _q_enrichment,
         "q26b_candidate_enrichment": _q_candidate_enrichment,
@@ -1163,6 +1251,7 @@ def oracle_sql() -> dict[str, str]:
         "nel_links_scored": _nel_links_scored_sql(),
         "nel_triples": _nel_triples_sql(),
         "nel_predicate_frequency": _nel_predicate_frequency_sql(),
+        "q31b_eval_records_scored": _eval_records_scored_sql(),
         "nel_mention_triples_unambiguous": _nel_mention_triples_unambiguous_sql(),
         "nel_mention_triple_count": _nel_mention_triple_count_sql(),
         "q25b_annotation_surfaces": _annotation_surfaces_sql(),

@@ -61,6 +61,7 @@ class TestEntry:
                                   "q16_user_sessions", "nel_links_unambiguous",
                                   "nel_links_scored", "nel_triples",
                                   "nel_predicate_frequency",
+                                  "q31b_eval_records_scored",
                                   "nel_mention_triples_unambiguous",
                                   "nel_mention_triple_count",
                                   "q25b_annotation_surfaces"])
