@@ -280,7 +280,19 @@ def run_scaling() -> dict:
                              cwd=os.path.dirname(os.path.abspath(__file__)))
         return json.loads(res.stdout.strip().splitlines()[-1])
 
-    # Legs run INTERLEAVED in (8, 32) pairs so a host-noise burst hits
+    # CPU pair: N and 4N (default 8 vs 32). The host caps measurable
+    # 8-vs-32 efficiency: per-task CPU time INFLATES ~35% when 32
+    # workers run concurrently (measured 622 s vs 842 s of remote CPU
+    # for the IDENTICAL 208-task link stage at 8 vs 32 workers, both
+    # >=88% slot-utilized) — single-box memory-bandwidth / all-core
+    # clock contention, not scheduling. A real N->4N NODE scale-up
+    # keeps per-node worker count constant, so the honest sandbox
+    # proxy is a pair below the saturation knee (GRAFT_SCALING_CPUS
+    # "4,16"); both series are reported in BASELINE.md.
+    lo_n, hi_n = (int(x) for x in
+                  os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
+    factor = hi_n / lo_n
+    # Legs run INTERLEAVED in (lo, hi) pairs so a host-noise burst hits
     # adjacent legs rather than one whole side of the comparison; the
     # reported ratio uses the best leg of each side (a noise burst can
     # only ever SLOW a leg, so per-side best is the least-contaminated
@@ -288,26 +300,29 @@ def run_scaling() -> dict:
     n_pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "2"))
     lo_runs, hi_runs, pair_effs = [], [], []
     for _ in range(n_pairs):
-        lo, hi = one(8), one(32)
+        lo, hi = one(lo_n), one(hi_n)
         lo_runs.append(lo)
         hi_runs.append(hi)
-        pair_effs.append(round(lo["value"] / hi["value"] / 4.0, 3))
+        pair_effs.append(round(lo["value"] / hi["value"] / factor, 3))
     lo = min(lo_runs, key=lambda r: r["value"])
     hi = min(hi_runs, key=lambda r: r["value"])
     speedup = lo["value"] / hi["value"] if hi["value"] else 0.0
-    eff = speedup / (32 / 8)
+    eff = speedup / factor
     return {
-        "metric": "N->4N scaling (num_cpus 8 vs 32, same input)",
-        "sec_8": lo["value"],
-        "sec_32": hi["value"],
-        "pages_per_sec_8": lo["pages_per_sec"],
-        "pages_per_sec_32": hi["pages_per_sec"],
+        "metric": f"N->4N scaling (num_cpus {lo_n} vs {hi_n}, same input)",
+        "cpus": [lo_n, hi_n],
+        "sec_lo": lo["value"],
+        "sec_hi": hi["value"],
+        "sec_8": lo["value"] if lo_n == 8 else None,
+        "sec_32": hi["value"] if hi_n == 32 else None,
+        "pages_per_sec_lo": lo["pages_per_sec"],
+        "pages_per_sec_hi": hi["pages_per_sec"],
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(eff, 3),
         "pages": lo["pages"],
         "pair_efficiencies": pair_effs,
-        "runs_8": [r["runs"] for r in lo_runs],
-        "runs_32": [r["runs"] for r in hi_runs],
+        "runs_lo": [r["runs"] for r in lo_runs],
+        "runs_hi": [r["runs"] for r in hi_runs],
     }
 
 
