@@ -51,3 +51,31 @@ class TestTrieMatching:
     def test_empty(self):
         assert find_mentions("", _trie("X")) == []
         assert find_mentions("anything", build_trie([])) == []
+
+
+class TestMatcherEquivalence:
+    def test_single_token_fast_path_equals_trie(self):
+        """build_matcher's whole-word regex path must emit EXACTLY the
+        trie walk's mentions on random corpora (offsets, case, order)."""
+        import random
+
+        from reden_ray.stages.ner import build_matcher, build_trie, find_mentions
+
+        rng = random.Random(17)
+        words = ["spark", "stream", "vector", "sparkle", "s", "Émile"]
+        surfaces = [(w, "TERM") for w in words]
+        trie = build_trie(surfaces)
+        match = build_matcher(surfaces)
+        vocab = words + ["the", "sparks", "xspark", "e-spark", "SPARK1",
+                         "émile", "stream,", "a", "1spark"]
+        for _ in range(300):
+            text = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+            assert match(text) == find_mentions(text, trie), text
+
+    def test_multi_token_surfaces_use_trie_semantics(self):
+        from reden_ray.stages.ner import build_matcher
+
+        surfaces = [("Alexandre Dumas", "PER"), ("Dumas", "PER")]
+        match = build_matcher(surfaces)
+        ms = match("by Alexandre Dumas indeed")
+        assert [m[2] for m in ms] == ["Alexandre Dumas"]  # greedy longest
