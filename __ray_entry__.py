@@ -10,9 +10,15 @@ The driver initialises Ray BEFORE importing this module; nothing here
   SURVEY.md §2 (+ the training-data operators: dedup family,
   similarity search, text analysis, multimodal plumbing).
 * ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible
-  query, on the pre-registered views. Non-SQL-expressible pipelines
-  (graph linking, LSH/simhash near-dup, approximate ANN, multimodal)
-  are intentionally omitted -> rows-only checks.
+  query, on the pre-registered views (38 of 48, including the WHOLE
+  graph-linking algorithm re-implemented as CTEs — see
+  ``_nel_algebra_ctes`` — the flagship triples output, the eval
+  verdicts, and the multimodal decode round-trip). Genuinely
+  non-SQL surfaces are intentionally omitted -> rows-only checks:
+  threshold-LSH over real near-dup corpora (their planted b-variants
+  ARE SQL-checked), nprobe<K approximate ANN (exhaustive-probe q21b is
+  exact and checked), blake2b feature-hash embeddings, and fixture-side
+  gold.
 """
 
 from __future__ import annotations
