@@ -150,7 +150,13 @@ def _join_partitions() -> int:
 
 # Q3 — small-side broadcast join (J1 pattern), distributed join above gate
 class _KeyLookup:
-    """Vectorized key->value map lookup appended as a new column."""
+    """Vectorized key->value map lookup appended as a new column.
+
+    INNER-join semantics: rows whose key is absent from the map are
+    DROPPED, so the broadcast path and the hash-partitioned
+    ``Dataset.join(join_type="inner")`` scale path above
+    BROADCAST_ROW_LIMIT return the same answer (and both match the
+    inner-join SQL oracles)."""
 
     def __init__(self, ref, key_col: str, out_col: str):
         # pandas Series index = C-speed vectorized hash lookup per batch
@@ -159,7 +165,11 @@ class _KeyLookup:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         keys = t[self.key_col].to_numpy(zero_copy_only=False)
-        vals = self.m.reindex(keys).fillna("UNKNOWN").to_numpy()
+        vals = self.m.reindex(keys).to_numpy()
+        matched = pd.notna(vals)
+        if not matched.all():
+            t = t.filter(pa.array(matched))
+            vals = vals[matched]
         return t.append_column(self.out_col, pa.array(vals, pa.string()))
 
 

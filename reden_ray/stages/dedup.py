@@ -111,6 +111,11 @@ def grouped_pairs(rows_ds, group_cols: list[str], hash_col: str,
     expensive). Groups that reported dropped members emit a MARKER row
     ``(a=-1, b=n_dropped)``; route the output through
     ``_strip_truncation_markers`` before CC / distinct_pairs.
+
+    Because the marker is in-band (shares the pair schema), doc ids
+    MUST be non-negative — a corpus with negative ids would have real
+    pairs silently stripped as markers. Enforced here, vectorized, at
+    the one choke point every near-dup entry point flows through.
     """
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -121,6 +126,12 @@ def grouped_pairs(rows_ds, group_cols: list[str], hash_col: str,
         return df
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if "doc_id" in df.columns and len(df) and (df["doc_id"] < 0).any():
+            bad = int(df.loc[df["doc_id"] < 0, "doc_id"].iloc[0])
+            raise ValueError(
+                f"near-dup blocking requires non-negative doc ids (got {bad}): "
+                "(a=-1, b=n) rows are reserved as truncation markers — "
+                "remap ids to >= 0 before dedup")
         recs: list[tuple[int, int]] = []
         for _, g in df.groupby(group_cols, sort=False):
             if len(g) < 2:

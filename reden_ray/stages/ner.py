@@ -117,8 +117,16 @@ def build_matcher(surfaces: list[tuple[str, str]]):
             re.I | re.U,
         )
         def match_single(text: str) -> list[tuple[int, int, str, str]]:
-            return [(m.start(), m.end(), m.group(0), ne_of[m.group(0).lower()])
-                    for m in pat.finditer(text)]
+            # re.I matches via casefold, which is WIDER than the trie's
+            # .lower() keying (e.g. 'İSTANBUL'.lower() == 'i̇stanbul' !=
+            # 'istanbul'; 'ſ' casefolds to 's' but lowers to itself).
+            # Skip such matches: the trie never matches them either.
+            out = []
+            for m in pat.finditer(text):
+                ne = ne_of.get(m.group(0).lower())
+                if ne is not None:
+                    out.append((m.start(), m.end(), m.group(0), ne))
+            return out
         return match_single
     trie = build_trie(surfaces)
     return lambda text: find_mentions(text, trie)

@@ -183,7 +183,18 @@ def partition_complete(out_dir: str | Path, part: int,
         if expected_input_files is not None:
             if m.get("input_files") != list(expected_input_files):
                 return False
-            if m.get("input_stat") != _file_stats(expected_input_files):
+            if "input_stat" not in m:
+                # legacy manifest (written before input stats were
+                # recorded): the input-file LIST matched, so accept it
+                # instead of recomputing every pre-existing checkpoint;
+                # log once so the migration is visible.
+                import logging
+
+                logging.getLogger(__name__).info(
+                    "partition %s: legacy manifest without input_stat — "
+                    "accepted on input_files match (will be upgraded on "
+                    "next recompute)", part)
+            elif m["input_stat"] != _file_stats(expected_input_files):
                 return False
         return True
     except (json.JSONDecodeError, OSError):

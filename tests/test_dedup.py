@@ -121,6 +121,20 @@ class TestMinHash:
         assert kept == [0, 3, 5]
 
 
+class TestNegativeIdsRejected:
+    def test_negative_doc_id_raises(self):
+        """(a=-1, b=n) is reserved for in-band truncation markers, so
+        negative doc ids must be rejected loudly, not silently stripped
+        as markers downstream."""
+        rows = [
+            {"doc_id": -7, "text": BASE},
+            {"doc_id": 1, "text": BASE},
+        ]
+        ds = rd.from_arrow(pa.Table.from_pylist(rows))
+        with pytest.raises(Exception, match="non-negative doc ids"):
+            minhash_lsh_clusters(ds, verify="exact").to_pandas()
+
+
 class TestSimHash:
     def test_clusters(self, doc_ds):
         m = _cmap(simhash_clusters(doc_ds, max_hamming=3))

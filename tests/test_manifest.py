@@ -221,6 +221,21 @@ class TestRunPartitioned:
         assert int(dup["warc_ts"].iloc[0]) == 39  # newest re-crawl wins
         assert len(got) == 4 * 9 + 1
 
+    def test_legacy_manifest_without_input_stat_accepted(self, tmp_path):
+        """Checkpoints written before input_stat existed must not be
+        invalidated wholesale: when input_files still match, a missing
+        input_stat is a legacy pass, not a recompute."""
+        pages = _make_pages(tmp_path)
+        out = tmp_path / "out"
+        run_partitioned(pages, out, _double, n_partitions=2)
+        for part in range(2):
+            mp = manifest_path(out, part)
+            m = json.loads(mp.read_text())
+            del m["input_stat"]  # simulate pre-upgrade manifest
+            mp.write_text(json.dumps(m))
+        m2 = run_partitioned(pages, out, _double, n_partitions=2)
+        assert m2["skipped"] == 2 and m2["ran"] == 0
+
     def test_corrupt_manifest_detected(self, tmp_path):
         pages = _make_pages(tmp_path)
         out = tmp_path / "out"

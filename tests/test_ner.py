@@ -72,6 +72,22 @@ class TestMatcherEquivalence:
             text = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
             assert match(text) == find_mentions(text, trie), text
 
+    def test_fast_path_unicode_casefold_mismatch(self):
+        """re.I matches chars whose .lower() differs from the pattern key
+        (Turkish dotted İ, long-s ſ). The fast path must neither crash
+        nor diverge from the trie, which keys on .lower() and skips them."""
+        from reden_ray.stages.ner import build_matcher, build_trie, find_mentions
+
+        surfaces = [("istanbul", "LOC"), ("s", "TERM")]
+        trie = build_trie(surfaces)
+        match = build_matcher(surfaces)
+        for text in [
+            "Travel to İSTANBUL next",   # 'İSTANBUL'.lower() == 'i̇stanbul'
+            "the long ſ glyph",           # 'ſ'.lower() == 'ſ' but casefolds to 's'
+            "plain istanbul and S here",  # sanity: normal matches still work
+        ]:
+            assert match(text) == find_mentions(text, trie), text
+
     def test_multi_token_surfaces_use_trie_semantics(self):
         from reden_ray.stages.ner import build_matcher
 
