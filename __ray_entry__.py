@@ -99,11 +99,39 @@ def _nel_mentions(sf_dir: str):
     return p, p.mentions(p.texts(pages))
 
 
+def _scored_projection(links, lower_surface: bool):
+    """(url, mention_id, surface, uri, score_i) projection shared by the
+    hash-verified link queries: degree scores are whole numbers (edge
+    counts) so they hash exactly as BIGINT; NoAmbiguity pages emit NaN,
+    mapped to the repo's -1 sentinel (non-null keeps the int column
+    hash-stable across pandas/DuckDB null representations)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def proj(t: pa.Table) -> pa.Table:
+        score = t.column("score").cast(pa.float64())
+        bad = pc.or_kleene(pc.is_null(score), pc.is_nan(score))
+        ints = pc.cast(pc.round(pc.if_else(bad, pa.scalar(0.0), score)),
+                       pa.int64())
+        surf = t.column("surface")
+        return pa.table({
+            "url": t["url"],
+            "mention_id": t["mention_id"],
+            "surface": pc.utf8_lower(surf) if lower_surface else surf,
+            "uri": t["uri"],
+            "score_i": pc.if_else(bad, pa.scalar(-1, pa.int64()), ints),
+        })
+
+    return links.map_batches(proj, batch_format="pyarrow")
+
+
 def _q_nel_links(sf_dir: str):
+    """Raw per-mention link decision off the packed hot path, with the
+    case-preserved surface. Hash-verified against the SQL linking
+    algebra's ``linkrow`` (w_raw carries the original case)."""
     p, mentions = _nel_mentions(sf_dir)
     links = p.links(mentions_ds=mentions)  # packed hot path
-    # all_uris is list-typed; project to scalar columns for the driver
-    return links.select_columns(["url", "mention_id", "surface", "uri", "score"])
+    return _scored_projection(links, lower_surface=False)
 
 
 def _q_nel_triples(sf_dir: str):
@@ -166,30 +194,22 @@ def _q_nel_links_scale_path(sf_dir: str):
     """The WEB-SCALE variant of nel_links: dictionary arrives via the
     hash-partitioned J1 join (candidates_via_join — for dictionaries
     too large to broadcast) and the KB via the distributed J3 join
-    (link_documents_via_join — for KBs too large to broadcast). Same
-    links as the broadcast path (equivalence is pytest-gated); runs
-    here as driver evidence that the scale path executes end-to-end."""
-    import ray.data as rd
+    (link_documents_via_join — for KBs too big to broadcast). Routed
+    through NELPipeline's own measured-size gate (broadcast limits
+    forced to 0), so the auto-selection plumbing a real cluster user
+    runs is what executes here — and the output is hash-verified
+    against the same SQL linking algebra as nel_links_scored (the two
+    paths compute identical links)."""
+    from reden_ray.pipelines.nel import NELConfig, NELPipeline
+    from reden_ray.pipelines.webdemo import pages_from_documents, vocab_fixture
 
-    from reden_ray.pipelines.webdemo import (
-        nel_pipeline_over_documents,
-        vocab_fixture,
-    )
-    from reden_ray.stages.candidates import (
-        candidates_via_join,
-        dictionary_with_order,
-    )
-    from reden_ray.stages.linker_join import link_documents_via_join
-
-    p, pages = nel_pipeline_over_documents(sf_dir)
-    fx = vocab_fixture()
-    mentions = p.mentions(p.texts(pages)).materialize()
-    dico = dictionary_with_order(f"{fx}/dictionary.parquet")
-    cands = candidates_via_join(mentions, dico, num_partitions=8).materialize()
-    kb = rd.read_parquet(f"{fx}/kb_triples.parquet")
-    sameas = rd.read_parquet(f"{fx}/sameas.parquet")
-    links = link_documents_via_join(cands, kb, sameas_ds=sameas, num_partitions=8)
-    return links.select_columns(["url", "mention_id", "surface", "uri", "score"])
+    cfg = NELConfig(kb_broadcast_limit_bytes=0, dico_broadcast_limit_bytes=0,
+                    join_partitions=8)
+    p = NELPipeline(vocab_fixture(), cfg)
+    assert not p.kb_broadcastable and not p.dico_broadcastable
+    mentions = p.mentions(p.texts(pages_from_documents(sf_dir))).materialize()
+    links = p.links(mentions_ds=mentions)
+    return _scored_projection(links, lower_surface=True)
 
 
 def _q_nel_links_unambiguous(sf_dir: str):
@@ -236,26 +256,9 @@ def _q_nel_links_scored(sf_dir: str):
     (A3) and the (score, uri) argmax (A4) as relational CTEs over the
     vocab fixture inlined as VALUES — an independent implementation of
     the whole linking algorithm, not a replay of the Python one."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
     p, mentions = _nel_mentions(sf_dir)
     links = p.links(mentions_ds=mentions)
-
-    def proj(t: pa.Table) -> pa.Table:
-        score = t.column("score").cast(pa.float64())
-        bad = pc.or_kleene(pc.is_null(score), pc.is_nan(score))
-        ints = pc.cast(pc.round(pc.if_else(bad, pa.scalar(0.0), score)),
-                       pa.int64())
-        return pa.table({
-            "url": t["url"],
-            "mention_id": t["mention_id"],
-            "surface": pc.utf8_lower(t.column("surface")),
-            "uri": t["uri"],
-            "score_i": pc.if_else(bad, pa.scalar(-1, pa.int64()), ints),
-        })
-
-    return links.map_batches(proj, batch_format="pyarrow")
+    return _scored_projection(links, lower_surface=True)
 
 
 def _q_nel_ambiguity(sf_dir: str):
@@ -851,6 +854,15 @@ def _nel_links_scored_sql() -> str:
     )
 
 
+def _nel_links_sql() -> str:
+    """Same linking algebra, CASE-PRESERVED surface (w_raw) — the raw
+    nel_links output shape."""
+    return (
+        _nel_algebra_ctes()
+        + "SELECT url, mention_id, w_raw AS surface, uri, score_i FROM linkrow"
+    )
+
+
 def _nel_triples_sql() -> str:
     """FULL oracle for the flagship triples output: all three emission
     branches re-derived from the SQL ``linkrow`` winners --
@@ -1254,7 +1266,9 @@ def oracle_sql() -> dict[str, str]:
         "q26b_candidate_enrichment": _candidate_enrichment_sql(),
         "nel_ambiguity": _nel_ambiguity_sql(),
         "nel_links_unambiguous": _nel_links_unambiguous_sql(),
+        "nel_links": _nel_links_sql(),
         "nel_links_scored": _nel_links_scored_sql(),
+        "nel_links_scale_path": _nel_links_scored_sql(),
         "nel_triples": _nel_triples_sql(),
         "nel_predicate_frequency": _nel_predicate_frequency_sql(),
         "q31b_eval_records_scored": _eval_records_scored_sql(),

@@ -35,6 +35,16 @@ from ..state.broadcast import (
 )
 
 
+def _parquet_bytes(path: str) -> int:
+    """On-disk bytes of a Parquet file or directory of files."""
+    from pathlib import Path
+
+    p = Path(path)
+    if p.is_dir():
+        return sum(f.stat().st_size for f in p.rglob("*.parquet"))
+    return p.stat().st_size if p.exists() else 0
+
+
 @dataclass
 class NELConfig:
     """Typed replacement for the reference's 16-key .properties contract
@@ -64,6 +74,20 @@ class NELConfig:
     # "sort": url-hash bucket groupby (use when packed rows may be
     # fragmented, e.g. re-read from arbitrary Parquet).
     link_shuffle: str = "none"
+    # Measured-size gates for the broadcast side state, in bytes of the
+    # source Parquet (cheap stat, same pattern as relational.py's
+    # BROADCAST_ROW_LIMIT dimension gate): a KB / dictionary whose
+    # files exceed the limit is NOT collected into one object-store
+    # entry — links() routes through the distributed joins instead
+    # (stages/linker_join.py J3, candidates_via_join J1) and the
+    # entity-triple branch through emit_entity_triples_via_join.
+    # Parquet bytes understate the in-memory index (dict-of-lists
+    # expansion is ~5-10x), so the default is conservative relative to
+    # a worker heap. Tests force 0 to exercise the join path.
+    kb_broadcast_limit_bytes: int = 256 << 20
+    dico_broadcast_limit_bytes: int = 256 << 20
+    # hash-join partition count for the gated join path
+    join_partitions: int = 16
 
 
 class NELPipeline:
@@ -72,10 +96,24 @@ class NELPipeline:
     def __init__(self, fixture_dir: str, config: NELConfig | None = None):
         self.cfg = config or NELConfig()
         self.dir = fixture_dir
-        self.dico_ref = put_broadcast(load_dictionary_index(f"{fixture_dir}/dictionary.parquet"))
+        self.dico_path = f"{fixture_dir}/dictionary.parquet"
+        self.kb_path = f"{fixture_dir}/kb_triples.parquet"
+        self.sameas_path = f"{fixture_dir}/sameas.parquet"
+        # measured gates (file stat only — nothing is read to decide)
+        self.kb_broadcastable = (
+            _parquet_bytes(self.kb_path) + _parquet_bytes(self.sameas_path)
+            <= self.cfg.kb_broadcast_limit_bytes)
+        self.dico_broadcastable = (
+            _parquet_bytes(self.dico_path) <= self.cfg.dico_broadcast_limit_bytes)
+        self.dico_ref = (put_broadcast(load_dictionary_index(self.dico_path))
+                         if self.dico_broadcastable else None)
+        # the gazetteer is the NER model — vocabulary-sized by design,
+        # always broadcast (a gazetteer is surface forms, not the KB)
         self.gaz_ref = put_broadcast(load_gazetteer_surfaces(f"{fixture_dir}/gazetteer.parquet"))
-        self.kb_ref = put_broadcast(load_kb_index(f"{fixture_dir}/kb_triples.parquet"))
-        self.sameas_ref = put_broadcast(load_sameas_index(f"{fixture_dir}/sameas.parquet"))
+        self.kb_ref = (put_broadcast(load_kb_index(self.kb_path))
+                       if self.kb_broadcastable else None)
+        self.sameas_ref = (put_broadcast(load_sameas_index(self.sameas_path))
+                           if self.kb_broadcastable else None)
 
     # --- staged plans (each lazy) -------------------------------------
     def pages(self, pages_path: str | None = None):
@@ -95,6 +133,13 @@ class NELPipeline:
 
     def candidates(self, mentions_ds=None):
         ds = mentions_ds if mentions_ds is not None else self.mentions()
+        if not self.dico_broadcastable:
+            # J1 scale path: dictionary too large to broadcast — hash-
+            # partitioned equi-join with rank determinism via dict_row
+            from ..stages.candidates import candidates_via_join, dictionary_with_order
+
+            return candidates_via_join(ds, dictionary_with_order(self.dico_path),
+                                       num_partitions=self.cfg.join_partitions)
         return generate_candidates(ds, self.dico_ref,
                                    concurrency=self.cfg.cand_concurrency,
                                    actor_pool=self.cfg.actor_pools)
@@ -103,7 +148,27 @@ class NELPipeline:
         """links Dataset. With explicit row-form candidates, uses the
         row path; otherwise the packed per-url hot path (one shuffle
         row per page — see PackedCandidateGen) over ``mentions_ds``
-        (default: this fixture's pages)."""
+        (default: this fixture's pages).
+
+        When the measured KB size exceeds cfg.kb_broadcast_limit_bytes
+        (kb_broadcastable=False), the fused/broadcast paths are
+        unavailable and linking routes through the distributed J3 join
+        (stages/linker_join.py) — candidates likewise arrive via the J1
+        join when the dictionary is over its gate."""
+        if not self.kb_broadcastable:
+            cands = (candidates_ds if candidates_ds is not None
+                     else self.candidates(mentions_ds))
+            from ..stages.linker_join import link_documents_via_join
+
+            return link_documents_via_join(
+                cands.materialize(),
+                rd.read_parquet(self.kb_path),
+                sameas_ds=rd.read_parquet(self.sameas_path),
+                measure=self.cfg.measure,
+                prefered_uri_order=self.cfg.prefered_uri_order,
+                num_partitions=self.cfg.join_partitions,
+                num_buckets=self.cfg.link_buckets,
+            )
         if candidates_ds is not None:
             return link_documents(
                 candidates_ds, self.kb_ref, self.sameas_ref, rels=self.cfg.rels,
@@ -194,6 +259,14 @@ class NELPipeline:
                 for meta in bundle.metadata:
                     max_block = max(max_block, meta.size_bytes or 0)
             needs_pair_dedup = max_block >= target // 2
+        if self.kb_ref is None:
+            # gated join mode: entity triples via the distributed join
+            return emit_triples(
+                ds, labels, None, None, global_dedup=False,
+                mention_pair_dedup=needs_pair_dedup,
+                partials=partials, entities_ds=entities,
+                kb_ds=rd.read_parquet(self.kb_path),
+                sameas_ds=rd.read_parquet(self.sameas_path))
         return emit_triples(ds, labels, self.kb_ref, self.sameas_ref,
                             global_dedup=False,
                             mention_pair_dedup=needs_pair_dedup,

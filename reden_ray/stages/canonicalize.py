@@ -287,6 +287,49 @@ def make_entity_emitter(kb_ref, sameas_ref):
     return emit
 
 
+def emit_entity_triples_via_join(entities_ds, kb_ds, sameas_ds=None,
+                                 num_partitions: int = 8):
+    """Entity-triple branch for KBs too large to broadcast: the
+    Dataset-join analog of ``EntityTripleEmitter``.
+
+    probe = base uri ∪ its sameAs equivalents (one small join), then
+    probe ⋈ kb_triples ON subj (hash-partitioned on the URI), re-rooted
+    at the base; per-base (pred, obj) dedup = distinct (subj, pred,
+    obj), which the D5 bucket dedup computes exactly. ``entities_ds``
+    is vocabulary-sized (one row per distinct linked uri), so its side
+    of both joins is small; the kb side shuffles once on subj.
+    """
+    import pyarrow.compute as pc
+
+    # vocabulary-sized; pin so the two joins don't re-run its lineage,
+    # and repartition so no side carries empty schema-less blocks
+    entities = entities_ds.repartition(num_partitions).materialize()
+    probes = entities.map_batches(
+        lambda t: pa.table({"base": t["uri"], "probe": t["uri"]}),
+        batch_format="pyarrow")
+    if sameas_ds is not None:
+        ext = entities.join(sameas_ds, join_type="inner",
+                            num_partitions=num_partitions, on=("uri",))
+        ext = ext.map_batches(
+            lambda t: pa.table({"base": t["uri"], "probe": t["equiv_uri"]}),
+            batch_format="pyarrow")
+        probes = probes.union(ext)
+    # pin between the sameas join and the kb join (two concurrent
+    # hash-shuffle aggregator pools starve small CPU budgets)
+    probes = probes.repartition(num_partitions).materialize()
+    joined = probes.join(kb_ds, join_type="inner",
+                         num_partitions=num_partitions,
+                         on=("probe",), right_on=("subj",))
+
+    def to_triples(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["pred"], SAMEAS_PRED))
+        return pa.table({"subj": t["base"], "pred": t["pred"],
+                         "obj": t["obj"]}, schema=TRIPLE_SCHEMA)
+
+    raw = joined.map_batches(to_triples, batch_format="pyarrow")
+    return exact_dedup(raw, ["subj", "pred", "obj"])
+
+
 def distinct_linked_entities(links_ds, partials=None):
     """links -> distinct (uri) Dataset (combiner + groupby dedup).
     Per-batch-unique rows are tiny; coalesce before the shuffle.
@@ -315,8 +358,12 @@ def distinct_linked_entities(links_ds, partials=None):
 def emit_triples(links_ds, labels_ds, kb_ref, sameas_ref,
                  concurrency: int | tuple = (1, 2), global_dedup: bool = True,
                  mention_pair_dedup: bool = True, partials=None,
-                 entities_ds=None):
+                 entities_ds=None, kb_ds=None, sameas_ds=None):
     """links + labels -> deduplicated (subj, pred, obj) triples Dataset.
+
+    ``kb_ref=None`` with ``kb_ds`` (+ optional ``sameas_ds``) Datasets
+    switches the entity-triple branch to the distributed-join emitter
+    (``emit_entity_triples_via_join``) — for KBs too large to broadcast.
 
     ``global_dedup=False`` is the structured fast path: it skips the D5
     all-to-all on the FULL triple stream because each branch is
@@ -350,9 +397,13 @@ def emit_triples(links_ds, labels_ds, kb_ref, sameas_ref,
     # list and skip the distinct-uri reduction entirely.
     entities = (entities_ds if entities_ds is not None
                 else distinct_linked_entities(links_ds, partials=partials))
-    entity_t = entities.map_batches(
-        make_entity_emitter(kb_ref, sameas_ref), batch_format="pyarrow"
-    )
+    if kb_ref is None:
+        entity_t = emit_entity_triples_via_join(entities, kb_ds,
+                                                sameas_ds=sameas_ds)
+    else:
+        entity_t = entities.map_batches(
+            make_entity_emitter(kb_ref, sameas_ref), batch_format="pyarrow"
+        )
     all_t = mention_t.union(label_t).union(entity_t)
     if global_dedup:
         return exact_dedup(all_t, ["subj", "pred", "obj"])

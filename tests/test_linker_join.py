@@ -62,6 +62,46 @@ class TestCandidatesViaJoin:
         assert a.equals(b)
 
 
+class TestAutoSelectedJoinMode:
+    """NELPipeline's measured-size gate: broadcast limits forced to 0
+    must route the WHOLE pipeline (candidates J1 join, linking J3 join,
+    entity-triple join emitter) through the distributed paths — and the
+    output must be identical to the broadcast pipeline's."""
+
+    def test_gate_defaults_to_broadcast_on_small_kb(self, unit_fixture):
+        p = NELPipeline(unit_fixture)
+        assert p.kb_broadcastable and p.dico_broadcastable
+        assert p.kb_ref is not None and p.dico_ref is not None
+
+    def test_forced_join_mode_end_to_end_matches_broadcast(self, unit_fixture):
+        from reden_ray.pipelines.nel import NELConfig
+
+        cfg = NELConfig(kb_broadcast_limit_bytes=0,
+                        dico_broadcast_limit_bytes=0, join_partitions=2)
+        pj = NELPipeline(unit_fixture, cfg)
+        assert not pj.kb_broadcastable and not pj.dico_broadcastable
+        assert pj.kb_ref is None and pj.dico_ref is None
+        joined = pj.triples().to_pandas()
+
+        pb = NELPipeline(unit_fixture)
+        broadcast = pb.triples().to_pandas()
+
+        key = ["subj", "pred", "obj"]
+        j = joined.sort_values(key).reset_index(drop=True)
+        b = broadcast.sort_values(key).reset_index(drop=True)
+        assert len(j) == len(b)
+        assert j.equals(b)
+
+        # and both match the fixture gold
+        from reden_ray.stages.evaluate import triple_prf
+
+        gold = pq.read_table(f"{unit_fixture}/gold_triples.parquet")
+        import pyarrow as pa
+
+        m = triple_prf(pa.Table.from_pandas(joined), gold)
+        assert m["precision"] == 1.0 and m["recall"] == 1.0, m
+
+
 class TestJoinPathEquivalence:
     def test_same_links_as_broadcast(self, both_links):
         broadcast, joined = both_links
