@@ -57,31 +57,140 @@ def extract_text_batch(batch: pa.Table) -> pa.Table:
     return pa.Table.from_arrays(cols, names=names)
 
 
-def latest_page_per_url(pages_ds, num_buckets: int = 64):
+def latest_page_per_url(pages_ds, num_buckets: int = 64,
+                        broadcast_row_limit: int = 2_000_000,
+                        num_partitions: int = 8):
     """Re-crawl collapse: keep the newest (max warc_ts) row per url.
 
     Duplicate urls would otherwise merge two pages' mentions into one
-    linking context with colliding mention_ids. Hash-bucketed on url
-    (combiner per batch, vectorized per-bucket max) — run BEFORE
-    extraction when the corpus may contain re-crawls.
+    linking context with colliding mention_ids — run BEFORE extraction
+    when the corpus may contain re-crawls.
+
+    Page rows carry the fat ``html`` payload, so this stage never moves
+    them through a pandas exchange (the earlier design shuffled full
+    page rows as pandas blocks — measured ~3x serialization inflation
+    on the fattest rows in the system). Instead:
+
+    1. keys-only winner reduction: project ``(url, warc_ts)`` in Arrow,
+       per-batch combiner (max ts per url + row count at that max for
+       tie detection), ONE narrow Arrow hash-bucket shuffle ->
+       ``winners (url, warc_ts, n_at_max)``, materialized (one narrow
+       row per distinct url).
+    2. attach winners back, size-gated like every broadcast in this
+       repo: winners under ``broadcast_row_limit`` -> ``ray.put`` one
+       url->max_ts map and FILTER pages per batch (zero page-row
+       movement); above it -> ``left_semi`` Dataset.join on
+       ``(url, warc_ts)`` — pages cross one hash exchange as Arrow
+       blocks, never pandas.
+    3. urls with SEVERAL rows at the max ts (degenerate corpora) are
+       collapsed exactly through a tiny side branch with a
+       deterministic whole-row tie-break; the tie set is checked, not
+       assumed, and is empty on normal corpora (ts ties step 2 would
+       otherwise keep twice).
     """
     import pandas as pd
+    import pyarrow.compute as pc
 
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
-        # per-batch combiner: newest row per url within the batch
-        i = df.groupby("url")["warc_ts"].idxmax()
-        out = df.loc[i].copy()
-        out["__bucket"] = (
-            pd.util.hash_pandas_object(out["url"], index=False) % num_buckets
-        ).astype("int64")
+    from ..functions.bucket import add_bucket
+
+    def combine(t: pa.Table) -> pa.Table:
+        # narrow 2-column pandas view of the Arrow batch; the OUTPUT
+        # (what the shuffle moves) is Arrow
+        df = t.select(["url", "warc_ts"]).to_pandas()
+        mx = df.groupby("url", sort=False)["warc_ts"].max()
+        at_max = df[df["warc_ts"].to_numpy() == mx.reindex(df["url"]).to_numpy()]
+        cnt = at_max.groupby("url", sort=False).size()
+        out = pa.table({
+            "url": pa.array(mx.index.to_numpy(), pa.string()),
+            "warc_ts": pa.array(mx.to_numpy(), t.schema.field("warc_ts").type),
+            "n_at_max": pa.array(cnt.reindex(mx.index).to_numpy(), pa.int64()),
+        })
+        return add_bucket(out, "url", num_buckets)
+
+    def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # merge partials: global max per url; tie counts sum only at it
+        mx = df.groupby("url", sort=False)["warc_ts"].transform("max")
+        at = df[df["warc_ts"].to_numpy() == mx.to_numpy()]
+        return at.groupby("url", as_index=False).agg(
+            warc_ts=("warc_ts", "first"), n_at_max=("n_at_max", "sum"))
+
+    winners = (
+        pages_ds.map_batches(combine, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+        .materialize()
+    )
+    n_tied = winners.map_batches(
+        lambda t: t.filter(pc.greater(t["n_at_max"], 1)),
+        batch_format="pyarrow").count()
+
+    def collapse_tiny(df: pd.DataFrame) -> pd.DataFrame:
+        # deterministic: whole-row sort, keep the last row per url
+        # (rows here share url AND max ts; remaining columns break ties)
+        if df.empty:
+            return df
+        df = df.sort_values(list(df.columns), kind="stable")
+        return df.drop_duplicates("url", keep="last")
+
+    if winners.count() <= broadcast_row_limit:
+        import ray
+
+        w = winners.to_pandas()
+        tied_urls = frozenset(w.loc[w["n_at_max"] > 1, "url"])
+        wu = w[w["n_at_max"] == 1]
+        # pandas Series keyed by url: dtype-preserving vectorized lookup
+        ref = ray.put((pd.Series(wu["warc_ts"].to_numpy(), index=wu["url"]),
+                       tied_urls))
+
+        def make_filter(keep_tied: bool):
+            def filt(t: pa.Table) -> pa.Table:
+                from ..state.broadcast import get_broadcast
+
+                ts_of, tied = get_broadcast(ref)
+                urls = pd.Series(t.column("url").to_numpy(zero_copy_only=False))
+                if keep_tied:
+                    mask = urls.isin(tied).to_numpy()
+                else:
+                    want = ts_of.reindex(urls).to_numpy()
+                    ts = t.column("warc_ts").to_pandas().to_numpy()
+                    mask = pd.notna(want) & (want == ts)
+                return t.filter(pa.array(mask))
+
+            return filt
+
+        out = pages_ds.map_batches(make_filter(False), batch_format="pyarrow")
+        if n_tied:
+            tied_pages = pages_ds.map_batches(make_filter(True),
+                                              batch_format="pyarrow")
+            fixed = tied_pages.repartition(1).map_batches(
+                collapse_tiny, batch_format="pandas")
+            out = out.union(fixed)
         return out
 
-    def newest(df: pd.DataFrame) -> pd.DataFrame:
-        i = df.groupby("url")["warc_ts"].idxmax()
-        return df.loc[i].drop(columns=["__bucket"])
+    # scale path: winners too big to broadcast — semi-join them back
+    def _winner_rows(tied: bool, cols: list[str]):
+        def f(t: pa.Table) -> pa.Table:
+            m = (pc.greater(t["n_at_max"], 1) if tied
+                 else pc.equal(t["n_at_max"], 1))
+            return t.filter(m).select(cols)
 
-    bucketed = pages_ds.map_batches(combine, batch_format="pandas")
-    return bucketed.groupby("__bucket").map_groups(newest, batch_format="pandas")
+        return f
+
+    untied = winners.map_batches(
+        _winner_rows(False, ["url", "warc_ts"]), batch_format="pyarrow"
+    ).repartition(num_partitions).materialize()
+    out = pages_ds.join(untied, join_type="left_semi",
+                        num_partitions=num_partitions, on=("url", "warc_ts"))
+    if n_tied:
+        tied = winners.map_batches(
+            _winner_rows(True, ["url"]), batch_format="pyarrow"
+        ).repartition(num_partitions).materialize()
+        tied_pages = pages_ds.join(tied, join_type="left_semi",
+                                   num_partitions=num_partitions, on=("url",))
+        fixed = tied_pages.repartition(1).map_batches(
+            collapse_tiny, batch_format="pandas")
+        out = out.union(fixed)
+    return out
 
 
 def quarantine(extracted_ds):

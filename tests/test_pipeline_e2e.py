@@ -52,6 +52,50 @@ class TestExtraction:
         assert len(out) == 2
         assert out.loc["u1", "html"] == b"new"  # re-crawl keeps newest
 
+    @staticmethod
+    def _recrawl_pages():
+        import pandas as pd
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "url": pa.array(["u1", "u1", "u2", "u3", "u3", "u3"]),
+            "warc_ts": pa.array(
+                [pd.Timestamp("2024-01-01"), pd.Timestamp("2024-06-01"),
+                 pd.Timestamp("2024-03-01"), pd.Timestamp("2024-02-01"),
+                 pd.Timestamp("2024-05-01"), pd.Timestamp("2024-05-01")],
+                pa.timestamp("ms")),
+            "html": pa.array([b"old", b"new", b"only", b"older", b"tie-a",
+                              b"tie-b"], pa.binary()),
+        })).repartition(3)
+
+    def test_latest_page_ties_keep_exactly_one(self):
+        """Two rows sharing the max warc_ts for a url (degenerate
+        corpus) must still collapse to exactly one, deterministically."""
+        from reden_ray.stages.extract import latest_page_per_url
+
+        a = latest_page_per_url(self._recrawl_pages()).to_pandas()
+        b = latest_page_per_url(self._recrawl_pages()).to_pandas()
+        for out in (a, b):
+            assert sorted(out["url"]) == ["u1", "u2", "u3"]
+        ga = a.set_index("url").loc["u3", "html"]
+        gb = b.set_index("url").loc["u3", "html"]
+        assert ga == gb == b"tie-b"  # whole-row sort, keep last
+
+    def test_latest_page_scale_path_matches_broadcast(self):
+        """broadcast_row_limit=0 forces the semi-join path; output must
+        equal the broadcast-filter path row for row."""
+        from reden_ray.stages.extract import latest_page_per_url
+
+        bc = latest_page_per_url(self._recrawl_pages()).to_pandas()
+        sj = latest_page_per_url(self._recrawl_pages(),
+                                 broadcast_row_limit=0).to_pandas()
+        key = ["url"]
+        bc = bc.sort_values(key).reset_index(drop=True)
+        sj = sj.sort_values(key).reset_index(drop=True)
+        assert bc.equals(sj)
+
     def test_poison_row_quarantine(self):
         import pyarrow as pa
 
