@@ -150,14 +150,10 @@ def merge_entity_rows(raw_ds):
             })
         return pd.DataFrame(out)
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["__bucket"] = (
-            pd.util.hash_pandas_object(df["entity_id"], index=False) % 64
-        ).astype("int64")
-        return df
+    from ..functions.bucket import add_bucket
 
-    bucketed = raw_ds.map_batches(add_bucket, batch_format="pandas")
+    bucketed = raw_ds.map_batches(lambda t: add_bucket(t, "entity_id", 64),
+                                  batch_format="pyarrow")
     return bucketed.groupby("__bucket").map_groups(merge, batch_format="pandas")
 
 

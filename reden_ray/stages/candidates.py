@@ -251,15 +251,14 @@ def candidates_via_join(mentions_ds, dictionary_ds, num_partitions: int = 64,
         num_partitions=num_partitions,
     )
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        if "url_hash" in df.columns:
-            df["__bucket"] = (df["url_hash"] % num_buckets).astype("int64")
-        else:
-            df["__bucket"] = (
-                pd.util.hash_pandas_object(df["url"], index=False) % num_buckets
-            ).astype("int64")
-        return df
+    def add_bucket(t: pa.Table) -> pa.Table:
+        from ..functions.bucket import add_bucket as bucket_arrow
+
+        if "url_hash" in t.column_names:
+            # url_hash is a precomputed non-negative 63-bit hash
+            h = t["url_hash"].combine_chunks().to_numpy(zero_copy_only=False)
+            return t.append_column("__bucket", pa.array(h % num_buckets, pa.int64()))
+        return bucket_arrow(t, "url", num_buckets)
 
     out_cols = ["url", "url_hash", "mention_id", "surface", "surface_norm",
                 "cand_rank", "entity_id", "uris_str"]
@@ -278,7 +277,7 @@ def candidates_via_join(mentions_ds, dictionary_ds, num_partitions: int = 64,
         return df[out_cols]
 
     return (
-        joined.map_batches(add_bucket, batch_format="pandas")
+        joined.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(rank_bucket, batch_format="pandas")
     )

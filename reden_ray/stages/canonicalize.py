@@ -27,6 +27,7 @@ import pandas as pd
 import pyarrow as pa
 
 from .. import CANONICAL_LABEL_PRED, MENTIONS_PRED, SAMEAS_PRED
+from ..functions.bucket import add_bucket as _add_bucket_arrow
 from ..state.broadcast import get_broadcast
 
 TRIPLE_SCHEMA = pa.schema({"subj": pa.string(), "pred": pa.string(), "obj": pa.string()})
@@ -38,11 +39,6 @@ TRIPLE_SCHEMA = pa.schema({"subj": pa.string(), "pred": pa.string(), "obj": pa.s
 
 
 DEFAULT_KEY_BUCKETS = 64
-
-
-def _bucket_of(series: pd.Series, num_buckets: int) -> pd.Series:
-    """Stable hash bucket (process-independent, vectorized)."""
-    return (pd.util.hash_pandas_object(series, index=False) % num_buckets).astype("int64")
 
 
 def _partial_label_counts(batch: pa.Table) -> pa.Table:
@@ -96,15 +92,11 @@ def salted_counts(ds, key_col: str, num_salts: int = 16,
         out = df.groupby([key_col, "__salt"], as_index=False).size()
         return out.rename(columns={"size": "cnt"})
 
-    def bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["__bucket"] = _bucket_of(df[key_col], num_buckets)
-        return df
-
     partials = (
         salted.groupby("__salt")
         .map_groups(partial, batch_format="pandas")
-        .map_batches(bucket, batch_format="pandas")
+        .map_batches(lambda t: _add_bucket_arrow(t, key_col, num_buckets),
+                     batch_format="pyarrow")
     )
 
     def unsalt(df: pd.DataFrame) -> pd.DataFrame:
@@ -168,15 +160,12 @@ def canonical_labels(links_ds, num_buckets: int = DEFAULT_KEY_BUCKETS,
         return partials.repartition(1).map_batches(
             _label_argmax_bucket, batch_format="pandas", batch_size=None)
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["__bucket"] = _bucket_of(df["uri"], num_buckets)
-        return df
-
     # partials are tiny (distinct keys per batch); coalesce the many
     # small blocks before the groupby so the sort's per-block sampling
     # overhead doesn't dominate.
-    bucketed = partials.map_batches(add_bucket, batch_format="pandas").repartition(8)
+    bucketed = partials.map_batches(
+        lambda t: _add_bucket_arrow(t, "uri", num_buckets),
+        batch_format="pyarrow").repartition(8)
     return bucketed.groupby("__bucket").map_groups(
         _label_argmax_bucket, batch_format="pandas"
     )
@@ -264,14 +253,11 @@ def exact_dedup(ds, cols: list[str], num_buckets: int = DEFAULT_KEY_BUCKETS):
     (no per-key UDF dispatch)."""
     pre = ds.map_batches(_batch_unique(cols), batch_format="pyarrow")
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        # bucketing by the FIRST key column alone is dedup-correct
-        # (equal composite keys share it) and skips a row-wise concat
-        df["__bucket"] = _bucket_of(df[cols[0]], num_buckets)
-        return df
-
-    bucketed = pre.map_batches(add_bucket, batch_format="pandas")
+    # bucketing by the FIRST key column alone is dedup-correct (equal
+    # composite keys share it) and skips a row-wise concat
+    bucketed = pre.map_batches(
+        lambda t: _add_bucket_arrow(t, cols[0], num_buckets),
+        batch_format="pyarrow")
 
     def dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(cols)[cols]
@@ -344,12 +330,8 @@ def distinct_linked_entities(links_ds, partials=None):
             _batch_unique(["uri"]), batch_format="pyarrow"
         ).repartition(8)
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["__bucket"] = _bucket_of(df["uri"], 8)
-        return df
-
-    bucketed = pre.map_batches(add_bucket, batch_format="pandas")
+    bucketed = pre.map_batches(lambda t: _add_bucket_arrow(t, "uri", 8),
+                               batch_format="pyarrow")
     return bucketed.groupby("__bucket").map_groups(
         lambda df: df.drop_duplicates(["uri"])[["uri"]], batch_format="pandas"
     )

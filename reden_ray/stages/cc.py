@@ -38,15 +38,11 @@ import ray.data as rd
 _ENC_SCHEMA = pa.schema({"node": pa.int64(), "val": pa.int64(), "kind": pa.int8()})
 
 
-def _bucket_of(series: pd.Series, num_buckets: int) -> pd.Series:
-    return (pd.util.hash_pandas_object(series, index=False) % num_buckets).astype("int64")
-
-
 def _add_bucket(num_buckets: int):
-    def add(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["__b"] = _bucket_of(df["node"], num_buckets)
-        return df
+    from ..functions.bucket import add_bucket
+
+    def add(t: pa.Table) -> pa.Table:
+        return add_bucket(t, "node", num_buckets, out="__b")
 
     return add
 
@@ -151,7 +147,7 @@ def connected_components(
 
         return (
             labels_ds.map_batches(enc_pair, batch_format="pandas")
-            .map_batches(_add_bucket(num_buckets), batch_format="pandas")
+            .map_batches(_add_bucket(num_buckets), batch_format="pyarrow")
             .groupby("__b")
             .map_groups(shortcut_bucket, batch_format="pandas")
             .materialize()
@@ -161,7 +157,7 @@ def connected_components(
     labels = None
     for it in range(max_iter):
         labels = (
-            cand.map_batches(_add_bucket(num_buckets), batch_format="pandas")
+            cand.map_batches(_add_bucket(num_buckets), batch_format="pyarrow")
             .groupby("__b")
             .map_groups(reduce_bucket, batch_format="pandas")
             .materialize()
@@ -187,7 +183,7 @@ def connected_components(
         )
         cand = (
             lab_enc.union(edges)
-            .map_batches(_add_bucket(num_buckets), batch_format="pandas")
+            .map_batches(_add_bucket(num_buckets), batch_format="pyarrow")
             .groupby("__b")
             .map_groups(propagate_bucket, batch_format="pandas")
         )

@@ -45,6 +45,7 @@ from ..functions.text import (
     simhash64,
     word_ngrams,
 )
+from ..functions.bucket import add_bucket as add_bucket_arrow
 from .cc import connected_components
 
 # ---------------------------------------------------------------------------
@@ -70,18 +71,12 @@ def exact_dedup_by_key(ds, key_cols: list[str], id_col: str):
 
     pre = ds.select_columns([*key_cols, id_col]).map_batches(combine, batch_format="pyarrow")
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["__bucket"] = (
-            pd.util.hash_pandas_object(df[key_cols[0]], index=False) % 64
-        ).astype("int64")
-        return df
-
     def final_bucket(df: pd.DataFrame) -> pd.DataFrame:
         # vectorized min per key within the bucket — no per-key dispatch
         return df.groupby(key_cols, as_index=False)[id_col].min()
 
-    bucketed = pre.map_batches(add_bucket, batch_format="pandas")
+    bucketed = pre.map_batches(
+        lambda t: add_bucket_arrow(t, key_cols[0], 64), batch_format="pyarrow")
     return bucketed.groupby("__bucket").map_groups(final_bucket, batch_format="pandas")
 
 
@@ -118,13 +113,6 @@ def grouped_pairs(rows_ds, group_cols: list[str], hash_col: str,
     the one choke point every near-dup entry point flows through.
     """
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["__b"] = (
-            pd.util.hash_pandas_object(df[hash_col], index=False) % num_buckets
-        ).astype("int64")
-        return df
-
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         if "doc_id" in df.columns and len(df) and (df["doc_id"] < 0).any():
             bad = int(df.loc[df["doc_id"] < 0, "doc_id"].iloc[0])
@@ -143,7 +131,9 @@ def grouped_pairs(rows_ds, group_cols: list[str], hash_col: str,
                 recs.append((-1, dropped))
         return _pairs_frame(recs)
 
-    bucketed = rows_ds.map_batches(add_bucket, batch_format="pandas")
+    bucketed = rows_ds.map_batches(
+        lambda t: add_bucket_arrow(t, hash_col, num_buckets, out="__b"),
+        batch_format="pyarrow")
     return bucketed.groupby("__b").map_groups(bucket_pairs, batch_format="pandas")
 
 
@@ -188,15 +178,9 @@ def distinct_pairs(pairs_ds, num_buckets: int = 64):
 
     pre = pairs_ds.map_batches(combine, batch_format="pyarrow")
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["__b"] = (
-            pd.util.hash_pandas_object(df["a"], index=False) % num_buckets
-        ).astype("int64")
-        return df
-
     return (
-        pre.map_batches(add_bucket, batch_format="pandas")
+        pre.map_batches(lambda t: add_bucket_arrow(t, "a", num_buckets, out="__b"),
+                        batch_format="pyarrow")
         .groupby("__b")
         .map_groups(lambda df: df.drop_duplicates(["a", "b"])[["a", "b"]],
                     batch_format="pandas")

@@ -38,7 +38,6 @@ from .linker import (
     DEFAULT_URL_BUCKETS,
     _LINK_COLUMNS,
     _MEASURES,
-    add_url_bucket,
     prune_graph,
 )
 from .linker import _emit as emit_link
@@ -148,11 +147,13 @@ def link_documents_via_join(
             "weight": pa.nulls(t.num_rows, pa.float64()),
         })
 
+    from ..functions.bucket import add_bucket
+
     unioned = candidates_ds.map_batches(cand_rows, batch_format="pyarrow").union(
         edges.map_batches(edge_rows, batch_format="pyarrow")
     )
     bucketed = unioned.map_batches(
-        lambda df: add_url_bucket(df, num_buckets), batch_format="pandas"
+        lambda t: add_bucket(t, "url", num_buckets), batch_format="pyarrow"
     )
 
     def link_bucket(df: pd.DataFrame) -> pd.DataFrame:

@@ -56,18 +56,14 @@ def grouped_by_key_buckets(ds, key_col: str, fn, num_buckets: int = DEFAULT_KEY_
     is pathological at millions of keys (same pattern as the linker's
     url buckets)."""
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["__bucket"] = (
-            pd.util.hash_pandas_object(df[key_col], index=False) % num_buckets
-        ).astype("int64")
-        return df
+    from ..functions.bucket import add_bucket
 
     def run(df: pd.DataFrame) -> pd.DataFrame:
         return fn(df.drop(columns=["__bucket"]))
 
     return (
-        ds.map_batches(add_bucket, batch_format="pandas")
+        ds.map_batches(lambda t: add_bucket(t, key_col, num_buckets),
+                       batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(run, batch_format="pandas")
     )
