@@ -99,7 +99,7 @@ def _nel_mentions(sf_dir: str):
     return p, p.mentions(p.texts(pages))
 
 
-def _scored_projection(links, lower_surface: bool):
+def _scored_projection(links, lower_surface: bool, extra_cols: tuple = ()):
     """(url, mention_id, surface, uri, score_i) projection shared by the
     hash-verified link queries: degree scores are whole numbers (edge
     counts) so they hash exactly as BIGINT; NoAmbiguity pages emit NaN,
@@ -114,13 +114,16 @@ def _scored_projection(links, lower_surface: bool):
         ints = pc.cast(pc.round(pc.if_else(bad, pa.scalar(0.0), score)),
                        pa.int64())
         surf = t.column("surface")
-        return pa.table({
+        cols = {
             "url": t["url"],
             "mention_id": t["mention_id"],
             "surface": pc.utf8_lower(surf) if lower_surface else surf,
             "uri": t["uri"],
             "score_i": pc.if_else(bad, pa.scalar(-1, pa.int64()), ints),
-        })
+        }
+        for c in extra_cols:
+            cols[c] = t[c]
+        return pa.table(cols)
 
     return links.map_batches(proj, batch_format="pyarrow")
 
@@ -210,6 +213,54 @@ def _q_nel_links_scale_path(sf_dir: str):
     mentions = p.mentions(p.texts(pages_from_documents(sf_dir))).materialize()
     links = p.links(mentions_ds=mentions)
     return _scored_projection(links, lower_surface=True)
+
+
+# Context-window width shared by the ctx driver query and its oracle.
+_CTX_WORDS_Q = 16
+
+
+def _q_nel_links_ctx(sf_dir: str):
+    """Sub-page context linking (S2, the reference's //body/div-style
+    xpathExpresion granularity): documents split into 16-word linking
+    contexts (~4 per doc), so candidate sets, fusion graphs, pruning,
+    degree and argmax all run PER CONTEXT. Hash-verified against the
+    same SQL linking algebra with a ctx-window source relation — the
+    algebra parametrizes on the context source, so the oracle is
+    ctx-granular end to end."""
+    from reden_ray.pipelines.nel import NELConfig, NELPipeline
+    from reden_ray.pipelines.webdemo import pages_from_documents, vocab_fixture
+
+    p = NELPipeline(vocab_fixture(), NELConfig(context_words=_CTX_WORDS_Q))
+    mentions = p.mentions(p.texts(pages_from_documents(sf_dir)))
+    links = p.links(mentions_ds=mentions)
+    return _scored_projection(links, lower_surface=True, extra_cols=("ctx_id",))
+
+
+def _nel_links_ctx_sql() -> str:
+    """Ctx-granular linking algebra: the context source relation is a
+    16-word window split of each document (string_split on single
+    spaces + ordered string_agg — the exact inverse pair the Ray
+    splitter uses), keyed did = doc_id || US || ctx."""
+    src = f"""
+  SELECT CAST(doc_id AS VARCHAR) || chr(31) ||
+         CAST((idx - 1) // {_CTX_WORDS_Q} AS VARCHAR) AS did,
+         string_agg(w, ' ' ORDER BY idx) AS text
+  FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS idx
+    FROM documents
+  )
+  GROUP BY doc_id, (idx - 1) // {_CTX_WORDS_Q}
+"""
+    return (
+        _nel_algebra_ctes(src_sql=src)
+        + """
+SELECT split_part(url, chr(31), 1) AS url,
+       CAST(split_part(url, chr(31), 2) AS BIGINT) AS ctx_id,
+       mention_id, w AS surface, uri, score_i
+FROM linkrow
+"""
+    )
 
 
 def _q_nel_links_unambiguous(sf_dir: str):
@@ -716,8 +767,15 @@ def _nel_links_unambiguous_sql() -> str:
     )
 
 
-def _nel_algebra_ctes() -> str:
+def _nel_algebra_ctes(src_sql: str | None = None) -> str:
     """Shared CTE program: the WHOLE linking algorithm in SQL.
+
+    ``src_sql`` overrides the linking-context source relation
+    ``src(did, text)`` (``did`` = the url suffix after URL_PREFIX).
+    Default: one context per document. The ctx-window variant passes a
+    word-window split here and the ENTIRE algebra — candidate sets,
+    fusion graphs, pruning, degree, argmax — becomes context-granular,
+    exactly like the Ray pipeline under NELConfig.context_words.
 
     The vocab fixture's dictionary / KB / sameAs tables are inlined as
     VALUES (raw data, same inputs the Ray pipeline loads); the
@@ -768,13 +826,16 @@ def _nel_algebra_ctes() -> str:
     amb = ", ".join(f"'{w}'" for w in sorted(VOCAB_AMBIGUOUS))
     alt = "|".join(GAZETTEER_WORDS)
 
+    if src_sql is None:
+        src_sql = "SELECT CAST(doc_id AS VARCHAR) AS did, text FROM documents"
+
     return rf"""
-WITH x AS (
-  SELECT doc_id,
+WITH src AS ({src_sql}), x AS (
+  SELECT did,
          regexp_extract_all(text, '\b({alt})\b', 1, 'i') AS ws
-  FROM documents
+  FROM src
 ), m0 AS (
-  SELECT '{URL_PREFIX}' || CAST(doc_id AS VARCHAR) AS url,
+  SELECT '{URL_PREFIX}' || did AS url,
          CAST(generate_subscripts(ws, 1) - 1 AS BIGINT) AS mention_id,
          unnest(ws) AS w_raw
   FROM x
@@ -1173,6 +1234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nel_links_unambiguous": _q_nel_links_unambiguous,
         "nel_links_scored": _q_nel_links_scored,
         "nel_links_scale_path": _q_nel_links_scale_path,
+        "nel_links_ctx": _q_nel_links_ctx,
         "nel_triples": _q_nel_triples,
         "nel_mention_triples_unambiguous": _q_nel_mention_triples_unambiguous,
         "nel_mention_triple_count": _q_nel_mention_triple_count,
@@ -1269,6 +1331,7 @@ def oracle_sql() -> dict[str, str]:
         "nel_links": _nel_links_sql(),
         "nel_links_scored": _nel_links_scored_sql(),
         "nel_links_scale_path": _nel_links_scored_sql(),
+        "nel_links_ctx": _nel_links_ctx_sql(),
         "nel_triples": _nel_triples_sql(),
         "nel_predicate_frequency": _nel_predicate_frequency_sql(),
         "q31b_eval_records_scored": _eval_records_scored_sql(),

@@ -88,6 +88,12 @@ class NELConfig:
     dico_broadcast_limit_bytes: int = 256 << 20
     # hash-join partition count for the gated join path
     join_partitions: int = 16
+    # S2 context granularity (the reference's xpathExpresion knob,
+    # MainNELApp.java:222-231): None = whole page (//body); an int K =
+    # K-word context windows (//body/div analog) — mentions, fusion
+    # graphs and argmax all become per-window, and links carry a
+    # ``ctx_id`` column.
+    context_words: int | None = None
 
 
 class NELPipeline:
@@ -123,8 +129,18 @@ class NELPipeline:
         ds = pages_ds if pages_ds is not None else self.pages()
         return extract_pages(ds, batch_size=self.cfg.extract_batch_size)
 
-    def mentions(self, texts_ds=None):
+    def contexts(self, texts_ds=None):
+        """Linking contexts: the texts themselves (page granularity) or
+        minted (url, ctx) word windows under cfg.context_words."""
         ds = texts_ds if texts_ds is not None else self.texts()
+        if self.cfg.context_words is None:
+            return ds
+        from ..stages.extract import split_contexts
+
+        return split_contexts(ds, self.cfg.context_words)
+
+    def mentions(self, texts_ds=None):
+        ds = self.contexts(texts_ds)
         return detect_mentions(
             ds, self.gaz_ref,
             concurrency=self.cfg.ner_concurrency, batch_size=self.cfg.ner_batch_size,
@@ -154,7 +170,21 @@ class NELPipeline:
         (kb_broadcastable=False), the fused/broadcast paths are
         unavailable and linking routes through the distributed J3 join
         (stages/linker_join.py) — candidates likewise arrive via the J1
-        join when the dictionary is over its gate."""
+        join when the dictionary is over its gate.
+
+        Under cfg.context_words the mention rows carry minted context
+        keys; the returned links are remapped back to the page ``url``
+        plus an int64 ``ctx_id`` column (mention_id is per-context)."""
+        return self._ctx_unmap(self._links_raw(candidates_ds, mentions_ds))
+
+    def _ctx_unmap(self, links_ds):
+        if self.cfg.context_words is None:
+            return links_ds
+        from ..stages.extract import split_context_key
+
+        return split_context_key(links_ds)
+
+    def _links_raw(self, candidates_ds=None, mentions_ds=None):
         if not self.kb_broadcastable:
             cands = (candidates_ds if candidates_ds is not None
                      else self.candidates(mentions_ds))
@@ -194,7 +224,10 @@ class NELPipeline:
             )
             # remember the exact dataset object: triples() can then skip
             # re-materializing it (it is a cheap filter view over the
-            # blocks the fused stage already pinned)
+            # blocks the fused stage already pinned). Context mode wraps
+            # links in the ctx_id remap, so the identity check in
+            # triples() only ever fires at page granularity — where the
+            # url-aligned-block guarantee actually holds.
             self._last_fused_links = ds
             return ds
         packed = generate_candidates_packed(src, self.dico_ref, batch_size=8192)
@@ -244,7 +277,12 @@ class NELPipeline:
         from ray.data import DataContext
 
         target = DataContext.get_current().target_max_block_size or (128 << 20)
-        if fused_clean and self.last_link_stats.get("url_aligned_blocks"):
+        if self.cfg.context_words is not None:
+            # context granularity: a url's link rows live in DIFFERENT
+            # ctx_key buckets, so the per-batch (url, uri) combiner is
+            # never globally exact — always run the narrow pair dedup.
+            needs_pair_dedup = True
+        elif fused_clean and self.last_link_stats.get("url_aligned_blocks"):
             # The fused link stage yields url-aligned chunks bounded
             # well under the 0.5x-target slice threshold, so every
             # materialized link block is url-aligned by construction

@@ -193,6 +193,76 @@ def latest_page_per_url(pages_ds, num_buckets: int = 64,
     return out
 
 
+# Context-key separator: U+001F (unit separator) is not a valid URL
+# character, so minted context keys can never collide with page urls.
+CTX_SEP = "\x1f"
+
+
+def split_contexts(texts_ds, context_words: int, sep: str = CTX_SEP):
+    """S2 sub-page context windows (reference ``xpathExpresion`` knob,
+    MainNELApp.java:222-231 — ``//body/div`` yields per-division linking
+    contexts instead of whole documents; config-authors-bnf.properties:62-66).
+
+    Our pages are flat extracted text, so the deterministic analog is a
+    window of ``context_words`` whitespace-separated words:
+    ``text.split(" ")`` chunked to K words, re-joined with single
+    spaces. ``K >= len(words)`` degenerates to EXACTLY the whole-page
+    context (split/join round-trips the text), which is the ``//body``
+    configuration.
+
+    Emits one row per (url, ctx): the ``url`` column carries the minted
+    context key ``url + CTX_SEP + ctx_id`` so the ENTIRE downstream
+    NER -> candidates -> fusion-graph -> argmax machinery becomes
+    context-granular untouched (it keys everything on ``url``); other
+    columns are replicated. Split the key back with
+    ``split_context_key`` after linking.
+
+    Caveat (shared with any structural split): a multi-token mention
+    straddling a window boundary is not matched — same as a mention
+    crossing two divs in the reference's DOM split.
+    """
+
+    def split(t: pa.Table) -> pa.Table:
+        other_names = [n for n in t.column_names if n not in ("url", "text")]
+        urls_in = t.column("url").to_pylist()
+        texts_in = t.column("text").to_pylist()
+        keys, texts_out, idx = [], [], []
+        for i, (url, text) in enumerate(zip(urls_in, texts_in)):
+            words = text.split(" ")
+            n_ctx = max(1, -(-len(words) // context_words))
+            for c in range(n_ctx):
+                keys.append(f"{url}{sep}{c}")
+                texts_out.append(
+                    " ".join(words[c * context_words:(c + 1) * context_words]))
+                idx.append(i)
+        cols = {
+            "url": pa.array(keys, pa.string()),
+            "text": pa.array(texts_out, pa.large_string()),
+        }
+        take = pa.array(idx, pa.int64())
+        for name in other_names:
+            cols[name] = t.column(name).take(take)
+        return pa.table(cols)
+
+    return texts_ds.map_batches(split, batch_format="pyarrow")
+
+
+def split_context_key(ds, sep: str = CTX_SEP, key_col: str = "url"):
+    """Replace the minted context key column with the page url and an
+    int64 ``ctx_id`` column (vectorized Arrow split)."""
+    import pyarrow.compute as pc
+
+    def unmap(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t.column(key_col), sep, max_splits=1)
+        url = pc.list_element(parts, 0)
+        ctx = pc.cast(pc.list_element(parts, 1), pa.int64())
+        i = t.column_names.index(key_col)
+        t = t.set_column(i, key_col, url)
+        return t.append_column("ctx_id", ctx)
+
+    return ds.map_batches(unmap, batch_format="pyarrow")
+
+
 def quarantine(extracted_ds):
     """Split the extracted Dataset into (ok, poison) Datasets."""
     import pyarrow.compute as pc

@@ -60,7 +60,8 @@ class TestEntry:
                                   "q8_text_stats", "q11_extract_text",
                                   "q16_user_sessions", "nel_links_unambiguous",
                                   "nel_links", "nel_links_scored",
-                                  "nel_links_scale_path", "nel_triples",
+                                  "nel_links_scale_path", "nel_links_ctx",
+                                  "nel_triples",
                                   "nel_predicate_frequency",
                                   "q31b_eval_records_scored",
                                   "nel_mention_triples_unambiguous",

@@ -173,6 +173,49 @@ class TestTriples:
         assert a == b and len(fast) == len(a)
 
 
+class TestContextWindows:
+    """S2 sub-page contexts (cfg.context_words — the reference's
+    //body/div-style xpathExpresion granularity)."""
+
+    def test_huge_window_degenerates_to_page_mode(self, unit_fixture, pipeline):
+        """context_words >= page length: one window per page whose text
+        round-trips exactly, so links must equal page mode (modulo the
+        extra ctx_id == 0 column)."""
+        p, page_links = pipeline
+        pc_ = NELPipeline(unit_fixture, NELConfig(context_words=10**9))
+        ctx_links = pc_.links().to_pandas()
+        assert (ctx_links["ctx_id"] == 0).all()
+        key = ["url", "mention_id"]
+        a = page_links.to_pandas().sort_values(key).reset_index(drop=True)
+        b = ctx_links.sort_values(key).reset_index(drop=True)
+        assert len(a) == len(b)
+        for col in ["url", "mention_id", "surface", "uri"]:
+            assert (a[col].values == b[col].values).all(), col
+
+    def test_multi_context_pipeline_end_to_end(self, unit_fixture):
+        """Small windows: several contexts per page, per-context
+        mention_ids restart at 0, triples remain exactly deduplicated
+        (the forced (url, uri) pair dedup), and every linked uri is a
+        candidate of its surface."""
+        p = NELPipeline(unit_fixture, NELConfig(context_words=8))
+        links = p.links().materialize()
+        df = links.to_pandas()
+        assert df["ctx_id"].max() >= 2  # >=3 contexts on some page
+        assert "\x1f" not in "".join(df["url"].head(50))  # keys stripped
+        # mention ids restart per context: 0-based ordinals over ALL
+        # mentions of the ctx (links keep a subset — those with
+        # candidates — so assert on the mention inventory itself)
+        m = p.mentions().to_pandas()
+        gm = m.groupby("url")["mention_id"]  # url = ctx key here
+        assert (gm.min() == 0).all()
+        assert (gm.max() == gm.count() - 1).all()
+        t = p.triples(links).to_pandas()
+        assert not t.duplicated(["subj", "pred", "obj"]).any()
+        # mention-triple subjects are page urls, not ctx keys
+        subj = t[t["pred"].str.contains("mentions")]["subj"]
+        assert subj.str.startswith("http").all() and not subj.str.contains("\x1f").any()
+
+
 class TestDeterminism:
     def test_fixture_generation_is_byte_stable(self, tmp_path):
         a = tmp_path / "a"
