@@ -520,6 +520,77 @@ def _q_doc_ann(sf_dir: str):
     return out[["query_id", "vec_id"]]
 
 
+# Frozen gold for the feature-hash embedding stage: 8 fixed texts
+# (edge cases: case folding, unicode, repeats, single word, empty) and
+# their expected dim=16 sparse vectors in 1e-6 units, computed ONCE and
+# committed here — the q29 vectorizer itself is not SQL-expressible
+# (blake2 word hashing), so the oracle is this pinned expectation and
+# the Ray side recomputes through the real distributed stage.
+_Q29_TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "spark stream vector table join merge window",
+    "DATA Data data dAtA",
+    "a",
+    "",
+    "join join join join merge merge sort",
+    "Émile café naïve résumé über",
+    "numbers 123 456 123 mixed with words 123",
+]
+_Q29_GOLD = [
+    (0, 2, 277350), (0, 3, 277350), (0, 7, 277350), (0, 14, 832050),
+    (0, 15, 277350), (1, 0, 447214), (1, 3, -447214), (1, 11, 447214),
+    (1, 13, -447214), (1, 15, -447214), (2, 8, 1000000), (3, 15, 1000000),
+    (5, 0, 872872), (5, 10, 218218), (5, 11, 436436), (6, 2, -377964),
+    (6, 3, 755929), (6, 5, 377964), (6, 12, -377964), (7, 0, 500000),
+    (7, 2, -500000), (7, 9, -500000), (7, 11, 500000),
+]
+
+
+def _q_doc_ann_planted(sf_dir: str):
+    """q29's vectorizer under a hash check: embed the committed planted
+    texts through the REAL distributed embedding stage and explode to
+    sparse (doc_id, dim, val_e6) rows; the oracle inlines the frozen
+    expected values. The vectorizer is stateless w.r.t. the corpus, so
+    the check is sf-independent by construction; the all-zero vector
+    (empty text) emits no rows on either side."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from reden_ray.stages.similarity import embed_documents
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(_Q29_TEXTS)), pa.int64()),
+        "text": pa.array(_Q29_TEXTS, pa.string()),
+    }))
+    emb = embed_documents(docs, dim=16)
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, dims, vals = [], [], []
+        for vid, vec in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist()):
+            for d, x in enumerate(vec):
+                e6 = round(float(x) * 1_000_000)
+                if e6:
+                    ids.append(vid)
+                    dims.append(d)
+                    vals.append(e6)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "dim": pa.array(dims, pa.int64()),
+            "val_e6": pa.array(vals, pa.int64()),
+        })
+
+    return emb.map_batches(explode, batch_format="pyarrow")
+
+
+def _q29_planted_sql() -> str:
+    vals = ", ".join(f"({a}, {b}, {c})" for a, b, c in _Q29_GOLD)
+    return (
+        f"SELECT CAST(c0 AS BIGINT) AS doc_id, CAST(c1 AS BIGINT) AS dim, "
+        f"CAST(c2 AS BIGINT) AS val_e6 FROM (VALUES {vals}) AS g(c0, c1, c2)"
+    )
+
+
 def _q_eval_records(sf_dir: str):
     """Per-mention EvalInfo verdict table (reference
     src/fr/lip6/reden/nelinker/EvalInfo.java:11-57, writer
@@ -1225,6 +1296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q28_sliding_window": _q_sliding_window,
         # text -> embedding -> similarity search over raw documents
         "q29_doc_ann": _q_doc_ann,
+        "q29b_embedding_planted": _q_doc_ann_planted,
         # training-data quality filter chain
         "q30_quality_filter": R.q30_quality_filter,
         # flagship NEL / KG construction over derived pages (rows-only:
@@ -1332,6 +1404,7 @@ def oracle_sql() -> dict[str, str]:
         "nel_links_scored": _nel_links_scored_sql(),
         "nel_links_scale_path": _nel_links_scored_sql(),
         "nel_links_ctx": _nel_links_ctx_sql(),
+        "q29b_embedding_planted": _q29_planted_sql(),
         "nel_triples": _nel_triples_sql(),
         "nel_predicate_frequency": _nel_predicate_frequency_sql(),
         "q31b_eval_records_scored": _eval_records_scored_sql(),

@@ -78,36 +78,66 @@ def annotate_pages(texts_ds, links_ds, num_buckets: int = DEFAULT_URL_BUCKETS,
     )
 
 
-def produce_visu_data(links_ds, kb_ref, prop_lists: dict[str, list[str]]) -> dict:
-    """links -> GeoJSON-ish FeatureCollection dict (driver-side small).
+def visu_features(links_ds, kb_ref, prop_lists: dict[str, list[str]]):
+    """links -> Dataset of GeoJSON Feature rows (one per linked uri):
+    ``(uri, feature)`` where ``feature`` is the serialized Feature.
 
-    Occurrence counts per linked URI + first-matching property values
-    (J7 coalesce order). Features with both lat/lon properties get a
-    Point geometry; others carry properties only.
+    Fully Dataset-plane (Mode 3 at scale): per-uri occurrence counts
+    join the J7-enriched property row by a hash-partitioned
+    ``Dataset.join`` on uri — nothing corpus-sized reaches the driver.
+    Consume with ``write_visu_data`` (sharded JSON sink) or assemble the
+    (vocabulary-bounded) FeatureCollection with ``produce_visu_data``.
     """
-    occ = uri_occurrences(links_ds).to_pandas()
+    occ = uri_occurrences(links_ds).repartition(4).materialize()
     one_per_uri = links_ds.groupby("uri").map_groups(
         lambda df: df.head(1), batch_format="pandas"
     )
-    enriched = enrich_links(one_per_uri, kb_ref, prop_lists).to_pandas()
-    merged = occ.merge(enriched.drop(columns=[c for c in enriched.columns
-                                              if c in ("occurrences",)],
-                                     errors="ignore"),
-                       on="uri", how="left")
-    features = []
-    for t in merged.sort_values("uri").itertuples(index=False):
-        props = {"uri": t.uri, "occurrences": int(t.occurrences)}
-        for name in prop_lists:
-            props[name] = getattr(t, name, None)
-        feature = {"type": "Feature", "properties": props, "geometry": None}
-        lat, lon = props.get("lat"), props.get("lon")
-        if lat is not None and lon is not None:
-            try:
-                feature["geometry"] = {
-                    "type": "Point",
-                    "coordinates": [float(lon), float(lat)],
-                }
-            except (TypeError, ValueError):
-                pass
-        features.append(feature)
-    return {"type": "FeatureCollection", "features": features}
+    enriched = enrich_links(one_per_uri, kb_ref, prop_lists).map_batches(
+        lambda t: t.select(["uri", *prop_lists]), batch_format="pyarrow"
+    ).repartition(4).materialize()
+    merged = occ.join(enriched, join_type="left_outer", num_partitions=4,
+                      on=("uri",))
+
+    def to_features(df: pd.DataFrame) -> pd.DataFrame:
+        out_uri, out_feat = [], []
+        for t in df.itertuples(index=False):
+            props = {"uri": t.uri, "occurrences": int(t.occurrences)}
+            for name in prop_lists:
+                v = getattr(t, name, None)
+                props[name] = None if pd.isna(v) else v
+            feature = {"type": "Feature", "properties": props, "geometry": None}
+            lat, lon = props.get("lat"), props.get("lon")
+            if lat is not None and lon is not None:
+                try:
+                    feature["geometry"] = {
+                        "type": "Point",
+                        "coordinates": [float(lon), float(lat)],
+                    }
+                except (TypeError, ValueError):
+                    pass
+            out_uri.append(t.uri)
+            out_feat.append(json.dumps(feature, sort_keys=True))
+        return pd.DataFrame({"uri": out_uri, "feature": out_feat})
+
+    return merged.map_batches(to_features, batch_format="pandas")
+
+
+def write_visu_data(links_ds, kb_ref, prop_lists: dict[str, list[str]],
+                    out_dir: str):
+    """Dataset sink for Mode 3: sharded JSON files of Feature rows
+    (scale-safe; no driver materialization). Returns the feature count."""
+    feats = visu_features(links_ds, kb_ref, prop_lists).materialize()
+    feats.write_json(out_dir)
+    return feats.count()
+
+
+def produce_visu_data(links_ds, kb_ref, prop_lists: dict[str, list[str]]) -> dict:
+    """links -> GeoJSON FeatureCollection dict, assembled from the
+    Dataset-plane ``visu_features`` rows — bounded by the number of
+    DISTINCT linked uris (vocabulary-sized), which is the contract for
+    pulling it to the driver; corpora whose linked vocabulary is itself
+    huge should use ``write_visu_data`` instead."""
+    rows = visu_features(links_ds, kb_ref, prop_lists).to_pandas()
+    rows = rows.sort_values("uri")
+    return {"type": "FeatureCollection",
+            "features": [json.loads(f) for f in rows["feature"]]}

@@ -168,3 +168,34 @@ class TestVisu:
         assert place["properties"]["occurrences"] == 2
         assert place["geometry"] == {"type": "Point", "coordinates": [2.35, 48.85]}
         assert by_uri["http://kb/nowhere"]["geometry"] is None
+
+    def test_write_visu_data_sink_matches_dict(self, tmp_path):
+        """The Dataset JSON sink must write exactly the features the
+        driver-side dict assembles (Mode 3, scale-safe variant)."""
+        from reden_ray.stages.annotate import write_visu_data
+
+        kb = {
+            "http://kb/place": [("geo:lat", "48.85", True, 1.0),
+                                ("geo:lon", "2.35", True, 1.0)],
+        }
+        ref = ray.put(kb)
+
+        def links():
+            return rd.from_arrow(pa.Table.from_pylist([
+                {"url": "u1", "uri": "http://kb/place"},
+                {"url": "u2", "uri": "http://kb/place"},
+                {"url": "u3", "uri": "http://kb/nowhere"},
+            ]))
+
+        props = {"lat": ["geo:lat"], "lon": ["geo:lon"]}
+        out = tmp_path / "visu"
+        n = write_visu_data(links(), ref, props, str(out))
+        assert n == 2
+        written = []
+        for f in sorted(out.glob("*.json")):
+            for line in f.read_text().splitlines():
+                if line.strip():
+                    written.append(json.loads(line)["feature"])
+        fc = produce_visu_data(links(), ref, props)
+        expected = [json.dumps(x, sort_keys=True) for x in fc["features"]]
+        assert sorted(written) == sorted(expected)
