@@ -188,10 +188,14 @@ class NELPipeline:
         if not self.kb_broadcastable:
             cands = (candidates_ds if candidates_ds is not None
                      else self.candidates(mentions_ds))
+            from ..functions.blocks import pin_nonempty
             from ..stages.linker_join import link_documents_via_join
 
+            # pin_nonempty (not bare materialize): the J1 join path's
+            # rank map_groups can emit schema-less empty blocks that
+            # poison the J3 join's key resolution (see blocks.py)
             return link_documents_via_join(
-                cands.materialize(),
+                pin_nonempty(cands),
                 rd.read_parquet(self.kb_path),
                 sameas_ds=rd.read_parquet(self.sameas_path),
                 measure=self.cfg.measure,

@@ -22,6 +22,7 @@ from __future__ import annotations
 import json
 
 import pandas as pd
+import pyarrow as pa
 
 from .linker import DEFAULT_URL_BUCKETS, add_url_bucket
 from .reports import enrich_links, uri_occurrences
@@ -88,13 +89,20 @@ def visu_features(links_ds, kb_ref, prop_lists: dict[str, list[str]]):
     Consume with ``write_visu_data`` (sharded JSON sink) or assemble the
     (vocabulary-bounded) FeatureCollection with ``produce_visu_data``.
     """
-    occ = uri_occurrences(links_ds).repartition(4).materialize()
+    from ..functions.blocks import pin_nonempty
+
+    occ = pin_nonempty(uri_occurrences(links_ds).repartition(4))
+    if occ.count() == 0:  # Ray joins can't take a fully-empty side
+        import ray.data as rd
+
+        return rd.from_arrow(pa.schema(
+            {"uri": pa.string(), "feature": pa.string()}).empty_table())
     one_per_uri = links_ds.groupby("uri").map_groups(
         lambda df: df.head(1), batch_format="pandas"
     )
-    enriched = enrich_links(one_per_uri, kb_ref, prop_lists).map_batches(
+    enriched = pin_nonempty(enrich_links(one_per_uri, kb_ref, prop_lists).map_batches(
         lambda t: t.select(["uri", *prop_lists]), batch_format="pyarrow"
-    ).repartition(4).materialize()
+    ).repartition(4))
     merged = occ.join(enriched, join_type="left_outer", num_partitions=4,
                       on=("uri",))
 

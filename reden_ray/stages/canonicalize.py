@@ -287,9 +287,15 @@ def emit_entity_triples_via_join(entities_ds, kb_ds, sameas_ds=None,
     """
     import pyarrow.compute as pc
 
+    import ray.data as rd
+
+    from ..functions.blocks import pin_nonempty
+
     # vocabulary-sized; pin so the two joins don't re-run its lineage,
-    # and repartition so no side carries empty schema-less blocks
-    entities = entities_ds.repartition(num_partitions).materialize()
+    # dropping empty schema-less blocks that break join key resolution
+    entities = pin_nonempty(entities_ds.repartition(num_partitions))
+    if entities.count() == 0:  # Ray joins can't take an empty side
+        return rd.from_arrow(TRIPLE_SCHEMA.empty_table())
     probes = entities.map_batches(
         lambda t: pa.table({"base": t["uri"], "probe": t["uri"]}),
         batch_format="pyarrow")
@@ -302,7 +308,7 @@ def emit_entity_triples_via_join(entities_ds, kb_ds, sameas_ds=None,
         probes = probes.union(ext)
     # pin between the sameas join and the kb join (two concurrent
     # hash-shuffle aggregator pools starve small CPU budgets)
-    probes = probes.repartition(num_partitions).materialize()
+    probes = pin_nonempty(probes.repartition(num_partitions))
     joined = probes.join(kb_ds, join_type="inner",
                          num_partitions=num_partitions,
                          on=("probe",), right_on=("subj",))

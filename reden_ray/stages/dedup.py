@@ -256,23 +256,27 @@ def _attach_pair_texts(pairs_ds, ds, id_col: str, text_col: str,
        shuffle; output is bounded by the banding pair caps);
     2. hash-join the small candidate-text table onto each pair side.
     """
+    from ..functions.blocks import pin_nonempty
+    from .canonicalize import exact_dedup
+
     endpoints_a = pairs_ds.map_batches(
         lambda t: pa.table({id_col: t.column("a")}), batch_format="pyarrow")
     endpoints_b = pairs_ds.map_batches(
         lambda t: pa.table({id_col: t.column("b")}), batch_format="pyarrow")
-    from .canonicalize import exact_dedup
-
-    endpoints = exact_dedup(endpoints_a.union(endpoints_b), [id_col]).repartition(
-        num_partitions)
+    # pin_nonempty: exact_dedup's map_groups can emit schema-less empty
+    # blocks that break the semi-join's key resolution (see blocks.py)
+    endpoints = pin_nonempty(exact_dedup(endpoints_a.union(endpoints_b), [id_col]))
 
     # candidate texts are bounded by the banding pair caps — pin them so
     # the two attach joins don't re-run the semi-join lineage (and so a
     # single streaming plan never stacks 3 all-to-all ops + join
     # aggregators, which can starve a small CPU budget).
-    cand_docs = ds.select_columns([id_col, text_col]).join(
-        endpoints, join_type="left_semi", num_partitions=num_partitions,
-        on=(id_col,),
-    ).repartition(num_partitions).materialize()
+    cand_docs = pin_nonempty(
+        ds.select_columns([id_col, text_col]).join(
+            endpoints, join_type="left_semi", num_partitions=num_partitions,
+            on=(id_col,),
+        )
+    )
 
     ta = cand_docs.map_batches(
         lambda t: pa.table({"a": t.column(id_col).cast(pa.int64()),
@@ -285,8 +289,8 @@ def _attach_pair_texts(pairs_ds, ds, id_col: str, text_col: str,
     # pin between the two joins: a single streaming plan with two
     # concurrent hash-shuffle aggregator pools can starve a small CPU
     # budget; the pinned side is pair-sized (bounded), not corpus-sized.
-    j = pairs_ds.join(ta, join_type="inner", num_partitions=num_partitions,
-                      on=("a",)).materialize()
+    j = pin_nonempty(pairs_ds.join(ta, join_type="inner",
+                                   num_partitions=num_partitions, on=("a",)))
     return j.join(tb, join_type="inner", num_partitions=num_partitions, on=("b",))
 
 
@@ -361,13 +365,15 @@ def minhash_lsh_clusters(
 
     # dedup before verification: the same pair collides in many bands.
     # Pairs are bounded (banding caps) and fan out to three consumers
-    # (two endpoint projections + the attach join) — pin them once.
-    # (repartition also normalizes empty schema-less groupby blocks,
-    # which otherwise break join key resolution downstream)
-    pairs = distinct_pairs(
+    # (two endpoint projections + the attach join) — pin them once,
+    # dropping the schema-less empty groupby blocks that would
+    # otherwise break join key resolution downstream (see blocks.py).
+    from ..functions.blocks import pin_nonempty
+
+    pairs = pin_nonempty(distinct_pairs(
         _strip_truncation_markers(
             grouped_pairs(sigs, ["band", "sig"], "sig", all_pairs), stats)
-    ).repartition(8).materialize()
+    ))
     if pairs.count() == 0:  # no candidates anywhere: skip the joins
         import ray.data as rd
 
@@ -401,10 +407,14 @@ def drop_duplicates_by_clusters(ds, clusters_ds, id_col: str,
         .select([id_col]),
         batch_format="pyarrow",
     )
-    # repartition: coalesce the groupby/sort output blocks (some are
-    # empty with no schema, which breaks the join's key resolution) and
+    # pin_nonempty: drop the schema-less empty groupby/sort output
+    # blocks (they break the join's key resolution — see blocks.py) and
     # pin so the cluster lineage doesn't re-run inside the join plan.
-    doomed = doomed.repartition(num_partitions).materialize()
+    from ..functions.blocks import pin_nonempty
+
+    doomed = pin_nonempty(doomed)
+    if doomed.count() == 0:  # no dups: Ray joins can't take an empty side
+        return ds
     return ds.join(doomed, join_type="left_anti",
                    num_partitions=num_partitions, on=(id_col,))
 
@@ -531,10 +541,12 @@ def ngram_jaccard_clusters(
         return ([(ids[i], ids[j]) for i in range(len(ids))
                  for j in range(i + 1, len(ids))], dropped)
 
-    pairs = distinct_pairs(
+    from ..functions.blocks import pin_nonempty
+
+    pairs = pin_nonempty(distinct_pairs(
         _strip_truncation_markers(
             grouped_pairs(rows, ["bucket"], "bucket", all_pairs), stats)
-    ).repartition(8).materialize()
+    ))
     if pairs.count() == 0:
         import ray.data as rd
 

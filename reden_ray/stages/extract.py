@@ -176,21 +176,27 @@ def latest_page_per_url(pages_ds, num_buckets: int = 64,
 
         return f
 
-    untied = winners.map_batches(
+    from ..functions.blocks import pin_nonempty
+
+    untied = pin_nonempty(winners.map_batches(
         _winner_rows(False, ["url", "warc_ts"]), batch_format="pyarrow"
-    ).repartition(num_partitions).materialize()
-    out = pages_ds.join(untied, join_type="left_semi",
-                        num_partitions=num_partitions, on=("url", "warc_ts"))
+    ).repartition(num_partitions))
+    # Ray joins can't take a fully-empty side; untied is empty iff
+    # EVERY url is tied (or the corpus is empty — then n_tied is 0 and
+    # the empty pages_ds itself is the right answer)
+    out = (pages_ds.join(untied, join_type="left_semi",
+                         num_partitions=num_partitions, on=("url", "warc_ts"))
+           if untied.count() else None)
     if n_tied:
-        tied = winners.map_batches(
+        tied = pin_nonempty(winners.map_batches(
             _winner_rows(True, ["url"]), batch_format="pyarrow"
-        ).repartition(num_partitions).materialize()
+        ).repartition(num_partitions))
         tied_pages = pages_ds.join(tied, join_type="left_semi",
                                    num_partitions=num_partitions, on=("url",))
         fixed = tied_pages.repartition(1).map_batches(
             collapse_tiny, batch_format="pandas")
-        out = out.union(fixed)
-    return out
+        out = fixed if out is None else out.union(fixed)
+    return pages_ds if out is None else out
 
 
 # Context-key separator: U+001F (unit separator) is not a valid URL

@@ -622,6 +622,19 @@ def _emit(row: dict, score: float | None, prefered_uri_order: str) -> dict:
 
 _LINK_COLUMNS = ["url", "mention_id", "surface", "surface_norm", "uri", "all_uris", "score"]
 
+# Arrow schema of a links Dataset row (typed empty-links construction)
+def _link_schema():
+    import pyarrow as pa
+
+    return pa.schema({
+        "url": pa.string(), "mention_id": pa.int64(), "surface": pa.string(),
+        "surface_norm": pa.string(), "uri": pa.string(),
+        "all_uris": pa.list_(pa.string()), "score": pa.float64(),
+    })
+
+
+LINK_SCHEMA = _link_schema()
+
 # Power of two (Arrow bit-and bucketing). 256 smooths the straggler
 # tail vs 64 on one node and leaves headroom for a few hundred
 # cluster-wide link tasks; raise for larger clusters.

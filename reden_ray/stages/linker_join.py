@@ -36,6 +36,7 @@ from .. import SAMEAS_PRED
 from ..functions.uri import decompose
 from .linker import (
     DEFAULT_URL_BUCKETS,
+    LINK_SCHEMA,
     _LINK_COLUMNS,
     _MEASURES,
     prune_graph,
@@ -108,6 +109,13 @@ def link_documents_via_join(
 ):
     """candidates + kb Datasets -> links Dataset (two shuffles:
     subj-hash join, then url-bucket regroup)."""
+    if candidates_ds.count() == 0:
+        # Ray joins can't take a fully-empty side — short-circuit with
+        # a typed empty links Dataset (callers pin candidates, so this
+        # count() is metadata-only)
+        import ray.data as rd
+
+        return rd.from_arrow(LINK_SCHEMA.empty_table())
     probes = explode_probe_uris(candidates_ds, sameas_ds, num_partitions=num_partitions)
     edges = probes.join(
         kb_triples_ds,
