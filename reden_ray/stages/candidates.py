@@ -214,20 +214,55 @@ def dictionary_with_order(dictionary_path: str):
     Lucene-hit order of the reference, DicoProcessingNEL.java:319), and
     join output order is NOT deterministic — carrying the order through
     the join and sorting on it makes both paths emit identical ranks.
+
+    This function only runs when the dictionary is OVER the broadcast
+    size gate, so the driver must never hold the data: it reads only
+    the Parquet FOOTERS (per-row-group row counts, in sorted-file
+    order) to compute each row group's global start offset, then loads
+    the row groups in parallel tasks that mint ``dict_row`` from their
+    offset — one narrow metadata scan on the driver regardless of
+    dictionary size.
     """
+    from pathlib import Path
+
+    import numpy as np
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     import ray.data as rd
 
-    t = pq.read_table(dictionary_path, columns=["surface_norm", "entity_id", "uris"])
-    # no ne_type: the mention side carries its own (join would collide)
-    flat = pa.table({
-        "surface_norm": t["surface_norm"],
-        "entity_id": t["entity_id"],
-        "uris_str": pa.array([" ".join(u) for u in t["uris"].to_pylist()], pa.string()),
-        "dict_row": pa.array(range(t.num_rows), pa.int64()),
-    })
-    return rd.from_arrow(flat)
+    p = Path(dictionary_path)
+    files = sorted(str(f) for f in p.rglob("*.parquet")) if p.is_dir() else [str(p)]
+    items, offset = [], 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            n = md.row_group(rg).num_rows
+            items.append({"path": f, "row_group": rg, "start": offset})
+            offset += n
+
+    def load(batch: pa.Table) -> pa.Table:
+        out = []
+        for path, rg, start in zip(batch["path"].to_pylist(),
+                                   batch["row_group"].to_pylist(),
+                                   batch["start"].to_pylist()):
+            t = pq.ParquetFile(path).read_row_group(
+                rg, columns=["surface_norm", "entity_id", "uris"])
+            # no ne_type: the mention side carries its own (join would
+            # collide); uris list -> flat string, vectorized
+            out.append(pa.table({
+                "surface_norm": t["surface_norm"].combine_chunks(),
+                "entity_id": t["entity_id"].combine_chunks(),
+                "uris_str": pc.binary_join(
+                    t["uris"].combine_chunks(),
+                    pa.scalar(" ", pa.string())),
+                "dict_row": pa.array(
+                    np.arange(start, start + t.num_rows), pa.int64()),
+            }))
+        return pa.concat_tables(out)
+
+    return rd.from_items(items).map_batches(
+        load, batch_size=1, batch_format="pyarrow")
 
 
 def candidates_via_join(mentions_ds, dictionary_ds, num_partitions: int = 64,

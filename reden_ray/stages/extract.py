@@ -2,9 +2,11 @@
 
 The reference DOM-parses TEI files and selects XPath context windows
 (src/fr/lip6/reden/MainNELApp.java:183-231). Our corpus is a Parquet
-``pages`` table (url, warc_ts, html, text, lang); the context window is
-the whole page (the reference's ``xpathExpresion=//body`` configuration,
-config/config-places-dbpedia.properties:63).
+``pages`` table (url, warc_ts, html, text, lang); the context window
+defaults to the whole page (the reference's ``xpathExpresion=//body``
+configuration, config/config-places-dbpedia.properties:63), with
+``split_contexts`` providing the sub-page window analog of
+``//body/div`` (``NELConfig.context_words``).
 
 ``extract_text`` is a stateless ``map_batches`` transform over Arrow
 batches producing the frozen, deterministic extraction whose output must

@@ -54,27 +54,28 @@ def explode_probe_uris(candidates_ds, sameas_ds=None, num_partitions: int = 8):
     """
 
     def explode(t: pa.Table) -> pa.Table:
-        urls, mids, ranks, ents, probes = [], [], [], [], []
-        for url, mid, rank, ent, uris_str in zip(
-            t["url"].to_pylist(), t["mention_id"].to_pylist(),
-            t["cand_rank"].to_pylist(), t["entity_id"].to_pylist(),
-            t["uris_str"].to_pylist(),
-        ):
-            uris = uris_str.split(" ")
-            probe = [ent, *[u for u in uris if u != ent]]
-            for u in probe:
-                urls.append(url)
-                mids.append(mid)
-                ranks.append(rank)
-                ents.append(ent)
-                probes.append(u)
-        return pa.table({
-            "url": pa.array(urls, pa.string()),
-            "mention_id": pa.array(mids, pa.int64()),
-            "cand_rank": pa.array(ranks, pa.int32()),
-            "entity_id": pa.array(ents, pa.string()),
-            "probe_uri": pa.array(probes, pa.string()),
+        # vectorized fan-out: probe set = base entity ∪ (uris ≠ base).
+        # Probe ORDER is irrelevant downstream (edges key on the pair
+        # and resolve by (pred, weight)-min), so base rows and the
+        # flattened equivalence rows are emitted as two blocks.
+        import pyarrow.compute as pc
+
+        base_cols = ["url", "mention_id", "cand_rank", "entity_id"]
+        parts = pc.split_pattern(t["uris_str"].combine_chunks(), " ")
+        flat = pc.list_flatten(parts)
+        idx = pc.list_parent_indices(parts)
+        ent_rep = t["entity_id"].combine_chunks().take(idx)
+        keep = pc.invert(pc.equal(flat, ent_rep))
+        idx_f = idx.filter(keep)
+        extra = pa.table({
+            **{c: t[c].take(idx_f) for c in base_cols},
+            "probe_uri": flat.filter(keep).cast(pa.string()),
         })
+        base = pa.table({
+            **{c: t[c] for c in base_cols},
+            "probe_uri": t["entity_id"].cast(pa.string()),
+        })
+        return pa.concat_tables([base, extra]).combine_chunks()
 
     out = candidates_ds.map_batches(explode, batch_format="pyarrow")
     if sameas_ds is not None:

@@ -61,6 +61,35 @@ class TestCandidatesViaJoin:
         b = b.sort_values(key).reset_index(drop=True)
         assert a.equals(b)
 
+    def test_dict_row_spans_row_groups_and_files(self, tmp_path):
+        """dictionary_with_order reads only Parquet footers on the
+        driver; dict_row must be the GLOBAL file-order index across
+        row groups and across sorted files."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from reden_ray.stages.candidates import dictionary_with_order
+
+        def mk(n, start):
+            return pa.table({
+                "surface_norm": [f"s{i}" for i in range(start, start + n)],
+                "entity_id": [f"http://e/{i}" for i in range(start, start + n)],
+                "uris": pa.array([[f"http://e/{i}", "http://alt/x"]
+                                  for i in range(start, start + n)],
+                                 pa.list_(pa.string())),
+            })
+
+        d = tmp_path / "dico"
+        d.mkdir()
+        # file 1: 7 rows in row groups of 3 (3 groups); file 2: 5 rows
+        pq.write_table(mk(7, 0), d / "a.parquet", row_group_size=3)
+        pq.write_table(mk(5, 7), d / "b.parquet", row_group_size=2)
+        out = dictionary_with_order(str(d)).to_pandas()
+        out = out.sort_values("dict_row").reset_index(drop=True)
+        assert out["dict_row"].tolist() == list(range(12))
+        assert out["surface_norm"].tolist() == [f"s{i}" for i in range(12)]
+        assert out["uris_str"].iloc[3] == "http://e/3 http://alt/x"
+
 
 class TestAutoSelectedJoinMode:
     """NELPipeline's measured-size gate: broadcast limits forced to 0
