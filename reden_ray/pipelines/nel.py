@@ -37,12 +37,9 @@ from ..state.broadcast import (
 
 def _parquet_bytes(path: str) -> int:
     """On-disk bytes of a Parquet file or directory of files."""
-    from pathlib import Path
+    from ..state.manifest import list_parquet_files
 
-    p = Path(path)
-    if p.is_dir():
-        return sum(f.stat().st_size for f in p.rglob("*.parquet"))
-    return p.stat().st_size if p.exists() else 0
+    return sum(f.stat().st_size for f in list_parquet_files(path) if f.exists())
 
 
 @dataclass
@@ -198,11 +195,20 @@ class NELPipeline:
                 pin_nonempty(cands),
                 rd.read_parquet(self.kb_path),
                 sameas_ds=rd.read_parquet(self.sameas_path),
+                rels=self.cfg.rels,
                 measure=self.cfg.measure,
                 prefered_uri_order=self.cfg.prefered_uri_order,
                 num_partitions=self.cfg.join_partitions,
                 num_buckets=self.cfg.link_buckets,
             )
+        if candidates_ds is None and not self.dico_broadcastable:
+            # dictionary over its gate with a broadcastable KB: the
+            # fused/packed paths need dico_ref (None here) — route
+            # candidates through the J1 join, then the broadcast-KB row
+            # linker. pin_nonempty for the same reason as the J3 branch.
+            from ..functions.blocks import pin_nonempty
+
+            candidates_ds = pin_nonempty(self.candidates(mentions_ds))
         if candidates_ds is not None:
             return link_documents(
                 candidates_ds, self.kb_ref, self.sameas_ref, rels=self.cfg.rels,

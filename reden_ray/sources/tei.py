@@ -164,21 +164,48 @@ _N3_TERM_RE = re.compile(
     r"""<(?P<iri>[^>]*)>            # <iri>
       | "(?P<lit>(?:[^"\\]|\\.)*)"(?:@[\w-]+|\^\^\S+)?   # "literal"
       | (?P<qn>\w*:[\w.-]*)         # prefix:local
+      | (?P<rdfa>\ba\b)             # rdf:type shorthand (predicate)
     """,
     re.X,
 )
 
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+# N3/Turtle string escapes (\uXXXX, \UXXXXXXXX, and the named ECHAR
+# set). NOT str.encode().decode('unicode_escape'): that round-trips the
+# utf-8 bytes through latin-1 and mojibakes every non-ASCII literal.
+_N3_ESCAPE_RE = re.compile(r"\\(u[0-9a-fA-F]{4}|U[0-9a-fA-F]{8}|.)")
+_N3_ECHAR = {"t": "\t", "b": "\b", "n": "\n", "r": "\r", "f": "\f",
+             '"': '"', "'": "'", "\\": "\\"}
 
-def n3_to_kb_triples(source: str) -> pa.Table:
+
+def _unescape_n3(s: str) -> str:
+    def rep(m: re.Match) -> str:
+        g = m.group(1)
+        if g[0] in "uU" and len(g) > 1:
+            return chr(int(g[1:], 16))
+        return _N3_ECHAR.get(g, g)
+
+    return _N3_ESCAPE_RE.sub(rep, s)
+
+
+def n3_to_kb_triples(source: str, on_dropped: str = "warn") -> pa.Table:
     """Minimal N3/Turtle triple reader -> kb_triples table (subj, pred,
     obj, obj_is_literal, weight=1.0). Supports the subset the
     reference's cached KB dumps use: @prefix declarations, one
     ``s p o .`` statement per line, IRI / prefixed-name / plain or
-    typed string literal terms. ``source`` is a path or raw text."""
+    typed string literal terms, and the ``a`` rdf:type shorthand.
+    ``source`` is a path or raw text.
+
+    A statement that cannot be parsed (undeclared prefix, malformed
+    term, wrong arity) is dropped as a WHOLE — a bad term never shifts
+    later tokens into its position — and counted: ``on_dropped`` is
+    "warn" (default: one warnings.warn with the count and first
+    offender), "raise", or "ignore"."""
     text = (Path(source).read_text(encoding="utf-8")
             if "\n" not in source and Path(source).exists() else source)
     prefixes: dict[str, str] = {}
     rows = []
+    dropped: list[str] = []
     for line in text.splitlines():
         line = line.strip()
         if not line or line.startswith("#"):
@@ -188,26 +215,45 @@ def n3_to_kb_triples(source: str) -> pa.Table:
             prefixes[m.group(1)] = m.group(2)
             continue
         if not line.endswith("."):
+            if line:
+                dropped.append(line)
             continue
-        terms, lits = [], []
+        terms, lits, bad = [], [], False
         for t in _N3_TERM_RE.finditer(line[:-1]):
             if t.group("iri") is not None:
                 terms.append(t.group("iri"))
                 lits.append(False)
             elif t.group("lit") is not None:
-                terms.append(t.group("lit").encode().decode("unicode_escape"))
+                terms.append(_unescape_n3(t.group("lit")))
                 lits.append(True)
+            elif t.group("rdfa") is not None:
+                if len(terms) != 1:  # 'a' is only valid as predicate
+                    bad = True
+                    break
+                terms.append(_RDF_TYPE)
+                lits.append(False)
             else:
                 pfx, _, local = t.group("qn").partition(":")
                 if pfx not in prefixes:
-                    continue
+                    bad = True
+                    break
                 terms.append(prefixes[pfx] + local)
                 lits.append(False)
             if len(terms) == 3:
                 break
-        if len(terms) == 3:
-            rows.append({"subj": terms[0], "pred": terms[1], "obj": terms[2],
-                         "obj_is_literal": lits[2], "weight": 1.0})
+        if bad or len(terms) != 3:
+            dropped.append(line)
+            continue
+        rows.append({"subj": terms[0], "pred": terms[1], "obj": terms[2],
+                     "obj_is_literal": lits[2], "weight": 1.0})
+    if dropped and on_dropped != "ignore":
+        msg = (f"n3_to_kb_triples: dropped {len(dropped)} unparseable "
+               f"statement(s); first: {dropped[0][:120]!r}")
+        if on_dropped == "raise":
+            raise ValueError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
     return pa.Table.from_pylist(rows, schema=pa.schema({
         "subj": pa.string(), "pred": pa.string(), "obj": pa.string(),
         "obj_is_literal": pa.bool_(), "weight": pa.float64()}))

@@ -223,16 +223,15 @@ def dictionary_with_order(dictionary_path: str):
     offset — one narrow metadata scan on the driver regardless of
     dictionary size.
     """
-    from pathlib import Path
-
     import numpy as np
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     import ray.data as rd
 
-    p = Path(dictionary_path)
-    files = sorted(str(f) for f in p.rglob("*.parquet")) if p.is_dir() else [str(p)]
+    from ..state.manifest import list_parquet_files
+
+    files = [str(f) for f in list_parquet_files(dictionary_path)]
     items, offset = [], 0
     for f in files:
         md = pq.ParquetFile(f).metadata

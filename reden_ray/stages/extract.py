@@ -85,10 +85,13 @@ def latest_page_per_url(pages_ds, num_buckets: int = 64,
        ``(url, warc_ts)`` — pages cross one hash exchange as Arrow
        blocks, never pandas.
     3. urls with SEVERAL rows at the max ts (degenerate corpora) are
-       collapsed exactly through a tiny side branch with a
-       deterministic whole-row tie-break; the tie set is checked, not
-       assumed, and is empty on normal corpora (ts ties step 2 would
-       otherwise keep twice).
+       collapsed exactly through a side branch: only the rows AT the
+       max ts are selected (older re-crawls never enter it), bucketed
+       by url hash and tie-broken per bucket with a deterministic
+       column-NAME-ordered whole-row sort (independent of the table's
+       physical column order). The tie set is checked, not assumed,
+       and is empty on normal corpora (ts ties step 2 would otherwise
+       keep twice).
     """
     import pandas as pd
     import pyarrow.compute as pc
@@ -127,21 +130,37 @@ def latest_page_per_url(pages_ds, num_buckets: int = 64,
         batch_format="pyarrow").count()
 
     def collapse_tiny(df: pd.DataFrame) -> pd.DataFrame:
-        # deterministic: whole-row sort, keep the last row per url
-        # (rows here share url AND max ts; remaining columns break ties)
+        # deterministic tie-break among rows sharing (url, max ts):
+        # sort by NAME-ordered columns (never the table's physical
+        # column order — a pages file laid out (url, html, warc_ts)
+        # must collapse identically to (url, warc_ts, html)), keep the
+        # last row per url. Input rows are already max-ts only.
         if df.empty:
             return df
-        df = df.sort_values(list(df.columns), kind="stable")
+        df = df.drop(columns="__bucket", errors="ignore")
+        cols = ["url", "warc_ts"] + sorted(
+            c for c in df.columns if c not in ("url", "warc_ts"))
+        df = df.sort_values(cols, kind="stable")
         return df.drop_duplicates("url", keep="last")
+
+    def collapse_tied(tied_pages_ds):
+        # distribute the content tie-break: url-hash bucket shuffle of
+        # the (already max-ts-only) tied rows, collapse per bucket —
+        # never a repartition(1) funnel of fat page rows to one worker
+        return (tied_pages_ds.map_batches(
+            lambda t: add_bucket(t, "url", num_buckets),
+            batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(collapse_tiny, batch_format="pandas"))
 
     if winners.count() <= broadcast_row_limit:
         import ray
 
         w = winners.to_pandas()
         tied_urls = frozenset(w.loc[w["n_at_max"] > 1, "url"])
-        wu = w[w["n_at_max"] == 1]
-        # pandas Series keyed by url: dtype-preserving vectorized lookup
-        ref = ray.put((pd.Series(wu["warc_ts"].to_numpy(), index=wu["url"]),
+        # pandas Series keyed by url (ALL urls — tied urls' max ts is
+        # needed to exclude their older re-crawls from the tie branch)
+        ref = ray.put((pd.Series(w["warc_ts"].to_numpy(), index=w["url"]),
                        tied_urls))
 
         def make_filter(keep_tied: bool):
@@ -150,12 +169,11 @@ def latest_page_per_url(pages_ds, num_buckets: int = 64,
 
                 ts_of, tied = get_broadcast(ref)
                 urls = pd.Series(t.column("url").to_numpy(zero_copy_only=False))
-                if keep_tied:
-                    mask = urls.isin(tied).to_numpy()
-                else:
-                    want = ts_of.reindex(urls).to_numpy()
-                    ts = t.column("warc_ts").to_pandas().to_numpy()
-                    mask = pd.notna(want) & (want == ts)
+                want = ts_of.reindex(urls).to_numpy()
+                ts = t.column("warc_ts").to_pandas().to_numpy()
+                at_max = pd.notna(want) & (want == ts)
+                is_tied = urls.isin(tied).to_numpy()
+                mask = (at_max & is_tied) if keep_tied else (at_max & ~is_tied)
                 return t.filter(pa.array(mask))
 
             return filt
@@ -164,24 +182,22 @@ def latest_page_per_url(pages_ds, num_buckets: int = 64,
         if n_tied:
             tied_pages = pages_ds.map_batches(make_filter(True),
                                               batch_format="pyarrow")
-            fixed = tied_pages.repartition(1).map_batches(
-                collapse_tiny, batch_format="pandas")
-            out = out.union(fixed)
+            out = out.union(collapse_tied(tied_pages))
         return out
 
     # scale path: winners too big to broadcast — semi-join them back
-    def _winner_rows(tied: bool, cols: list[str]):
+    def _winner_rows(tied: bool):
         def f(t: pa.Table) -> pa.Table:
             m = (pc.greater(t["n_at_max"], 1) if tied
                  else pc.equal(t["n_at_max"], 1))
-            return t.filter(m).select(cols)
+            return t.filter(m).select(["url", "warc_ts"])
 
         return f
 
     from ..functions.blocks import pin_nonempty
 
     untied = pin_nonempty(winners.map_batches(
-        _winner_rows(False, ["url", "warc_ts"]), batch_format="pyarrow"
+        _winner_rows(False), batch_format="pyarrow"
     ).repartition(num_partitions))
     # Ray joins can't take a fully-empty side; untied is empty iff
     # EVERY url is tied (or the corpus is empty — then n_tied is 0 and
@@ -191,12 +207,14 @@ def latest_page_per_url(pages_ds, num_buckets: int = 64,
            if untied.count() else None)
     if n_tied:
         tied = pin_nonempty(winners.map_batches(
-            _winner_rows(True, ["url"]), batch_format="pyarrow"
+            _winner_rows(True), batch_format="pyarrow"
         ).repartition(num_partitions))
+        # semi-join on (url, warc_ts): only the rows AT a tied url's
+        # max ts enter the tie branch — older re-crawls never move
         tied_pages = pages_ds.join(tied, join_type="left_semi",
-                                   num_partitions=num_partitions, on=("url",))
-        fixed = tied_pages.repartition(1).map_batches(
-            collapse_tiny, batch_format="pandas")
+                                   num_partitions=num_partitions,
+                                   on=("url", "warc_ts"))
+        fixed = collapse_tied(tied_pages)
         out = fixed if out is None else out.union(fixed)
     return pages_ds if out is None else out
 

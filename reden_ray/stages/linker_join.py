@@ -99,17 +99,39 @@ def explode_probe_uris(candidates_ds, sameas_ds=None, num_partitions: int = 8):
     return out
 
 
+def apply_rels_weights(pred_col, weight_col, rels: dict[str, float] | None):
+    """Vectorized -relsFile predicate-weight override (same semantics
+    as the broadcast path's ``rels.get(pred, w)`` in
+    linker._entity_edges): index_in + take yields null for preds not in
+    ``rels``; coalesce falls back to the raw KB weight."""
+    import pyarrow.compute as pc
+
+    weight = pc.cast(weight_col, pa.float64())
+    if not rels:
+        return weight
+    rel_keys = pa.array(list(rels.keys()), pa.string())
+    rel_vals = pa.array([float(v) for v in rels.values()], pa.float64())
+    idx = pc.index_in(pred_col, rel_keys)
+    return pc.coalesce(pc.take(rel_vals, idx), weight)
+
+
 def link_documents_via_join(
     candidates_ds,
     kb_triples_ds,
     sameas_ds=None,
+    rels: dict[str, float] | None = None,
     measure: str = "degree",
     prefered_uri_order: str = "ALL",
     num_partitions: int = 16,
     num_buckets: int = DEFAULT_URL_BUCKETS,
 ):
     """candidates + kb Datasets -> links Dataset (two shuffles:
-    subj-hash join, then url-bucket regroup)."""
+    subj-hash join, then url-bucket regroup).
+
+    ``rels`` (the reference's -relsFile predicate weights) overrides
+    edge weights per predicate exactly like the broadcast path's
+    ``_entity_edges`` (linker.py) — applied vectorized on the joined
+    edge rows before the (pred, weight)-min resolution."""
     if candidates_ds.count() == 0:
         # Ray joins can't take a fully-empty side — short-circuit with
         # a typed empty links Dataset (callers pin candidates, so this
@@ -127,6 +149,7 @@ def link_documents_via_join(
     )
 
     def edge_rows(t: pa.Table) -> pa.Table:
+        weight = apply_rels_weights(t["pred"], t["weight"], rels)
         return pa.table({
             "url": t["url"],
             "mention_id": t["mention_id"],
@@ -138,7 +161,7 @@ def link_documents_via_join(
             "kind": pa.array(["edge"] * t.num_rows, pa.string()),
             "pred": t["pred"],
             "obj": t["obj"],
-            "weight": t["weight"],
+            "weight": weight,
         })
 
     def cand_rows(t: pa.Table) -> pa.Table:

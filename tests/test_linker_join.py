@@ -102,6 +102,59 @@ class TestAutoSelectedJoinMode:
         assert p.kb_broadcastable and p.dico_broadcastable
         assert p.kb_ref is not None and p.dico_ref is not None
 
+    def test_dico_only_gate_links_match_broadcast(self, unit_fixture):
+        """Dictionary over its gate with a BROADCASTABLE KB (huge
+        surface dictionary, modest KB): candidates must route through
+        the J1 join and linking through the broadcast-KB row path —
+        previously this combination crashed (dico_ref is None on the
+        fused path)."""
+        from reden_ray.pipelines.nel import NELConfig
+
+        cfg = NELConfig(dico_broadcast_limit_bytes=0, join_partitions=2)
+        pd_ = NELPipeline(unit_fixture, cfg)
+        assert pd_.kb_broadcastable and not pd_.dico_broadcastable
+        assert pd_.dico_ref is None and pd_.kb_ref is not None
+        got = pd_.links().to_pandas()
+
+        want = NELPipeline(unit_fixture).links().to_pandas()
+        key = ["url", "mention_id"]
+        g = got.sort_values(key).reset_index(drop=True)
+        w = want.sort_values(key).reset_index(drop=True)
+        assert len(g) == len(w)
+        assert (g["uri"].values == w["uri"].values).all()
+
+    def test_rels_override_vectorized(self):
+        """apply_rels_weights must match the broadcast path's
+        rels.get(pred, w) semantics element-wise."""
+        import pyarrow as pa
+
+        from reden_ray.stages.linker_join import apply_rels_weights
+
+        pred = pa.chunked_array([["p1", "p2"], ["p1", "p3"]])
+        weight = pa.chunked_array([[1.0, 2.0], [3.0, 4.0]])
+        rels = {"p1": 9.0, "p3": 0.5}
+        out = apply_rels_weights(pred, weight, rels)
+        assert out.to_pylist() == [9.0, 2.0, 9.0, 0.5]
+        assert apply_rels_weights(pred, weight, None).to_pylist() == \
+            [1.0, 2.0, 3.0, 4.0]
+
+    def test_join_path_accepts_rels(self, unit_fixture):
+        """cfg.rels must flow through the gated join path (it was
+        silently dropped); links are rels-invariant under degree, so
+        this checks plumbing + equivalence."""
+        p = NELPipeline(unit_fixture)
+        cands = p.candidates().materialize()
+        kb = rd.read_parquet(f"{unit_fixture}/kb_triples.parquet")
+        sameas = rd.read_parquet(f"{unit_fixture}/sameas.parquet")
+        got = link_documents_via_join(
+            cands, kb, sameas_ds=sameas, rels={"http://example.org/kb/member": 7.0},
+            num_partitions=2).to_pandas()
+        want = p.links(cands).to_pandas()
+        key = ["url", "mention_id"]
+        g = got.sort_values(key).reset_index(drop=True)
+        w = want.sort_values(key).reset_index(drop=True)
+        assert (g["uri"].values == w["uri"].values).all()
+
     def test_forced_join_mode_end_to_end_matches_broadcast(self, unit_fixture):
         from reden_ray.pipelines.nel import NELConfig
 

@@ -83,6 +83,40 @@ class TestExtraction:
         gb = b.set_index("url").loc["u3", "html"]
         assert ga == gb == b"tie-b"  # whole-row sort, keep last
 
+    def test_tie_break_independent_of_column_order(self):
+        """The content tie-break must sort columns by NAME: a pages
+        file laid out (url, html, warc_ts) collapses identically to
+        (url, warc_ts, html) — and older-ts rows of a tied url must
+        never win (previously the whole-row physical-order sort could
+        keep an older crawl with a larger html payload)."""
+        import pandas as pd
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from reden_ray.stages.extract import latest_page_per_url
+
+        ts = [pd.Timestamp("2024-09-01"),  # OLD row, big payload
+              pd.Timestamp("2024-10-01"), pd.Timestamp("2024-10-01")]
+        html = [b"zzz-old-big", b"tie-a", b"tie-b"]
+        # html column BEFORE warc_ts: physical-order sort would rank
+        # the old b"zzz..." row last and keep it
+        swapped = rd.from_arrow(pa.table({
+            "url": pa.array(["u", "u", "u"]),
+            "html": pa.array(html, pa.binary()),
+            "warc_ts": pa.array(ts, pa.timestamp("ms")),
+        }))
+        standard = rd.from_arrow(pa.table({
+            "url": pa.array(["u", "u", "u"]),
+            "warc_ts": pa.array(ts, pa.timestamp("ms")),
+            "html": pa.array(html, pa.binary()),
+        }))
+        for pages in (swapped, standard):
+            for kw in ({}, {"broadcast_row_limit": 0}):
+                out = latest_page_per_url(pages, **kw).to_pandas()
+                assert len(out) == 1
+                assert out["html"].iloc[0] == b"tie-b", kw
+
     def test_latest_page_scale_path_matches_broadcast(self):
         """broadcast_row_limit=0 forces the semi-join path; output must
         equal the broadcast-filter path row for row."""

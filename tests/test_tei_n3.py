@@ -37,6 +37,41 @@ class TestN3:
         assert rows[1]["obj"] == 'X "quoted"' and rows[1]["obj_is_literal"]
         assert rows[2]["obj"] == "1821" and rows[2]["obj_is_literal"]
 
+    def test_non_ascii_literals_not_mojibaked(self):
+        """Accented text (the norm for this French-NEL engine's KB) must
+        survive; \\uXXXX escapes must decode; no utf-8->latin-1 round
+        trip."""
+        t = n3_to_kb_triples(
+            '<http://s> <http://p> "Émile café" .\n'
+            '<http://s> <http://p> "caf\\u00e9 \\tx" .\n')
+        objs = t.column("obj").to_pylist()
+        assert objs == ["Émile café", "café \tx"]
+
+    def test_rdf_type_shorthand(self):
+        t = n3_to_kb_triples(
+            "@prefix ex: <http://ex/> .\nex:s a ex:Person .\n")
+        assert t.to_pylist() == [{
+            "subj": "http://ex/s",
+            "pred": "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            "obj": "http://ex/Person", "obj_is_literal": False,
+            "weight": 1.0}]
+
+    def test_undeclared_prefix_drops_whole_statement_with_warning(self):
+        """A bad term must never shift later tokens into its position,
+        and dropped statements must be surfaced, not silent."""
+        src = ("@prefix ex: <http://ex/> .\n"
+               'ex:s foaf:name "Jean" .\n'
+               "ex:s ex:knows ex:o .\n")
+        with pytest.warns(UserWarning, match="dropped 1"):
+            t = n3_to_kb_triples(src)
+        assert t.to_pylist() == [{
+            "subj": "http://ex/s", "pred": "http://ex/knows",
+            "obj": "http://ex/o", "obj_is_literal": False, "weight": 1.0}]
+        with pytest.raises(ValueError, match="dropped 1"):
+            n3_to_kb_triples(src, on_dropped="raise")
+        t2 = n3_to_kb_triples(src, on_dropped="ignore")
+        assert t2.num_rows == 1
+
 
 @pytest.mark.skipif(not os.path.exists(THIBAUDET),
                     reason="reference checkout not present")
