@@ -238,6 +238,36 @@ def char_shingles(text: str, k: int = 5) -> set[str]:
     return {t[i : i + k] for i in range(len(t) - k + 1)}
 
 
+def shingle_hashes64(text: str, k: int = 5) -> np.ndarray:
+    """Distinct 64-bit hashes of the k-BYTE shingles of the lowercased,
+    whitespace-normalized utf-8 text — the vectorized MinHash front end.
+
+    Same ROLE as hashing ``char_shingles()`` one string at a time
+    (blake2b per shingle) at ~3x the speed: one numpy pass hashes every
+    sliding window with a polynomial mix + 64-bit finalizer — no Python
+    loop over shingles. Windows are BYTE windows, not char windows; for
+    non-ASCII text the shingle boundaries differ from char_shingles,
+    which is fine for LSH *blocking* because near-dup verification
+    recomputes TRUE char-shingle Jaccard on the candidate pairs
+    (stages/dedup.py), so cluster semantics are unchanged.
+    Deterministic and process-independent. Empty text -> empty array
+    (minhash_signature maps it to the all-max sentinel signature).
+    """
+    t = _WS_RE.sub(" ", text.lower()).strip()
+    if not t:
+        return np.empty(0, dtype=np.uint64)
+    b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    w = min(k, len(b))
+    win = np.lib.stride_tricks.sliding_window_view(b, w)
+    pw = np.uint64(1099511628211) ** np.arange(w, dtype=np.uint64)  # FNV prime
+    h = (win * pw[None, :]).sum(axis=1)  # natural uint64 wraparound
+    # murmur3-style finalizer: spread the low-entropy polynomial sums
+    # over all 64 bits (the minhash family a*h+b needs uniform h)
+    h = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    return np.unique(h)
+
+
 def word_ngrams(text: str, n: int = 3) -> set[tuple[str, ...]]:
     """Set of word n-grams (lowercased) for Jaccard similarity."""
     words = [w.lower() for w in _WORD_RE.findall(text)]
@@ -281,15 +311,23 @@ def minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray
     return a, b
 
 
-def minhash_signature(shingles: set[str], a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """MinHash signature (uint64[num_perm]) of a shingle set.
+def minhash_signature(shingles: "set[str] | np.ndarray", a: np.ndarray,
+                      b: np.ndarray) -> np.ndarray:
+    """MinHash signature (uint64[num_perm]) of a shingle set — either a
+    set of strings (hashed here via blake2b) or pre-hashed uint64
+    shingle hashes from :func:`shingle_hashes64`.
 
     Universal hash family a*h+b with natural mod-2^64 wraparound —
     vectorized uint64 arithmetic, no Python loop over permutations.
     """
-    if not shingles:
+    if isinstance(shingles, np.ndarray):
+        if shingles.size == 0:
+            return np.full(a.shape[0], np.iinfo(np.uint64).max, dtype=np.uint64)
+        hv = shingles
+    elif not shingles:
         return np.full(a.shape[0], np.iinfo(np.uint64).max, dtype=np.uint64)
-    hv = _hash64(sorted(shingles))
+    else:
+        hv = _hash64(sorted(shingles))
     prod = hv[:, None] * a[None, :] + b[None, :]  # uint64 wraparound
     return prod.min(axis=0)
 

@@ -42,6 +42,7 @@ from ..functions.text import (
     jaccard,
     minhash_params,
     minhash_signature,
+    shingle_hashes64,
     simhash64,
     word_ngrams,
 )
@@ -228,7 +229,8 @@ class MinHashSignatures:
             batch.column(self.id_col).to_pylist(),
             batch.column(self.text_col).to_pylist(),
         ):
-            sig = minhash_signature(char_shingles(text, self.shingle_k), self.a, self.b)
+            sig = minhash_signature(shingle_hashes64(text, self.shingle_k),
+                                    self.a, self.b)
             ch = (hashlib.blake2b(text.encode("utf-8"), digest_size=16).digest()
                   if self.with_content_hash else b"")
             for band in range(self.bands):

@@ -161,6 +161,37 @@ class TestSketches:
         sim13 = float(np.mean(m1 == m3))
         assert sim12 > 0.5 > sim13
 
+    def test_shingle_hashes64_vectorized_front_end(self):
+        """The vectorized byte-shingle hasher must (a) be deterministic,
+        (b) count distinct windows like char_shingles on ASCII text,
+        (c) keep minhash similarity estimates in line with the string
+        path, (d) handle the degenerate empty/short inputs."""
+        from reden_ray.functions.text import shingle_hashes64
+
+        t = "the quick brown fox jumps over the lazy dog " * 3
+        h = shingle_hashes64(t, 5)
+        assert (h == shingle_hashes64(t, 5)).all()
+        assert len(h) == len(char_shingles(t, 5))  # ASCII: bytes == chars
+        assert h.dtype == np.uint64
+
+        assert shingle_hashes64("", 5).size == 0
+        assert shingle_hashes64("   ", 5).size == 0
+        assert len(shingle_hashes64("ab", 5)) == 1  # whole short text
+
+        a, b = minhash_params(128)
+        m1 = minhash_signature(shingle_hashes64(t, 5), a, b)
+        m2 = minhash_signature(
+            shingle_hashes64("the quick brown fox jumps over the lazy cat " * 3, 5),
+            a, b)
+        m3 = minhash_signature(
+            shingle_hashes64("completely different text about other things " * 3, 5),
+            a, b)
+        assert float(np.mean(m1 == m2)) > 0.5 > float(np.mean(m1 == m3))
+        # empty-array input -> the all-max sentinel signature, matching
+        # the empty-set string path
+        empty = minhash_signature(shingle_hashes64("", 5), a, b)
+        assert (empty == minhash_signature(set(), a, b)).all()
+
     def test_simhash(self):
         h1 = simhash64("the quick brown fox jumps over the lazy dog")
         h2 = simhash64("the quick brown fox jumps over the lazy cat")
