@@ -606,7 +606,10 @@ def embedding_dedup_clusters(
     """
 
     def bucket_rows(batch: pa.Table) -> pa.Table:
-        vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float32)
+        from .similarity import _as_matrix
+
+        vecs = (_as_matrix(batch, vec_col) if batch.num_rows
+                else np.empty((0, 0), dtype=np.float32))
         if vecs.size == 0:
             return pa.table({"vid": pa.array([], pa.int64()),
                              "bucket": pa.array([], pa.int64()),
@@ -631,15 +634,13 @@ def embedding_dedup_clusters(
         items = items[:max_bucket]
         if len(items) < 2:
             return [], dropped
-        ids = [int(i) for i, _ in items]
+        ids = np.fromiter((int(i) for i, _ in items), dtype=np.int64,
+                          count=len(items))
         m = np.array([list(v) for _, v in items], dtype=np.float32)
         m = m / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-12)
         sims = m @ m.T
-        out = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if sims[i, j] >= threshold:
-                    out.append((ids[i], ids[j]))
+        iu, ju = np.nonzero(np.triu(sims >= threshold, k=1))
+        out = list(zip(ids[iu].tolist(), ids[ju].tolist()))
         return out, dropped
 
     pairs = _strip_truncation_markers(

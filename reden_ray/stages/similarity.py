@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -46,7 +47,27 @@ def embed_documents(docs_ds, id_col: str = "doc_id", text_col: str = "text",
 
 
 def _as_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
-    return np.array(batch.column(vec_col).to_pylist(), dtype=np.float32)
+    """(n, dim) float32 matrix from a list<float> column.
+
+    Flattens the Arrow list values straight into numpy (no Python-object
+    round trip) when every row has the same length — the embedding-table
+    invariant; falls back to the object path for ragged/null rows."""
+    col = batch.column(vec_col).combine_chunks()
+    try:
+        if col.null_count == 0 and len(col) > 0:
+            offs = np.diff(col.offsets.to_numpy())
+            if (offs == offs[0]).all() and offs[0] > 0:
+                flat = col.flatten().to_numpy(zero_copy_only=False)
+                return np.ascontiguousarray(
+                    flat.reshape(len(col), int(offs[0])), dtype=np.float32)
+    except AttributeError:  # FixedSizeList or unexpected layout
+        try:
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            return np.ascontiguousarray(
+                flat.reshape(len(col), -1), dtype=np.float32)
+        except Exception:
+            pass
+    return np.array(col.to_pylist(), dtype=np.float32)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -63,25 +84,23 @@ class BatchTopK:
         self.id_col, self.vec_col, self.k = id_col, vec_col, k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column(self.id_col).to_pylist()
-        if not ids:
+        n = batch.num_rows
+        if n == 0:
             return pa.table({"query_id": pa.array([], pa.int64()),
                              self.id_col: pa.array([], pa.int64()),
                              "score": pa.array([], pa.float64())})
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
         m = _normalize(_as_matrix(batch, self.vec_col))
         sims = self.qmat @ m.T  # (nq, nb)
         k = min(self.k, sims.shape[1])
-        out_q, out_i, out_s = [], [], []
-        # partial top-k per query within this batch
+        # partial top-k per query within this batch — all-numpy emit
         idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
-        for qi, qid in enumerate(self.qids):
-            for j in idx[qi]:
-                out_q.append(qid)
-                out_i.append(ids[j])
-                out_s.append(float(sims[qi, j]))
-        return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                         self.id_col: pa.array(out_i, pa.int64()),
-                         "score": pa.array(out_s, pa.float64())})
+        qid_arr = np.repeat(np.asarray(self.qids, dtype=np.int64), k)
+        top_ids = np.asarray(ids, dtype=np.int64)[idx.ravel()]
+        top_scores = np.take_along_axis(sims, idx, axis=1).ravel().astype(np.float64)
+        return pa.table({"query_id": pa.array(qid_arr, pa.int64()),
+                         self.id_col: pa.array(top_ids, pa.int64()),
+                         "score": pa.array(top_scores, pa.float64())})
 
 
 def brute_force_topk(ds, queries: dict[int, list[float]], k: int = 10,
@@ -238,10 +257,11 @@ def ivf_probe(index_dir: str, queries: dict[int, list[float]], k: int = 10,
                              id_col: pa.array([], pa.int64()),
                              "score": pa.array([], pa.float64())})
         qids_l, qm, psets = get_broadcast(qref)
-        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         # hive-inferred partition key may arrive as string or dictionary
-        cents = np.asarray(
-            [int(c) for c in batch.column("centroid").to_pylist()], dtype=np.int64)
+        cents = pc.cast(
+            batch.column("centroid").combine_chunks().cast(pa.string()),
+            pa.int64()).to_numpy(zero_copy_only=False)
         v = _normalize(_as_matrix(batch, vec_col))
         sims = qm @ v.T  # (nq, nb)
         out_q, out_i, out_s = [], [], []
