@@ -68,6 +68,59 @@ def _wait_quiet() -> float:
     return busy
 
 
+def _host_calibration() -> dict:
+    """Cheap synthetic compute probe recorded alongside each bench run.
+
+    The sandbox host's effective per-core speed drifts across reboots
+    (turbo state, co-tenants on the physical box): the identical
+    headline measured 8.4 s on one boot and 14-20 s on the next with
+    zero code change on the path. Recording a fixed-work calibration
+    rate with every bench JSON lets cross-round comparisons separate
+    "the code got slower" from "the host got slower" honestly —
+    numbers, not vibes. Costs ~3 s.
+
+    - single_core_gflops: 1-thread numpy matmul (subprocess pins BLAS
+      threads via env — in-process it's too late, BLAS pools are live).
+    - all_core_loop_mops: sum of fixed-work Python-loop rates across
+      one process per CPU (measures scheduler + all-core clock under
+      full subscription, the regime the headline runs in).
+    """
+    import multiprocessing as mp
+
+    code = (
+        "import time,numpy as np;"
+        "a=np.random.default_rng(0).random((1024,1024));t0=time.perf_counter();\n"
+        "for _ in range(4): a=a@a*1e-3\n"
+        "print(4*2*1024**3/(time.perf_counter()-t0)/1e9)"
+    )
+    env = dict(os.environ, OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1",
+               MKL_NUM_THREADS="1")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], env=env,
+                           capture_output=True, text=True, timeout=60)
+        single = round(float(r.stdout.strip().splitlines()[-1]), 2)
+    except Exception:
+        single = None
+    ncpu = os.cpu_count() or 1
+    try:
+        with mp.Pool(ncpu) as pool:
+            rates = pool.map(_loop_rate, range(ncpu))
+        all_core = round(sum(rates) / 1e6, 1)
+    except Exception:
+        all_core = None
+    return {"single_core_gflops": single, "all_core_loop_mops": all_core}
+
+
+def _loop_rate(_seed: int) -> float:
+    """Fixed-work Python loop; returns ops/sec (module-level for Pool)."""
+    n = 2_000_000
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(n):
+        x += i
+    return n / (time.perf_counter() - t0)
+
+
 def _replicated_pages(sf_dir: str, factor: int, num_blocks: int = 64):
     """documents -> pages, replicated ``factor``x with distinct urls.
 
@@ -194,7 +247,7 @@ def run_bench() -> dict:
     # (best of N timed runs to damp residual scheduler variance;
     # scaling legs use N=1 to fit the 2.4M-page corpus in a round's
     # wall budget — the warm-up already absorbed cold-start effects)
-    n_runs = int(os.environ.get("GRAFT_BENCH_RUNS", "2"))
+    n_runs = int(os.environ.get("GRAFT_BENCH_RUNS", "3"))
     best, n_triples = None, 0
     run_evidence = []
     for _ in range(n_runs):
@@ -252,6 +305,7 @@ def run_bench() -> dict:
         "triples_per_sec": round(n_triples / headline, 1) if headline else None,
         "pages_per_sec": round(n_pages / headline, 1) if headline else None,
         "runs": run_evidence,
+        "host_calibration": _host_calibration(),
     }
     ray.shutdown()
     return out
