@@ -11,14 +11,30 @@ neighborhoods arrive via a hash-partitioned equi-join instead
     edges+candidates --union, regroup on url bucket--> link per doc
                                                   (shuffle on url)
 
-Semantics match the broadcast path EXCEPT parallel-edge resolution:
-REDEN keeps the FIRST statement per (src, dst) pair in Jena iteration
-order (GraphHandlerNEL.java:211-343); join output order is
-nondeterministic, so we keep the (pred, weight)-MINIMUM per pair —
-deterministic, and invisible to degree scoring (degree counts pairs,
-not labels). Link output is therefore identical to the broadcast path
-under degree centrality; edge-label reports may differ on parallel
-edges (documented divergence).
+The graph rows shipped through the url regroup are COMPACT: every
+centrality measure (A3) scores the pruned pair/adjacency STRUCTURE
+only — edge labels (pred, weight) never influence the links output in
+either path — so the join ships distinct, pre-decomposed
+``(url, src_v, dst_v)`` vertex pairs instead of full triple rows:
+
+* sameAs predicates are filtered KB-side (they expand probes, J4,
+  never become graph edges — same as the broadcast path);
+* ``decompose`` (the vertex-identity function) is applied ONCE per
+  distinct URI per batch on the KB side and the probe side, not once
+  per joined row;
+* probes are deduped to distinct (url, candidate-vertex, probe-uri)
+  BEFORE the join — co-mentioned repeated candidates in a page fan
+  out zero extra join rows;
+* joined pairs are deduped again per batch before the url regroup,
+  and the per-url graph build dedupes exactly (directed pairs, the
+  same identity REDEN's Jena model uses: GraphHandlerNEL.java:211-343
+  keeps one statement per (src, dst); statement labels are invisible
+  to CentralityHandler scoring).
+
+Link output is therefore identical to the broadcast path under every
+measure. Parallel-edge LABELS (which the broadcast path resolves
+first-statement-wins for its debug/report surfaces) do not exist on
+this path at all — the join path emits links, not edge-label reports.
 
 Partitioning assumptions: the probe⋈subj join hash-partitions on the
 URI; head entities ("France"-scale neighborhoods) produce large join
@@ -99,6 +115,21 @@ def explode_probe_uris(candidates_ds, sameas_ds=None, num_partitions: int = 8):
     return out
 
 
+def decompose_column(col) -> pa.Array:
+    """Vectorized ``decompose`` over an Arrow string column.
+
+    factorize hashes the column at C speed; decompose (lru-cached) runs
+    once per DISTINCT value — URI columns here repeat heavily (head
+    entities appear in most pages), so this is ~uniques/rows the cost
+    of a per-row loop."""
+    import numpy as np
+
+    vals = col.to_numpy(zero_copy_only=False)
+    codes, uniq = pd.factorize(vals)
+    dec = np.array([decompose(u) for u in uniq], dtype=object)
+    return pa.array(dec[codes], pa.string())
+
+
 def apply_rels_weights(pred_col, weight_col, rels: dict[str, float] | None):
     """Vectorized -relsFile predicate-weight override (same semantics
     as the broadcast path's ``rels.get(pred, w)`` in
@@ -124,14 +155,20 @@ def link_documents_via_join(
     prefered_uri_order: str = "ALL",
     num_partitions: int = 16,
     num_buckets: int = DEFAULT_URL_BUCKETS,
+    sameas_broadcast_row_limit: int = 4_000_000,
 ):
     """candidates + kb Datasets -> links Dataset (two shuffles:
-    subj-hash join, then url-bucket regroup).
+    subj-hash join, then url-bucket regroup; the sameAs hop is a
+    broadcast map-side expansion under ``sameas_broadcast_row_limit``,
+    a third join above it).
 
-    ``rels`` (the reference's -relsFile predicate weights) overrides
-    edge weights per predicate exactly like the broadcast path's
-    ``_entity_edges`` (linker.py) — applied vectorized on the joined
-    edge rows before the (pred, weight)-min resolution."""
+    ``rels`` (the reference's -relsFile predicate weights) is accepted
+    for API parity with the broadcast path but ignored: predicate
+    weights only relabel parallel edges, and no centrality measure
+    reads labels or weights — links are rels-invariant in both paths
+    (pytest-gated by test_join_path_accepts_rels)."""
+    import pyarrow.compute as pc
+
     if candidates_ds.count() == 0:
         # Ray joins can't take a fully-empty side — short-circuit with
         # a typed empty links Dataset (callers pin candidates, so this
@@ -139,44 +176,137 @@ def link_documents_via_join(
         import ray.data as rd
 
         return rd.from_arrow(LINK_SCHEMA.empty_table())
-    probes = explode_probe_uris(candidates_ds, sameas_ds, num_partitions=num_partitions)
+    del rels  # labels/weights never reach link scoring (module docstring)
+
+    # sameAs (J4) is an equivalence-pair table — vocabulary-sized by
+    # nature, orders of magnitude smaller than the KB that forced this
+    # path. Under the row gate it broadcasts as a map-side hop instead
+    # of paying a second distributed hash join (same size-gating
+    # pattern as relational.BROADCAST_ROW_LIMIT); the join fallback
+    # stays for a genuinely huge equivalence table.
+    samap_ref = None
+    sameas_join_ds = None
+    if sameas_ds is not None:
+        if sameas_ds.count() <= sameas_broadcast_row_limit:
+            from ..state.broadcast import put_broadcast
+
+            sp = sameas_ds.to_pandas()
+            samap: dict[str, list[str]] = {}
+            for u, eq in zip(sp["uri"], sp["equiv_uri"]):
+                samap.setdefault(u, []).append(eq)
+            samap_ref = put_broadcast(samap)
+        else:
+            sameas_join_ds = sameas_ds
+
+    def compact_probes(t: pa.Table) -> pa.Table:
+        # explode base ∪ equivalence-list ∪ broadcast-sameAs probes,
+        # then distinct (url, candidate-vertex, probe): repeated
+        # candidates across a page's mentions join the KB once, not
+        # per mention
+        import numpy as np
+
+        from ..state.broadcast import get_broadcast
+
+        urls = t["url"].combine_chunks()
+        ents = t["entity_id"].combine_chunks()
+        src = decompose_column(ents)
+        parts = pc.split_pattern(t["uris_str"].combine_chunks(), " ")
+        flat = pc.list_flatten(parts)
+        idx = pc.list_parent_indices(parts)
+        keep = pc.invert(pc.equal(flat, ents.take(idx)))
+        idx_f = idx.filter(keep)
+        pieces = [
+            pa.table({"url": urls, "src_v": src,
+                      "probe_uri": ents.cast(pa.string())}),
+            pa.table({"url": urls.take(idx_f), "src_v": src.take(idx_f),
+                      "probe_uri": flat.filter(keep).cast(pa.string())}),
+        ]
+        if samap_ref is not None:
+            m = get_broadcast(samap_ref)
+            ent_np = ents.to_numpy(zero_copy_only=False)
+            codes, uniq = pd.factorize(ent_np)
+            hops = [m.get(u) for u in uniq]
+            counts = np.fromiter((len(h) if h else 0 for h in hops),
+                                 dtype=np.int64, count=len(hops))
+            row_counts = counts[codes]
+            if row_counts.any():
+                rep = np.repeat(np.arange(len(ent_np)), row_counts)
+                probe_vals = np.concatenate(
+                    [hops[cd] for cd in codes if counts[cd]])
+                rep_idx = pa.array(rep, pa.int64())
+                pieces.append(pa.table({
+                    "url": urls.take(rep_idx), "src_v": src.take(rep_idx),
+                    "probe_uri": pa.array(probe_vals, pa.string()),
+                }))
+        out = pa.concat_tables(pieces).combine_chunks()
+        return out.group_by(["url", "src_v", "probe_uri"]).aggregate([])
+
+    def prep_kb(t: pa.Table) -> pa.Table:
+        # sameAs rows expand probes (J4), never become graph edges;
+        # distinct (subj, decomposed obj) — parallel edges (several
+        # preds per pair) collapse here, exactly as the per-url pair
+        # dedup would do later but before the join fans them out
+        t = t.filter(pc.not_equal(t["pred"], SAMEAS_PRED))
+        out = pa.table({"subj": t["subj"], "dst_v": decompose_column(t["obj"])})
+        return out.group_by(["subj", "dst_v"]).aggregate([])
+
+    if sameas_join_ds is None:
+        probes = candidates_ds.map_batches(compact_probes, batch_format="pyarrow")
+    else:
+        # over-gate equivalence table: distributed sameAs join, then
+        # project+dedupe to the compact probe shape
+        raw = explode_probe_uris(candidates_ds, sameas_join_ds,
+                                 num_partitions=num_partitions)
+
+        def project(t: pa.Table) -> pa.Table:
+            out = pa.table({
+                "url": t["url"],
+                "src_v": decompose_column(t["entity_id"]),
+                "probe_uri": t["probe_uri"],
+            })
+            return out.group_by(["url", "src_v", "probe_uri"]).aggregate([])
+
+        probes = raw.map_batches(project, batch_format="pyarrow")
+
     edges = probes.join(
-        kb_triples_ds,
+        kb_triples_ds.map_batches(prep_kb, batch_format="pyarrow"),
         join_type="inner",
         num_partitions=num_partitions,
         on=("probe_uri",),
         right_on=("subj",),
-    )
+    )  # the one unavoidable KB-sized exchange of this path
 
     def edge_rows(t: pa.Table) -> pa.Table:
-        weight = apply_rels_weights(t["pred"], t["weight"], rels)
+        t = t.filter(pc.not_equal(t["src_v"], t["dst_v"]))  # self-loops
+        pairs = (pa.table({"url": t["url"], "src_v": t["src_v"],
+                           "dst_v": t["dst_v"]})
+                 .group_by(["url", "src_v", "dst_v"]).aggregate([]))
+        n = pairs.num_rows
         return pa.table({
-            "url": t["url"],
-            "mention_id": t["mention_id"],
-            "cand_rank": t["cand_rank"],
-            "entity_id": t["entity_id"],
-            "surface": pa.nulls(t.num_rows, pa.string()),
-            "surface_norm": pa.nulls(t.num_rows, pa.string()),
-            "uris_str": pa.nulls(t.num_rows, pa.string()),
-            "kind": pa.array(["edge"] * t.num_rows, pa.string()),
-            "pred": t["pred"],
-            "obj": t["obj"],
-            "weight": weight,
+            "url": pairs["url"],
+            "mention_id": pa.nulls(n, pa.int64()),
+            "cand_rank": pa.nulls(n, pa.int32()),
+            "entity_id": pa.nulls(n, pa.string()),
+            "surface": pa.nulls(n, pa.string()),
+            "surface_norm": pa.nulls(n, pa.string()),
+            "uris_str": pa.nulls(n, pa.string()),
+            "kind": pa.array(["edge"] * n, pa.string()),
+            "src_v": pairs["src_v"],
+            "dst_v": pairs["dst_v"],
         })
 
     def cand_rows(t: pa.Table) -> pa.Table:
         return pa.table({
             "url": t["url"],
             "mention_id": t["mention_id"],
-            "cand_rank": t["cand_rank"],
+            "cand_rank": pc.cast(t["cand_rank"], pa.int32()),
             "entity_id": t["entity_id"],
             "surface": t["surface"],
             "surface_norm": t["surface_norm"],
             "uris_str": t["uris_str"],
             "kind": pa.array(["cand"] * t.num_rows, pa.string()),
-            "pred": pa.nulls(t.num_rows, pa.string()),
-            "obj": pa.nulls(t.num_rows, pa.string()),
-            "weight": pa.nulls(t.num_rows, pa.float64()),
+            "src_v": decompose_column(t["entity_id"]),
+            "dst_v": pa.nulls(t.num_rows, pa.string()),
         })
 
     from ..functions.bucket import add_bucket
@@ -189,68 +319,96 @@ def link_documents_via_join(
     )
 
     def link_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         out: list[dict] = []
+        # NaN mention_ids (edge rows) sort last within each url, so
+        # every url group is [cand rows (by mention, rank)] + [edges]
         df = df.sort_values(["url", "mention_id", "cand_rank"], kind="stable")
-        for _url, g in df.groupby("url", sort=False):
-            out.extend(_link_from_rows(g, measure, prefered_uri_order))
+        cols = {c: df[c].to_numpy() for c in
+                ("url", "mention_id", "cand_rank", "entity_id", "surface",
+                 "surface_norm", "uris_str", "kind", "src_v", "dst_v")}
+        url = cols["url"]
+        n = len(url)
+        if n == 0:
+            return pd.DataFrame(out, columns=_LINK_COLUMNS)
+        # group boundaries by url — numpy slicing instead of pandas
+        # groupby iteration (sub-DataFrame construction per url was the
+        # dominant cost at ~60k urls per task)
+        starts = np.concatenate(([0], np.flatnonzero(url[1:] != url[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [n]))
+        for s, e in zip(starts, ends):
+            out.extend(_link_from_slice(cols, int(s), int(e), measure,
+                                        prefered_uri_order))
         return pd.DataFrame(out, columns=_LINK_COLUMNS)
 
     return bucketed.groupby("__bucket").map_groups(link_bucket, batch_format="pandas")
 
 
-def _link_from_rows(g: pd.DataFrame, measure: str, prefered_uri_order: str) -> list[dict]:
-    cands = g[g["kind"] == "cand"]
-    if cands.empty:
+def _link_from_slice(cols: dict, s: int, e: int, measure: str,
+                     prefered_uri_order: str) -> list[dict]:
+    """One url's compact rows (columns sliced [s:e)) -> link dicts —
+    the same A1-A4 core as the broadcast path: fuse, prune, score once
+    per graph, per-mention argmax with the deterministic
+    (score, entity_id) tie-break."""
+    kind = cols["kind"]
+    # cand rows sort before edge rows (non-null mention_id first)
+    c_end = s
+    while c_end < e and kind[c_end] == "cand":
+        c_end += 1
+    if c_end == s:
         return []
+    url = cols["url"][s]
+    mid_a = cols["mention_id"]
+    rank_a = cols["cand_rank"]
+    ent_a = cols["entity_id"]
+    surf_a = cols["surface"]
+    norm_a = cols["surface_norm"]
+    uris_a = cols["uris_str"]
+    src_a = cols["src_v"]
     by_mention: dict[int, list[dict]] = {}
-    for t in cands.itertuples(index=False):
-        by_mention.setdefault(t.mention_id, []).append({
-            "url": t.url, "mention_id": t.mention_id, "surface": t.surface,
-            "surface_norm": t.surface_norm, "cand_rank": t.cand_rank,
-            "entity_id": t.entity_id, "uris": t.uris_str.split(" "),
+    for i in range(s, c_end):
+        # int(): the unioned mention_id column is nullable (edge rows),
+        # so pandas holds it as float64 — links must emit int64
+        mid = int(mid_a[i])
+        by_mention.setdefault(mid, []).append({
+            "url": url, "mention_id": mid, "surface": surf_a[i],
+            "surface_norm": norm_a[i], "cand_rank": int(rank_a[i]),
+            "entity_id": ent_a[i], "src_v": src_a[i],
+            "uris": uris_a[i].split(" "),
         })
-    for rows in by_mention.values():
-        rows.sort(key=lambda r: r["cand_rank"])
-
+    # rows arrive (mention_id, cand_rank)-sorted; dict preserves
+    # insertion order, so by_mention keys are already ascending and
+    # each mention's rows already rank-ascending
     if all(len(rows) <= 1 for rows in by_mention.values()):
-        return [emit_link(by_mention[mid][0], None, prefered_uri_order)
-                for mid in sorted(by_mention)]
+        return [emit_link(rows[0], None, prefered_uri_order)
+                for rows in by_mention.values()]
 
-    # graph from joined edge rows; (pred, weight)-min per (src, dst)
-    edge_best: dict[tuple[str, str], tuple[str, float]] = {}
     adj: dict[str, set[str]] = {}
     cand_vertices: set[str] = set()
     inverted: dict[str, int] = {}
-    for mid in sorted(by_mention):
-        for r in by_mention[mid]:
-            vb = decompose(r["entity_id"])
+    for mid, rows in by_mention.items():
+        for r in rows:
+            vb = r["src_v"]
             cand_vertices.add(vb)
             adj.setdefault(vb, set())
             inverted[vb] = mid
-    e = g[g["kind"] == "edge"]
-    for t in e.itertuples(index=False):
-        if t.pred == SAMEAS_PRED:
-            continue
-        src = decompose(t.entity_id)
-        dst = decompose(t.obj)
-        if src == dst:
-            continue
-        key = (src, dst)
-        cur = edge_best.get(key)
-        nxt = (t.pred, float(t.weight))
-        if cur is None or nxt < cur:
-            edge_best[key] = nxt
-            adj.setdefault(src, set()).add(dst)
-            adj.setdefault(dst, set()).add(src)
+    # exact directed-pair dedup (per-batch dedup upstream is partial:
+    # the same pair can arrive via several join batches)
+    dst_a = cols["dst_v"]
+    pairs = dict.fromkeys(zip(src_a[c_end:e], dst_a[c_end:e]))
+    for src, dst in pairs:
+        adj.setdefault(src, set()).add(dst)
+        adj.setdefault(dst, set()).add(src)
 
-    prune_graph(edge_best, adj, cand_vertices, inverted)
-    scores = _MEASURES[measure](edge_best, adj)
+    prune_graph(pairs, adj, cand_vertices, inverted)
+    scores = _MEASURES[measure](pairs, adj)
     out = []
-    for mid in sorted(by_mention):
+    for rows in by_mention.values():
         best_row, best_key = None, None
-        for row in by_mention[mid]:
-            s = scores.get(decompose(row["entity_id"]), 0.0)
-            key = (s, row["entity_id"])
+        for row in rows:
+            sc = scores.get(row["src_v"], 0.0)
+            key = (sc, row["entity_id"])
             if best_key is None or key > best_key:
                 best_row, best_key = row, key
         out.append(emit_link(best_row, best_key[0], prefered_uri_order))

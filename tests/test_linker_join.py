@@ -155,6 +155,26 @@ class TestAutoSelectedJoinMode:
         w = want.sort_values(key).reset_index(drop=True)
         assert (g["uri"].values == w["uri"].values).all()
 
+    def test_sameas_join_fallback_matches_broadcast_hop(self, unit_fixture):
+        """sameAs over its row gate must route through the distributed
+        equivalence join and produce the same links as the (default)
+        broadcast map-side hop."""
+        p = NELPipeline(unit_fixture)
+        cands = p.candidates().materialize()
+        kb = rd.read_parquet(f"{unit_fixture}/kb_triples.parquet")
+        sameas = rd.read_parquet(f"{unit_fixture}/sameas.parquet")
+        got = link_documents_via_join(
+            cands, kb, sameas_ds=sameas, num_partitions=2,
+            sameas_broadcast_row_limit=0).to_pandas()
+        want = link_documents_via_join(
+            cands, kb, sameas_ds=sameas, num_partitions=2).to_pandas()
+        key = ["url", "mention_id"]
+        g = got.sort_values(key).reset_index(drop=True)
+        w = want.sort_values(key).reset_index(drop=True)
+        assert len(g) == len(w)
+        assert (g["uri"].values == w["uri"].values).all()
+        assert g["score"].fillna(-1.0).equals(w["score"].fillna(-1.0))
+
     def test_forced_join_mode_end_to_end_matches_broadcast(self, unit_fixture):
         from reden_ray.pipelines.nel import NELConfig
 
