@@ -71,9 +71,9 @@ def explode_probe_uris(candidates_ds, sameas_ds=None, num_partitions: int = 8):
 
     def explode(t: pa.Table) -> pa.Table:
         # vectorized fan-out: probe set = base entity ∪ (uris ≠ base).
-        # Probe ORDER is irrelevant downstream (edges key on the pair
-        # and resolve by (pred, weight)-min), so base rows and the
-        # flattened equivalence rows are emitted as two blocks.
+        # Probe ORDER is irrelevant downstream (edges key on the
+        # deduped vertex pair), so base rows and the flattened
+        # equivalence rows are emitted as two blocks.
         import pyarrow.compute as pc
 
         base_cols = ["url", "mention_id", "cand_rank", "entity_id"]
