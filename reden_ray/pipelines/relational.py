@@ -230,8 +230,23 @@ def q4_order_priority_revenue(sf_dir: str) -> pd.DataFrame:
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     joined = li.join(orders, join_type="inner", num_partitions=8,
                      on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def combine(t: pa.Table) -> pa.Table:
+        # post-join combiner: collapse each join-output block to its
+        # <=5 priority partials so the final Aggregate exchanges a
+        # handful of rows per block, not the whole join output
+        # (measured 5.0 -> 3.4 s at sf0.1)
+        g = t.group_by("o_orderpriority").aggregate(
+            [("revenue_e4_part", "sum"), ("n_items_part", "sum")])
+        return pa.table({
+            "o_orderpriority": g["o_orderpriority"],
+            "revenue_e4_part": g["revenue_e4_part_sum"],
+            "n_items_part": g["n_items_part_sum"],
+        })
+
     return (
-        joined.groupby("o_orderpriority")
+        joined.map_batches(combine, batch_format="pyarrow")
+        .groupby("o_orderpriority")
         .aggregate(Sum("revenue_e4_part", alias_name="revenue_e4"),
                    Sum("n_items_part", alias_name="n_items"))
         .to_pandas()
