@@ -43,21 +43,29 @@ def doc_ds():
     return rd.from_arrow(pa.Table.from_pylist(rows))
 
 
+# gate=default exercises the single-task numpy solve; gate=0 forces the
+# iterative distributed min-label propagation — both must agree with
+# the union-find semantics on every graph shape
+_CC_GATES = [4_000_000, 0]
+
+
 class TestConnectedComponents:
-    def test_min_label_components(self):
+    @pytest.mark.parametrize("gate", _CC_GATES)
+    def test_min_label_components(self, gate):
         # two components: {1,2,3,7} (chain) and {5,6}; dup + reversed edges
         edges = rd.from_arrow(pa.Table.from_pylist(
             [{"a": 2, "b": 1}, {"a": 2, "b": 3}, {"a": 3, "b": 7},
              {"a": 6, "b": 5}, {"a": 5, "b": 6}, {"a": 1, "b": 2}]))
-        out = connected_components(edges).to_pandas()
+        out = connected_components(edges, local_solve_max_edges=gate).to_pandas()
         m = dict(zip(out["node"], out["cluster"]))
         assert m == {1: 1, 2: 1, 3: 1, 7: 1, 5: 5, 6: 5}
 
-    def test_long_chain_converges(self):
+    @pytest.mark.parametrize("gate", _CC_GATES)
+    def test_long_chain_converges(self, gate):
         # path graph 0-1-...-7: long-diameter case for propagation
         edges = rd.from_arrow(pa.Table.from_pylist(
             [{"a": i, "b": i + 1} for i in range(7)]))
-        out = connected_components(edges).to_pandas()
+        out = connected_components(edges, local_solve_max_edges=gate).to_pandas()
         assert set(out["cluster"]) == {0}
         assert sorted(out["node"]) == list(range(8))
 
@@ -67,7 +75,8 @@ class TestConnectedComponents:
         assert connected_components(empty).count() == 0
 
     @pytest.mark.parametrize("seed", [1, 23])
-    def test_random_graphs_match_union_find(self, seed):
+    @pytest.mark.parametrize("gate", _CC_GATES)
+    def test_random_graphs_match_union_find(self, seed, gate):
         import numpy as np
 
         rng = np.random.RandomState(seed)
@@ -76,7 +85,7 @@ class TestConnectedComponents:
         b = rng.randint(0, n_nodes, n_edges)
         edges = rd.from_arrow(pa.table({"a": pa.array(a, pa.int64()),
                                         "b": pa.array(b, pa.int64())}))
-        got = connected_components(edges).to_pandas()
+        got = connected_components(edges, local_solve_max_edges=gate).to_pandas()
         got_map = dict(zip(got["node"], got["cluster"]))
 
         # local union-find oracle
