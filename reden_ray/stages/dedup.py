@@ -251,14 +251,34 @@ class MinHashSignatures:
 
 
 def _attach_pair_texts(pairs_ds, ds, id_col: str, text_col: str,
-                       num_partitions: int = 8):
-    """pairs (a, b) + docs -> (a, b, text_a, text_b), fully distributed.
+                       num_partitions: int = 8,
+                       broadcast_id_limit: int = 5_000_000,
+                       broadcast_text_bytes: int = 512 << 20):
+    """pairs (a, b) + docs -> (a, b, text_a, text_b).
 
-    1. semi-join the corpus down to candidate endpoints (one corpus
-       shuffle; output is bounded by the banding pair caps);
-    2. hash-join the small candidate-text table onto each pair side.
+    Size-gated like every small-side attach in this repo:
+
+    * endpoint-id set under ``broadcast_id_limit`` rows (int64s — the
+      default gate is 40 MB): the corpus is filtered MAP-SIDE against
+      the broadcast id set instead of a semi-join shuffle;
+    * the filtered candidate texts under ``broadcast_text_bytes``:
+      texts attach map-side from a broadcast dict — zero exchanges on
+      the pair stream;
+    * above either gate the fully-distributed fallback runs: semi-join
+      the corpus down to candidate endpoints, then hash-join the
+      candidate-text table onto each pair side.
+
+    Endpoint counts are bounded by the banding pair caps, so the
+    broadcast path is the common case; a pathological corpus (tens of
+    millions of near-dup candidates) degrades to the join path, never
+    to a driver OOM.
     """
+    import numpy as np
+
+    import ray
+
     from ..functions.blocks import pin_nonempty
+    from ..state.broadcast import get_broadcast
     from .canonicalize import exact_dedup
 
     endpoints_a = pairs_ds.map_batches(
@@ -269,16 +289,54 @@ def _attach_pair_texts(pairs_ds, ds, id_col: str, text_col: str,
     # blocks that break the semi-join's key resolution (see blocks.py)
     endpoints = pin_nonempty(exact_dedup(endpoints_a.union(endpoints_b), [id_col]))
 
-    # candidate texts are bounded by the banding pair caps — pin them so
-    # the two attach joins don't re-run the semi-join lineage (and so a
-    # single streaming plan never stacks 3 all-to-all ops + join
-    # aggregators, which can starve a small CPU budget).
-    cand_docs = pin_nonempty(
-        ds.select_columns([id_col, text_col]).join(
-            endpoints, join_type="left_semi", num_partitions=num_partitions,
-            on=(id_col,),
+    if endpoints.count() <= broadcast_id_limit:
+        ids = np.sort(endpoints.to_pandas()[id_col].to_numpy().astype("int64"))
+        id_ref = ray.put(ids)
+
+        def flt(t: pa.Table) -> pa.Table:
+            keep = np.isin(
+                t.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False),
+                get_broadcast(id_ref))
+            return t.filter(pa.array(keep))
+
+        cand_docs = pin_nonempty(
+            ds.select_columns([id_col, text_col]).map_batches(
+                flt, batch_format="pyarrow"))
+        if cand_docs.size_bytes() <= broadcast_text_bytes:
+            cd = cand_docs.to_pandas()
+            tmap_ref = ray.put(dict(zip(cd[id_col].astype("int64"), cd[text_col])))
+
+            def attach(t: pa.Table) -> pa.Table:
+                m = get_broadcast(tmap_ref)
+                a = t.column("a").to_pylist()
+                b = t.column("b").to_pylist()
+                out = pa.table({
+                    "a": t.column("a"),
+                    "b": t.column("b"),
+                    "text_a": pa.array([m.get(x) for x in a], pa.string()),
+                    "text_b": pa.array([m.get(x) for x in b], pa.string()),
+                })
+                # inner-join parity: drop pairs whose endpoint is not
+                # in the corpus (cannot happen for pairs derived from
+                # it, but the join path would drop them)
+                import pyarrow.compute as pc
+
+                return out.filter(pc.and_(pc.is_valid(out["text_a"]),
+                                          pc.is_valid(out["text_b"])))
+
+            return pairs_ds.map_batches(attach, batch_format="pyarrow")
+    else:
+        # candidate texts are bounded by the banding pair caps — pin
+        # them so the two attach joins don't re-run the semi-join
+        # lineage (and so a single streaming plan never stacks 3
+        # all-to-all ops + join aggregators, which can starve a small
+        # CPU budget).
+        cand_docs = pin_nonempty(
+            ds.select_columns([id_col, text_col]).join(
+                endpoints, join_type="left_semi", num_partitions=num_partitions,
+                on=(id_col,),
+            )
         )
-    )
 
     ta = cand_docs.map_batches(
         lambda t: pa.table({"a": t.column(id_col).cast(pa.int64()),

@@ -105,6 +105,35 @@ class TestConnectedComponents:
         assert got_map == expect
 
 
+class TestAttachPairTexts:
+    def test_broadcast_and_join_paths_agree(self, doc_ds):
+        from reden_ray.stages.dedup import _attach_pair_texts
+
+        pairs = rd.from_arrow(pa.table({
+            "a": pa.array([0, 0, 3], pa.int64()),
+            "b": pa.array([1, 2, 4], pa.int64()),
+        }))
+        key = ["a", "b"]
+        fast = (_attach_pair_texts(pairs, doc_ds, "doc_id", "text")
+                .to_pandas().sort_values(key).reset_index(drop=True))
+        slow = (_attach_pair_texts(pairs, doc_ds, "doc_id", "text",
+                                   broadcast_id_limit=0, num_partitions=2)
+                .to_pandas().sort_values(key).reset_index(drop=True))
+        assert len(fast) == 3
+        assert fast.equals(slow)
+        assert fast.loc[0, "text_a"] == fast.loc[0, "text_b"]  # exact dup 0-1
+
+    def test_text_gate_falls_back_to_joins(self, doc_ds):
+        from reden_ray.stages.dedup import _attach_pair_texts
+
+        pairs = rd.from_arrow(pa.table({
+            "a": pa.array([3], pa.int64()), "b": pa.array([4], pa.int64())}))
+        out = _attach_pair_texts(pairs, doc_ds, "doc_id", "text",
+                                 broadcast_text_bytes=0,
+                                 num_partitions=2).to_pandas()
+        assert len(out) == 1 and out.loc[0, "text_a"] == out.loc[0, "text_b"]
+
+
 class TestExactDedup:
     def test_min_id_per_key(self, doc_ds):
         out = exact_dedup_by_key(doc_ds, ["text"], "doc_id").to_pandas()
