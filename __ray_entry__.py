@@ -10,7 +10,7 @@ The driver initialises Ray BEFORE importing this module; nothing here
   SURVEY.md §2 (+ the training-data operators: dedup family,
   similarity search, text analysis, multimodal plumbing).
 * ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible
-  query, on the pre-registered views (38 of 48, including the WHOLE
+  query, on the pre-registered views (43 of 51, including the WHOLE
   graph-linking algorithm re-implemented as CTEs — see
   ``_nel_algebra_ctes`` — the flagship triples output, the eval
   verdicts, and the multimodal decode round-trip). Genuinely
@@ -1299,6 +1299,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q29b_embedding_planted": _q_doc_ann_planted,
         # training-data quality filter chain
         "q30_quality_filter": R.q30_quality_filter,
+        # PII scrubbing (email/phone masking) over documents
+        "q32_pii_scrub": R.q32_pii_scrub,
         # flagship NEL / KG construction over derived pages (rows-only:
         # graph algorithm not SQL-expressible; parity is gated in pytest
         # against analytic gold fixtures instead)
@@ -1389,6 +1391,7 @@ def oracle_sql() -> dict[str, str]:
         ).PLANTED_CLUSTERS_SQL,
         "q20_embedding_dedup": _DUP_EMB_CLUSTERS_SQL,
         "q30_quality_filter": R.Q30_SQL,
+        "q32_pii_scrub": R.Q32_SQL,
         "q27_tumbling_window": __import__(
             "reden_ray.stages.windows", fromlist=["TUMBLING_SQL"]
         ).TUMBLING_SQL.format(size_us=3_600_000_000),

@@ -332,6 +332,37 @@ def minhash_signature(shingles: "set[str] | np.ndarray", a: np.ndarray,
     return prod.min(axis=0)
 
 
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data hygiene)
+# ---------------------------------------------------------------------------
+# RE2 syntax only (no lookaround/backrefs): the SAME pattern strings
+# run in Arrow's replace_substring_regex on the Ray side and DuckDB's
+# regexp_replace on the oracle side — both are RE2, so outputs are
+# byte-identical (parity spot-checked incl. unicode and the phone
+# pattern's deliberate date-like matches).
+PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_PATTERN = r"\+?\d[\d()\-. ]{6,}\d"
+
+
+def scrub_pii_batch(col):
+    """Vectorized PII mask over an Arrow string column.
+
+    Returns ``(clean, n_emails, n_phones)``: emails replaced first
+    (so their digits never feed the phone pattern), then phone-like
+    digit runs; counts are per-row match counts at each stage. All
+    RE2 kernels — no Python loop over rows.
+    """
+    import pyarrow.compute as _pc
+
+    n_emails = _pc.count_substring_regex(col, pattern=PII_EMAIL_PATTERN)
+    no_email = _pc.replace_substring_regex(
+        col, pattern=PII_EMAIL_PATTERN, replacement="<EMAIL>")
+    n_phones = _pc.count_substring_regex(no_email, pattern=PII_PHONE_PATTERN)
+    clean = _pc.replace_substring_regex(
+        no_email, pattern=PII_PHONE_PATTERN, replacement="<PHONE>")
+    return clean, n_emails, n_phones
+
+
 def simhash64(text: str) -> int:
     """64-bit SimHash over word unigram hashes (unweighted)."""
     words = [w.lower() for w in _WORD_RE.findall(text)]

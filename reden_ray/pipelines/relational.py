@@ -515,6 +515,54 @@ WHERE n_chars BETWEEN 100 AND 400
 """
 
 
+# Q32 — PII scrubbing (training-data hygiene). The synthetic corpus
+# carries no contact data, so both sides deterministically APPEND a
+# doc_id-derived email + phone tail to every document before masking —
+# the operator is exercised on every row and the whole transform stays
+# SQL-recomputable (Arrow and DuckDB share RE2, so replace output is
+# byte-identical).
+def q32_pii_scrub(sf_dir: str) -> pd.DataFrame:
+    from ..functions.text import scrub_pii_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def scrub(t: pa.Table) -> pa.Table:
+        did = pc.cast(t["doc_id"], pa.string())
+        raw = pc.binary_join_element_wise(
+            t["text"], " Contact user", did, "@example.com or call +1 555-01",
+            did, ".", "")
+        clean, n_emails, n_phones = scrub_pii_batch(raw)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "clean_text": clean,
+            "n_emails": pc.cast(n_emails, pa.int64()),
+            "n_phones": pc.cast(n_phones, pa.int64()),
+        })
+
+    return ds.map_batches(scrub, batch_format="pyarrow").to_pandas()
+
+
+Q32_SQL = r"""
+WITH x AS (
+  SELECT doc_id,
+         text || ' Contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or call +1 555-01'
+              || CAST(doc_id AS VARCHAR) || '.' AS raw
+  FROM documents
+), e AS (
+  SELECT doc_id,
+         len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+         regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS no_email
+  FROM x
+)
+SELECT doc_id,
+       regexp_replace(no_email, '\+?\d[\d()\-. ]{6,}\d', '<PHONE>', 'g') AS clean_text,
+       CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(no_email, '\+?\d[\d()\-. ]{6,}\d')) AS BIGINT) AS n_phones
+FROM e
+"""
+
+
 # Q16 — sessionization (30-min gap): ONE hash-bucket shuffle,
 # vectorized gap detection across all keys in the bucket at once
 def q16_user_sessions(sf_dir: str) -> pd.DataFrame:

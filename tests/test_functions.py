@@ -198,3 +198,50 @@ class TestSketches:
         h3 = simhash64("entirely unrelated words appear here instead now")
         assert hamming64(h1, h2) < hamming64(h1, h3)
         assert simhash64("") == 0
+
+
+class TestPiiScrub:
+    def test_masks_emails_then_phones(self):
+        import pyarrow as pa
+
+        from reden_ray.functions.text import scrub_pii_batch
+
+        col = pa.array([
+            "mail john.doe+x@sub.example.co.uk or call +1 555-010-9999",
+            "no pii. v1.2.3 released",
+            "a@b.cc and edge@x.io.",
+        ])
+        clean, n_emails, n_phones = scrub_pii_batch(col)
+        assert clean.to_pylist() == [
+            "mail <EMAIL> or call <PHONE>",
+            "no pii. v1.2.3 released",
+            "<EMAIL> and <EMAIL>.",
+        ]
+        assert n_emails.to_pylist() == [1, 0, 2]
+        assert n_phones.to_pylist() == [1, 0, 0]
+
+    def test_matches_duckdb_re2_semantics(self):
+        """The oracle relies on Arrow and DuckDB sharing RE2: the same
+        pattern strings must produce byte-identical masks."""
+        import duckdb
+        import pyarrow as pa
+
+        from reden_ray.functions.text import (
+            PII_EMAIL_PATTERN,
+            PII_PHONE_PATTERN,
+            scrub_pii_batch,
+        )
+
+        texts = [
+            "call (555) 123 4567 x89 or +33 1 42 86 82 00",
+            "unicode café user_名@example.org",  # non-ASCII local part: no match
+            "dates 2020-01-02 and 1234567 run",
+        ]
+        clean, _ne, _np = scrub_pii_batch(pa.array(texts))
+        con = duckdb.connect()
+        for t, got in zip(texts, clean.to_pylist()):
+            want = con.execute(
+                "SELECT regexp_replace(regexp_replace(?, ?, '<EMAIL>', 'g'),"
+                " ?, '<PHONE>', 'g')",
+                [t, PII_EMAIL_PATTERN, PII_PHONE_PATTERN]).fetchone()[0]
+            assert got == want
