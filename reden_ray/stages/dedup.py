@@ -443,12 +443,22 @@ def minhash_lsh_clusters(
 
     def check(t: pa.Table) -> pa.Table:
         out_a, out_b = [], []
+        # endpoints repeat across pairs (a near-dup doc collides with
+        # its whole cluster): shingle each distinct endpoint once per
+        # batch, keyed by id
+        memo: dict[int, set] = {}
+
+        def sh(doc, text):
+            s = memo.get(doc)
+            if s is None:
+                s = memo[doc] = char_shingles(text, shingle_k)
+            return s
+
         for a, b, x, y in zip(
             t.column("a").to_pylist(), t.column("b").to_pylist(),
             t.column("text_a").to_pylist(), t.column("text_b").to_pylist(),
         ):
-            if jaccard(char_shingles(x, shingle_k),
-                       char_shingles(y, shingle_k)) >= threshold:
+            if jaccard(sh(a, x), sh(b, y)) >= threshold:
                 out_a.append(a)
                 out_b.append(b)
         return pa.table({"a": pa.array(out_a, pa.int64()),
@@ -616,11 +626,19 @@ def ngram_jaccard_clusters(
 
     def check(t: pa.Table) -> pa.Table:
         out_a, out_b = [], []
+        memo: dict[int, set] = {}  # n-gram each distinct endpoint once
+
+        def ng(doc, text):
+            s = memo.get(doc)
+            if s is None:
+                s = memo[doc] = word_ngrams(text, n)
+            return s
+
         for a, b, x, y in zip(
             t.column("a").to_pylist(), t.column("b").to_pylist(),
             t.column("text_a").to_pylist(), t.column("text_b").to_pylist(),
         ):
-            if jaccard(word_ngrams(x, n), word_ngrams(y, n)) >= threshold:
+            if jaccard(ng(a, x), ng(b, y)) >= threshold:
                 out_a.append(a)
                 out_b.append(b)
         return pa.table({"a": pa.array(out_a, pa.int64()),
