@@ -10,7 +10,7 @@ The driver initialises Ray BEFORE importing this module; nothing here
   SURVEY.md §2 (+ the training-data operators: dedup family,
   similarity search, text analysis, multimodal plumbing).
 * ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible
-  query, on the pre-registered views (43 of 51, including the WHOLE
+  query, on the pre-registered views (44 of 52, including the WHOLE
   graph-linking algorithm re-implemented as CTEs — see
   ``_nel_algebra_ctes`` — the flagship triples output, the eval
   verdicts, and the multimodal decode round-trip). Genuinely
@@ -1301,6 +1301,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q30_quality_filter": R.q30_quality_filter,
         # PII scrubbing (email/phone masking) over documents
         "q32_pii_scrub": R.q32_pii_scrub,
+        # per-host stats + domain blocklist (URL hygiene)
+        "q33_host_stats": R.q33_host_stats,
         # flagship NEL / KG construction over derived pages (rows-only:
         # graph algorithm not SQL-expressible; parity is gated in pytest
         # against analytic gold fixtures instead)
@@ -1392,6 +1394,7 @@ def oracle_sql() -> dict[str, str]:
         "q20_embedding_dedup": _DUP_EMB_CLUSTERS_SQL,
         "q30_quality_filter": R.Q30_SQL,
         "q32_pii_scrub": R.Q32_SQL,
+        "q33_host_stats": R.Q33_SQL,
         "q27_tumbling_window": __import__(
             "reden_ray.stages.windows", fromlist=["TUMBLING_SQL"]
         ).TUMBLING_SQL.format(size_us=3_600_000_000),

@@ -563,6 +563,64 @@ FROM e
 """
 
 
+# Q33 — per-host corpus stats + domain blocklist (web-pipeline URL
+# hygiene). The derived page corpus is single-host, so both sides
+# deterministically spread doc_ids over 17 hosts first; the OPERATOR —
+# RE2 host extraction, blocklist filter, combiner-first per-host
+# aggregate — is the real thing a crawl pipeline runs before training.
+_BLOCKED_HOSTS = ["cdn3.example.org", "cdn7.example.org"]
+_HOST_PATTERN = r"^https?://(?P<host>[^/]+)/"
+
+
+def q33_host_stats(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def host_partials(t: pa.Table) -> pa.Table:
+        did = pc.cast(t["doc_id"], pa.string())
+        hid = pc.cast(pc.subtract(t["doc_id"],
+                                  pc.multiply(pc.divide(t["doc_id"], 17),
+                                              pa.scalar(17, pa.int64()))),
+                      pa.string())
+        url = pc.binary_join_element_wise(
+            "https://cdn", hid, ".example.org/docs/", did, "")
+        host = pc.struct_field(
+            pc.extract_regex(url, pattern=_HOST_PATTERN), "host")
+        part = pa.table({"host": host, "n_chars": t["n_chars"]})
+        part = part.filter(pc.and_(
+            pc.is_valid(part["host"]),
+            pc.invert(pc.is_in(part["host"],
+                               value_set=pa.array(_BLOCKED_HOSTS)))))
+        # per-batch combiner: <=17 rows leave each block
+        g = part.group_by("host").aggregate(
+            [("n_chars", "sum"), ("n_chars", "count")])
+        return pa.table({"host": g["host"], "n_chars_part": g["n_chars_sum"],
+                         "n_pages_part": g["n_chars_count"]})
+
+    return (
+        ds.map_batches(host_partials, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Sum("n_pages_part", alias_name="n_pages"),
+                   Sum("n_chars_part", alias_name="n_chars"))
+        .to_pandas()
+    )
+
+
+Q33_SQL = r"""
+WITH x AS (
+  SELECT 'https://cdn' || CAST(doc_id % 17 AS VARCHAR)
+         || '.example.org/docs/' || CAST(doc_id AS VARCHAR) AS url,
+         n_chars
+  FROM documents
+), h AS (
+  SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host, n_chars FROM x
+)
+SELECT host, COUNT(*) AS n_pages, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM h
+WHERE host <> '' AND host NOT IN ('cdn3.example.org', 'cdn7.example.org')
+GROUP BY host
+"""
+
+
 # Q16 — sessionization (30-min gap): ONE hash-bucket shuffle,
 # vectorized gap detection across all keys in the bucket at once
 def q16_user_sessions(sf_dir: str) -> pd.DataFrame:

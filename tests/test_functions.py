@@ -245,3 +245,24 @@ class TestPiiScrub:
                 " ?, '<PHONE>', 'g')",
                 [t, PII_EMAIL_PATTERN, PII_PHONE_PATTERN]).fetchone()[0]
             assert got == want
+
+
+class TestHostStats:
+    def test_blocklist_and_grouping(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from reden_ray.pipelines.relational import q33_host_stats
+
+        n = 170  # 10 docs per host over the 17-host spread
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "n_chars": pa.array([7] * n, pa.int64()),
+            "text": pa.array(["x"] * n, pa.string()),
+        }), tmp_path / "documents.parquet")
+        out = q33_host_stats(str(tmp_path)).sort_values("host")
+        assert len(out) == 15  # 17 hosts minus the 2 blocked
+        assert set(out["n_pages"]) == {10}
+        assert set(out["n_chars"]) == {70}
+        assert not any(h in ("cdn3.example.org", "cdn7.example.org")
+                       for h in out["host"])
