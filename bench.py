@@ -305,6 +305,11 @@ def run_bench() -> dict:
         "triples_per_sec": round(n_triples / headline, 1) if headline else None,
         "pages_per_sec": round(n_pages / headline, 1) if headline else None,
         "runs": run_evidence,
+        # explicit best-of-N methodology marker (ADVICE r04: the default
+        # changed 2->3 mid-series in round 4; record it so cross-round
+        # comparisons can see the protocol, not just len(runs))
+        "n_runs": n_runs,
+        "best_of": n_runs,
         "host_calibration": _host_calibration(),
     }
     ray.shutdown()

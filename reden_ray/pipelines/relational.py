@@ -316,19 +316,28 @@ def q8_text_stats(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def stats(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
         import hashlib
-        import re
 
-        fps = [
-            hashlib.md5(re.sub(r"[^a-zA-Z]+", " ", x).strip().lower().encode()).hexdigest()
-            for x in texts
-        ]
+        text = t["text"]
+        # vectorized Arrow kernels for everything except the md5 digest,
+        # which is inherently per-row (but now runs over already-
+        # normalized strings instead of doing regex+lower in Python too)
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        n_tokens = pc.cast(
+            pc.list_value_length(pc.utf8_split_whitespace(pc.utf8_trim_whitespace(text))),
+            pa.int64(),
+        )
+        norm = pc.utf8_lower(
+            pc.utf8_trim_whitespace(
+                pc.replace_substring_regex(text, r"[^a-zA-Z]+", " ")
+            )
+        )
+        fps = [hashlib.md5(x.encode()).hexdigest() for x in norm.to_pylist()]
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "n_chars": pa.array([len(x) for x in texts], pa.int64()),
-                "n_tokens": pa.array([len(x.split()) for x in texts], pa.int64()),
+                "n_chars": n_chars,
+                "n_tokens": n_tokens,
                 "fingerprint": pa.array(fps, pa.string()),
             }
         )

@@ -72,6 +72,15 @@ def salted_counts(ds, key_col: str, num_salts: int = 16,
     groups instead of landing on one reducer; phase 2 unsalts and merges
     the (at most num_salts) partials per key.
 
+    Phase 1 is a **per-batch** Arrow combiner over (key, salt) — no
+    shuffle: each block reduces locally to at most ``num_salts`` partial
+    rows per key before anything moves. Phase 2 is the only exchange, a
+    hash-bucketed unsalt of the already-tiny (key, salt, cnt) partials,
+    so a head key ships ≤ num_salts × num_blocks pre-reduced rows to one
+    bucket reducer instead of every raw row to one reducer. (The round-4
+    version shuffled every FULL row on a 16-value salt key — an
+    all-to-all with a parallelism ceiling of 16; VERDICT r04 §Wrong 2.)
+
     NOTE: for plain counts the per-batch combiner used elsewhere in this
     module already bounds a head key to one row per batch — combiner-
     first is the *generalized* form of salting (salt == batch id). This
@@ -80,29 +89,31 @@ def salted_counts(ds, key_col: str, num_salts: int = 16,
     Returns (key, cnt) Dataset.
     """
     import numpy as np
+    import pyarrow.compute as pc
 
-    def add_salt(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[[key_col]].copy()
-        df["__salt"] = (np.arange(len(df)) % num_salts).astype("int64")
-        return df
+    def partial(t: pa.Table) -> pa.Table:
+        # Arrow-side salt (row position spread) + in-batch combine: the
+        # whole phase is block-local, nothing is exchanged.
+        keys = t.column(key_col)
+        salt = pa.array(np.arange(len(t), dtype=np.int64) % num_salts)
+        tt = pa.table({key_col: keys, "__salt": salt})
+        out = tt.group_by([key_col, "__salt"]).aggregate([("__salt", "count")])
+        out = out.rename_columns(
+            ["cnt" if c == "__salt_count" else c for c in out.column_names]
+        )
+        return _add_bucket_arrow(
+            out.select([key_col, "__salt", "cnt"]), key_col, num_buckets
+        )
 
-    salted = ds.map_batches(add_salt, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pyarrow")
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby([key_col, "__salt"], as_index=False).size()
-        return out.rename(columns={"size": "cnt"})
+    def unsalt(t: pa.Table) -> pa.Table:
+        merged = t.group_by(key_col).aggregate([("cnt", "sum")])
+        return merged.rename_columns(
+            ["cnt" if c == "cnt_sum" else c for c in merged.column_names]
+        )
 
-    partials = (
-        salted.groupby("__salt")
-        .map_groups(partial, batch_format="pandas")
-        .map_batches(lambda t: _add_bucket_arrow(t, key_col, num_buckets),
-                     batch_format="pyarrow")
-    )
-
-    def unsalt(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(key_col, as_index=False)["cnt"].sum()
-
-    return partials.groupby("__bucket").map_groups(unsalt, batch_format="pandas")
+    return partials.groupby("__bucket").map_groups(unsalt, batch_format="pyarrow")
 
 
 def label_partials(links_ds):

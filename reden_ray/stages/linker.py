@@ -75,11 +75,14 @@ _NEIGH_CACHES_MAX = 4  # distinct broadcast states per worker process
 
 # ---------------------------------------------------------------------------
 # Interned link state (hot-path core shared by the fused / packed / bucket
-# paths). Centrality measures never read edge predicates or weights (the
-# reference's Degree/Closeness/Eigenvector/Betweenness are all unweighted,
-# CentralityHandler.java:136-171), so the LINKING graph only needs edge
-# EXISTENCE — vertices intern to small ints once per worker and edges pack
-# into single ints, replacing per-page hashing of long URI strings
+# paths). Without a -relsFile every edge weight is 1.0 (GraphHandlerNEL
+# .java:286) and no measure can distinguish weights, so the LINKING graph
+# only needs edge EXISTENCE — vertices intern to small ints once per
+# worker and edges pack into single ints, replacing per-page hashing of
+# long URI strings. With a -relsFile, recs additionally carry per-edge
+# weights: the reference's sna DegreeCentrality sums edge weights and its
+# FreemanClosenessCentrality runs weighted shortest paths (verified by
+# decompiling jgrapht-sna-1.2.jar; betweenness/eigenvector are unweighted)
 # (measured ~2.5x on the fused link stage; the string-keyed
 # ``build_fusion_graph`` above remains the S11 edge-dump path, which does
 # need predicates).
@@ -100,13 +103,19 @@ class _LinkState:
     """
 
     __slots__ = ("index", "kb", "sameas", "pref", "intern",
-                 "ent_recs", "norm_recs")
+                 "ent_recs", "norm_recs", "rels", "weighted")
 
-    def __init__(self, index, kb, sameas, pref: str):
+    def __init__(self, index, kb, sameas, pref: str, rels=None):
         self.index = index
         self.kb = kb
         self.sameas = sameas
         self.pref = pref
+        self.rels = rels
+        # a -relsFile changes degree (weight sum) and closeness
+        # (weighted shortest paths) in the reference's sna library —
+        # see degree_scores/closeness_scores. Only then do recs carry
+        # per-edge weights; the default stays on the packed-int fast path.
+        self.weighted = bool(rels)
         self.intern: dict[str, int] = {}
         self.ent_recs: dict[tuple, tuple] = {}
         self.norm_recs: dict[str, tuple] = {}
@@ -130,11 +139,18 @@ class _LinkState:
                 if u not in probe:
                     probe.append(u)
             dsts: list[int] = []
+            wmap: dict[int, float] | None = {} if self.weighted else None
             for u in probe:
                 for pred, obj, _is_lit, _w in self.kb.get(u, ()):
                     if pred == SAMEAS_PRED:
                         continue
-                    dsts.append(self._vid(decompose(obj)))
+                    d = self._vid(decompose(obj))
+                    dsts.append(d)
+                    if wmap is not None and d not in wmap:
+                        # first-predicate-wins per (src, dst) pair,
+                        # mirroring SimpleDirectedGraph.addEdge returning
+                        # false on duplicates (GraphHandlerNEL.java:288)
+                        wmap[d] = self.rels.get(pred, _w)
             if self.pref == "ALL":
                 emitted = list(uris)  # CentralityHandler.java:205-211
             else:
@@ -149,9 +165,15 @@ class _LinkState:
                 arr = np.unique(np.asarray(dsts, dtype=np.int64))
                 arr = arr[arr != vid]
                 edge_keys = (vid << 32) | arr
+                edge_ws = (
+                    np.asarray([wmap[int(d)] for d in arr], dtype=np.float64)
+                    if wmap is not None else None
+                )
             else:
                 edge_keys = np.empty(0, dtype=np.int64)
-            rec = (entity_id, vid, emitted, edge_keys)
+                edge_ws = (np.empty(0, dtype=np.float64)
+                           if wmap is not None else None)
+            rec = (entity_id, vid, emitted, edge_keys, edge_ws)
             self.ent_recs[(entity_id, uris)] = rec
         return rec
 
@@ -180,19 +202,21 @@ _LINK_STATES: dict[tuple, tuple] = {}
 _LINK_STATES_MAX = 4
 
 
-def _link_state(index, kb, sameas, pref: str) -> _LinkState:
-    key = (id(index), id(kb), id(sameas), pref)
+def _link_state(index, kb, sameas, pref: str, rels=None) -> _LinkState:
+    key = (id(index), id(kb), id(sameas), pref,
+           id(rels) if rels else 0)
     hit = _LINK_STATES.get(key)
     if hit is None:
         if len(_LINK_STATES) >= _LINK_STATES_MAX:
             _LINK_STATES.pop(next(iter(_LINK_STATES)))
-        # pin (index, kb, sameas) — ids are the key
-        hit = ((index, kb, sameas), _LinkState(index, kb, sameas, pref))
+        # pin (index, kb, sameas, rels) — ids are the key
+        hit = ((index, kb, sameas, rels),
+               _LinkState(index, kb, sameas, pref, rels))
         _LINK_STATES[key] = hit
     return hit[1]
 
 
-def _int_adj_scores(mention_recs: list, measure: str):
+def _int_adj_scores(mention_recs: list, measure: str, weighted: bool = False):
     """Graph fusion (A1) + pruning (A2) + centrality (A3) over the int-
     interned representation. ``mention_recs``: [(mention_id, recs)] in
     ascending mention_id, recs in cand_rank order. Returns {vid: score}.
@@ -209,24 +233,32 @@ def _int_adj_scores(mention_recs: list, measure: str):
     switch to the fully vectorized ``_int_degree_scores`` (np.unique
     over the pre-packed per-rec edge keys, O(E log E) in C). The other
     measures always use the dict build (they need full adjacency)."""
-    if measure == "degree":
+    if measure == "degree" and not weighted:
         n_keys = sum(r[3].size for _mid, recs in mention_recs for r in recs)
         if n_keys > _DEGREE_VECTORIZE_MIN_KEYS:
             return _int_degree_scores(mention_recs)
     edges: set[int] = set()       # (src << 32) | dst
+    # weighted mode (a -relsFile run): per-edge weight, first-edge-wins
+    # across candidates in (mention_id, cand_rank) order — the same
+    # order build_fusion_graph resolves duplicate pairs in
+    edge_w: dict[int, float] | None = {} if weighted else None
     adj: dict[int, set[int]] = {}
     cand_vids: set[int] = set()
     inverted: dict[int, int] = {}
     for mid, recs in mention_recs:
-        for _eid, vid, _emitted, edge_keys in recs:
+        for rec in recs:
+            vid, edge_keys = rec[1], rec[3]
+            ws = rec[4] if weighted else None
             cand_vids.add(vid)
             nb = adj.get(vid)
             if nb is None:
                 nb = adj[vid] = set()
             inverted[vid] = mid  # J2 last-writer-wins
-            for key in edge_keys.tolist():  # pre-uniqued, no self-loops
+            for i, key in enumerate(edge_keys.tolist()):  # pre-uniqued, no self-loops
                 if key not in edges:
                     edges.add(key)
+                    if edge_w is not None:
+                        edge_w[key] = float(ws[i]) if ws is not None else 1.0
                     dst = key & 0xFFFFFFFF
                     nb.add(dst)
                     dnb = adj.get(dst)
@@ -247,15 +279,33 @@ def _int_adj_scores(mention_recs: list, measure: str):
             adj[n].discard(v)
             edges.discard((v << 32) | n)
             edges.discard((n << 32) | v)
+            if edge_w is not None:
+                edge_w.pop((v << 32) | n, None)
+                edge_w.pop((n << 32) | v, None)
     if measure == "degree":
         deg: dict[int, float] = {}
         get = deg.get
-        for e in edges:
-            s = e >> 32
-            d = e & 0xFFFFFFFF
-            deg[s] = get(s, 0.0) + 1.0
-            deg[d] = get(d, 0.0) + 1.0
+        if edge_w is not None:
+            for e, w in edge_w.items():
+                s = e >> 32
+                d = e & 0xFFFFFFFF
+                deg[s] = get(s, 0.0) + w
+                deg[d] = get(d, 0.0) + w
+        else:
+            for e in edges:
+                s = e >> 32
+                d = e & 0xFFFFFFFF
+                deg[s] = get(s, 0.0) + 1.0
+                deg[d] = get(d, 0.0) + 1.0
         return deg
+    if measure == "closeness" and edge_w is not None:
+        pw: dict[tuple, float] = {}
+        for e, w in edge_w.items():
+            s, d = e >> 32, e & 0xFFFFFFFF
+            sk = (s, d) if s <= d else (d, s)
+            old = pw.get(sk)
+            pw[sk] = w if old is None else min(old, w)
+        return closeness_scores(adj, pw or None)
     return _MEASURES[measure](None, adj)  # closeness/eigen/betweenness: adj only
 
 
@@ -343,7 +393,7 @@ def _link_page_cols(mention_recs: list, state: _LinkState, measure: str):
     if not graph:
         # M11 NoAmbiguity fast path
         for mid, surface, norm, recs in mention_recs:
-            eid, _vid, emitted, _d = recs[0]
+            eid, _vid, emitted = recs[0][0], recs[0][1], recs[0][2]
             o_mid.append(mid)
             o_surf.append(surface)
             o_norm.append(norm)
@@ -351,7 +401,8 @@ def _link_page_cols(mention_recs: list, state: _LinkState, measure: str):
             o_all.append(emitted)
             o_score.append(float("nan"))
         return o_mid, o_surf, o_norm, o_uri, o_all, o_score
-    scores = _int_adj_scores([(m[0], m[3]) for m in mention_recs], measure)
+    scores = _int_adj_scores([(m[0], m[3]) for m in mention_recs], measure,
+                             weighted=state.weighted)
     for mid, surface, norm, recs in mention_recs:
         best = None
         best_key = None
@@ -467,31 +518,84 @@ def prune_graph(edges, adj, cand_vertices, inverted):
 
 
 def degree_scores(edges) -> dict[str, float]:
-    """Degree = number of incident directed edges (in + out)."""
+    """Degree = sum of incident directed edge WEIGHTS (in + out).
+
+    Exact parity with dk.aaue.sna DegreeCentrality.calculate (decompiled
+    from the reference's jgrapht-sna-1.2.jar): score(v) = sum of
+    getEdgeWeight over edgesOf(v), then / (n-1) — the normalization is a
+    per-graph constant, rank-preserving under per-mention argmax, so we
+    skip it. Without a -relsFile every weight is 1.0 (GraphHandlerNEL
+    .java:286) and this degenerates to the edge count."""
+    weighted = isinstance(edges, dict)
     deg: dict[str, float] = {}
-    for src, dst in edges:
-        deg[src] = deg.get(src, 0.0) + 1.0
-        deg[dst] = deg.get(dst, 0.0) + 1.0
+    for key, val in (edges.items() if weighted else ((e, None) for e in edges)):
+        src, dst = key
+        # val = (pred, weight) on the string path, a bare float on the
+        # weighted join path, None (dict.fromkeys) on the unweighted one
+        if not weighted or val is None:
+            w = 1.0
+        elif isinstance(val, tuple):
+            w = float(val[1])
+        else:
+            w = float(val)
+        deg[src] = deg.get(src, 0.0) + w
+        deg[dst] = deg.get(dst, 0.0) + w
     return deg
 
 
-def closeness_scores(adj) -> dict[str, float]:
-    """Freeman closeness: 1 / sum of BFS distances to reachable vertices."""
+def closeness_scores(adj, pair_w: dict | None = None) -> dict[str, float]:
+    """Freeman closeness, exact parity with dk.aaue.sna
+    FreemanClosenessCentrality + FloydWarshallAllShortestPaths
+    (decompiled from the reference's jar):
+
+    * paths are UNDIRECTED (the sna FW seeds d[s][t]=d[t][s]=w and
+      relaxes both directions even for a directed graph) and WEIGHTED
+      (it calls getEdgeWeight — so a -relsFile run DOES change
+      closeness, unlike betweenness/eigenvector);
+    * closeness(v) = 1 / sum of distances to ALL other vertices — if
+      ANY vertex is unreachable the sum is +inf and the score is 0.0
+      (calculate() breaks at the first infinite partial sum).
+
+    ``pair_w``: optional {frozenset-ish (u, v) sorted tuple: weight}.
+    When both (u,v) and (v,u) carry different weights the reference's
+    symmetric seed is last-edge-wins over a HashSet (nondeterministic);
+    we use min(w) deterministically — identical when weights agree,
+    and strictly a documented tie-rule where the reference is random.
+    Unweighted (pair_w None) uses BFS."""
+    import heapq
+
+    n = len(adj)
     out: dict[str, float] = {}
     for s in adj:
-        dist = {s: 0}
-        frontier = [s]
-        total = 0
-        while frontier:
-            nxt = []
-            for v in frontier:
-                for n in adj[v]:
-                    if n not in dist:
-                        dist[n] = dist[v] + 1
-                        total += dist[n]
-                        nxt.append(n)
-            frontier = nxt
-        out[s] = 1.0 / total if total else 0.0
+        if pair_w is None:
+            dist = {s: 0.0}
+            frontier = [s]
+            total = 0.0
+            while frontier:
+                nxt = []
+                for v in frontier:
+                    for nb in adj[v]:
+                        if nb not in dist:
+                            dist[nb] = dist[v] + 1.0
+                            total += dist[nb]
+                            nxt.append(nb)
+                frontier = nxt
+        else:
+            dist = {}
+            heap = [(0.0, s)]
+            total = 0.0
+            while heap:
+                d, v = heapq.heappop(heap)
+                if v in dist:
+                    continue
+                dist[v] = d
+                total += d
+                for nb in adj[v]:
+                    if nb not in dist:
+                        key = (v, nb) if v <= nb else (nb, v)
+                        heapq.heappush(heap, (d + pair_w.get(key, 1.0), nb))
+        # any unreachable vertex in the (pruned) graph -> +inf sum -> 0.0
+        out[s] = 1.0 / total if (len(dist) == n and total) else 0.0
     return out
 
 
@@ -542,9 +646,33 @@ def betweenness_scores(adj) -> dict[str, float]:
     return cb
 
 
+def _pair_weights(edges) -> dict | None:
+    """Symmetric {sorted (u,v): weight} from a weighted edge dict, or
+    None when the graph is effectively unweighted (every w == 1.0 or no
+    weight information — the common no-relsFile case, which keeps
+    closeness on the fast BFS route). min(w) over the two directions is
+    the deterministic stand-in for the reference's last-edge-wins seed
+    (see closeness_scores docstring)."""
+    if not isinstance(edges, dict):
+        return None
+    pw: dict[tuple, float] = {}
+    uniform = True
+    for key, val in edges.items():
+        if val is None:
+            continue
+        w = float(val[1]) if isinstance(val, tuple) else float(val)
+        if w != 1.0:
+            uniform = False
+        u, v = key
+        sk = (u, v) if u <= v else (v, u)
+        old = pw.get(sk)
+        pw[sk] = w if old is None else min(old, w)
+    return None if uniform else pw
+
+
 _MEASURES = {
     "degree": lambda edges, adj: degree_scores(edges),
-    "closeness": lambda edges, adj: closeness_scores(adj),
+    "closeness": lambda edges, adj: closeness_scores(adj, _pair_weights(edges)),
     "eigenvector": lambda edges, adj: eigenvector_scores(adj),
     "betweenness": lambda edges, adj: betweenness_scores(adj),
 }
@@ -568,15 +696,17 @@ def link_context(
     Thin dict-row adapter over the interned ``_link_page_cols`` core —
     the fused, packed and bucket paths all reduce to the same per-page
     function, so path equivalence is structural, not coincidental.
-    ``rels`` is accepted for API parity but cannot affect the result:
-    every centrality measure is unweighted (CentralityHandler.java:136-171);
-    weights only surface in the S11 edge dump (``fusion_edges``)."""
+    ``rels`` (a -relsFile) changes degree (weight sum, sna
+    DegreeCentrality) and closeness (weighted shortest paths, sna
+    FloydWarshall — both verified by decompiling the reference's
+    jgrapht-sna-1.2.jar); betweenness and eigenvector are unweighted in
+    that library, so rels cannot affect them."""
     if not cand_rows:
         return []
     by_mention: dict[int, list[dict]] = {}
     for row in cand_rows:
         by_mention.setdefault(row["mention_id"], []).append(row)
-    state = _link_state(None, kb, sameas, prefered_uri_order)
+    state = _link_state(None, kb, sameas, prefered_uri_order, rels)
     page = []
     for mid in sorted(by_mention):
         rows = by_mention[mid]

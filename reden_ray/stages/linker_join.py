@@ -126,6 +126,14 @@ def decompose_column(col) -> pa.Array:
 
     vals = col.to_numpy(zero_copy_only=False)
     codes, uniq = pd.factorize(vals)
+    # factorize assigns code -1 to nulls, which would silently index
+    # dec[-1] (the LAST unique's decomposition) and corrupt vertex
+    # identity. Current call sites (entity_id, kb obj) are non-null by
+    # construction — fail loudly if that ever changes (ADVICE r04).
+    if (codes < 0).any():
+        raise ValueError(
+            f"decompose_column: {int((codes < 0).sum())} null URI(s) in input"
+        )
     dec = np.array([decompose(u) for u in uniq], dtype=object)
     return pa.array(dec[codes], pa.string())
 
@@ -162,11 +170,17 @@ def link_documents_via_join(
     broadcast map-side expansion under ``sameas_broadcast_row_limit``,
     a third join above it).
 
-    ``rels`` (the reference's -relsFile predicate weights) is accepted
-    for API parity with the broadcast path but ignored: predicate
-    weights only relabel parallel edges, and no centrality measure
-    reads labels or weights — links are rels-invariant in both paths
-    (pytest-gated by test_join_path_accepts_rels)."""
+    ``rels`` (the reference's -relsFile predicate weights) changes
+    degree (weight sum) and closeness (weighted shortest paths) in the
+    reference's sna library — verified by decompiling its
+    jgrapht-sna-1.2.jar (DegreeCentrality sums getEdgeWeight over
+    edgesOf; FreemanClosenessCentrality seeds a symmetrized weighted
+    Floyd-Warshall). When provided, edge pairs carry a ``w`` column
+    (min weight per collapsed parallel-edge pair — deterministic where
+    the reference's HashSet iteration order is not) through the same
+    exchanges; the default rels=None path is shape-identical to before
+    (no extra column ships). Betweenness/eigenvector ignore weights in
+    both the reference and here."""
     import pyarrow.compute as pc
 
     if candidates_ds.count() == 0:
@@ -176,7 +190,9 @@ def link_documents_via_join(
         import ray.data as rd
 
         return rd.from_arrow(LINK_SCHEMA.empty_table())
-    del rels  # labels/weights never reach link scoring (module docstring)
+    # weights can only influence scoring for degree/closeness — for the
+    # unweighted measures skip the extra column entirely
+    weighted = bool(rels) and measure in ("degree", "closeness")
 
     # sameAs (J4) is an equivalence-pair table — vocabulary-sized by
     # nature, orders of magnitude smaller than the KB that forced this
@@ -245,8 +261,16 @@ def link_documents_via_join(
         # sameAs rows expand probes (J4), never become graph edges;
         # distinct (subj, decomposed obj) — parallel edges (several
         # preds per pair) collapse here, exactly as the per-url pair
-        # dedup would do later but before the join fans them out
+        # dedup would do later but before the join fans them out.
+        # Weighted runs keep min(rels-mapped weight) per pair.
         t = t.filter(pc.not_equal(t["pred"], SAMEAS_PRED))
+        if weighted:
+            w = apply_rels_weights(t["pred"], t["weight"], rels)
+            out = pa.table({"subj": t["subj"],
+                            "dst_v": decompose_column(t["obj"]), "w": w})
+            agg = out.group_by(["subj", "dst_v"]).aggregate([("w", "min")])
+            return agg.rename_columns(
+                ["w" if c == "w_min" else c for c in agg.column_names])
         out = pa.table({"subj": t["subj"], "dst_v": decompose_column(t["obj"])})
         return out.group_by(["subj", "dst_v"]).aggregate([])
 
@@ -278,11 +302,18 @@ def link_documents_via_join(
 
     def edge_rows(t: pa.Table) -> pa.Table:
         t = t.filter(pc.not_equal(t["src_v"], t["dst_v"]))  # self-loops
-        pairs = (pa.table({"url": t["url"], "src_v": t["src_v"],
-                           "dst_v": t["dst_v"]})
-                 .group_by(["url", "src_v", "dst_v"]).aggregate([]))
+        if weighted:
+            pairs = (pa.table({"url": t["url"], "src_v": t["src_v"],
+                               "dst_v": t["dst_v"], "w": t["w"]})
+                     .group_by(["url", "src_v", "dst_v"])
+                     .aggregate([("w", "min")]))
+            w_col = pairs["w_min"]
+        else:
+            pairs = (pa.table({"url": t["url"], "src_v": t["src_v"],
+                               "dst_v": t["dst_v"]})
+                     .group_by(["url", "src_v", "dst_v"]).aggregate([]))
         n = pairs.num_rows
-        return pa.table({
+        out = {
             "url": pairs["url"],
             "mention_id": pa.nulls(n, pa.int64()),
             "cand_rank": pa.nulls(n, pa.int32()),
@@ -293,10 +324,13 @@ def link_documents_via_join(
             "kind": pa.array(["edge"] * n, pa.string()),
             "src_v": pairs["src_v"],
             "dst_v": pairs["dst_v"],
-        })
+        }
+        if weighted:
+            out["w"] = w_col
+        return pa.table(out)
 
     def cand_rows(t: pa.Table) -> pa.Table:
-        return pa.table({
+        out = {
             "url": t["url"],
             "mention_id": t["mention_id"],
             "cand_rank": pc.cast(t["cand_rank"], pa.int32()),
@@ -307,7 +341,10 @@ def link_documents_via_join(
             "kind": pa.array(["cand"] * t.num_rows, pa.string()),
             "src_v": decompose_column(t["entity_id"]),
             "dst_v": pa.nulls(t.num_rows, pa.string()),
-        })
+        }
+        if weighted:
+            out["w"] = pa.nulls(t.num_rows, pa.float64())
+        return pa.table(out)
 
     from ..functions.bucket import add_bucket
 
@@ -325,9 +362,11 @@ def link_documents_via_join(
         # NaN mention_ids (edge rows) sort last within each url, so
         # every url group is [cand rows (by mention, rank)] + [edges]
         df = df.sort_values(["url", "mention_id", "cand_rank"], kind="stable")
-        cols = {c: df[c].to_numpy() for c in
-                ("url", "mention_id", "cand_rank", "entity_id", "surface",
-                 "surface_norm", "uris_str", "kind", "src_v", "dst_v")}
+        col_names = ["url", "mention_id", "cand_rank", "entity_id", "surface",
+                     "surface_norm", "uris_str", "kind", "src_v", "dst_v"]
+        if weighted:
+            col_names.append("w")
+        cols = {c: df[c].to_numpy() for c in col_names}
         url = cols["url"]
         n = len(url)
         if n == 0:
@@ -394,9 +433,19 @@ def _link_from_slice(cols: dict, s: int, e: int, measure: str,
             adj.setdefault(vb, set())
             inverted[vb] = mid
     # exact directed-pair dedup (per-batch dedup upstream is partial:
-    # the same pair can arrive via several join batches)
+    # the same pair can arrive via several join batches) — weighted
+    # runs keep min(w) per pair, matching prep_kb/edge_rows
     dst_a = cols["dst_v"]
-    pairs = dict.fromkeys(zip(src_a[c_end:e], dst_a[c_end:e]))
+    w_a = cols.get("w")
+    if w_a is not None:
+        pairs: dict = {}
+        for src, dst, w in zip(src_a[c_end:e], dst_a[c_end:e], w_a[c_end:e]):
+            k = (src, dst)
+            old = pairs.get(k)
+            if old is None or w < old:
+                pairs[k] = float(w)
+    else:
+        pairs = dict.fromkeys(zip(src_a[c_end:e], dst_a[c_end:e]))
     for src, dst in pairs:
         adj.setdefault(src, set()).add(dst)
         adj.setdefault(dst, set()).add(src)

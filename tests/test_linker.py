@@ -133,6 +133,43 @@ class TestCentrality:
         b = betweenness_scores(adj)
         assert b["b"] > b["a"] == b["c"] == 0.0
 
+    def test_weighted_degree(self):
+        # sna DegreeCentrality sums getEdgeWeight over incident edges
+        edges = {("a", "b"): ("p", 3.0), ("c", "b"): ("q", 0.5)}
+        d = degree_scores(edges)
+        assert d == {"a": 3.0, "b": 3.5, "c": 0.5}
+
+    def test_closeness_unreachable_is_zero(self):
+        # exact sna FreemanClosenessCentrality semantics: any
+        # unreachable vertex -> +inf distance sum -> score 0.0
+        adj = {"a": {"b"}, "b": {"a"}, "c": set()}
+        c = closeness_scores(adj)
+        assert c == {"a": 0.0, "b": 0.0, "c": 0.0}
+
+    def test_weighted_closeness(self):
+        # path a -2.0- b -0.5- c: dist(a)=2+2.5, dist(b)=2+0.5, dist(c)=0.5+2.5
+        adj = {"a": {"b"}, "b": {"a", "c"}, "c": {"b"}}
+        pw = {("a", "b"): 2.0, ("b", "c"): 0.5}
+        c = closeness_scores(adj, pw)
+        assert math.isclose(c["b"], 1 / 2.5)
+        assert math.isclose(c["a"], 1 / 4.5)
+        assert math.isclose(c["c"], 1 / 3.0)
+
+    def test_rels_weight_flips_degree_winner(self):
+        # Unweighted, E1 and E2 tie on degree and the (score, uri)
+        # tie-break picks E2 (lexicographically larger). A -relsFile
+        # weight of 5 on E1's predicate flips the winner to E1.
+        PRED_Q = "http://kb/onto#q"
+        kb = kb_of(**{E2: [(MEMBER, HUB)], D1: [(MEMBER, HUB)]})
+        kb[E1] = [(PRED_Q, HUB, False, 1.0)]
+        rows = [cand("u", 0, "m0", E1, rank=0), cand("u", 0, "m0", E2, rank=1),
+                cand("u", 1, "m1", D1)]
+        unweighted = link_context(rows, kb, {})
+        assert unweighted[0]["uri"] == E2  # degree tie, lexicographic
+        weighted = link_context(rows, kb, {}, rels={PRED_Q: 5.0})
+        assert weighted[0]["uri"] == E1   # weight 5 beats weight 1
+        assert weighted[0]["score"] == 5.0
+
 
 class TestLinkContext:
     def test_gold_beats_decoy(self):

@@ -139,21 +139,30 @@ class TestAutoSelectedJoinMode:
             [1.0, 2.0, 3.0, 4.0]
 
     def test_join_path_accepts_rels(self, unit_fixture):
-        """cfg.rels must flow through the gated join path (it was
-        silently dropped); links are rels-invariant under degree, so
-        this checks plumbing + equivalence."""
-        p = NELPipeline(unit_fixture)
+        """cfg.rels changes weighted-degree scoring (sna DegreeCentrality
+        sums edge weights) — both paths must apply the SAME weights and
+        agree with each other (cross-path equivalence under -relsFile)."""
+        from reden_ray.pipelines.nel import NELConfig
+
+        rels = {"http://example.org/kb/member": 7.0}
+        p = NELPipeline(unit_fixture, NELConfig(rels=rels))
         cands = p.candidates().materialize()
         kb = rd.read_parquet(f"{unit_fixture}/kb_triples.parquet")
         sameas = rd.read_parquet(f"{unit_fixture}/sameas.parquet")
         got = link_documents_via_join(
-            cands, kb, sameas_ds=sameas, rels={"http://example.org/kb/member": 7.0},
+            cands, kb, sameas_ds=sameas, rels=rels,
             num_partitions=2).to_pandas()
         want = p.links(cands).to_pandas()
         key = ["url", "mention_id"]
         g = got.sort_values(key).reset_index(drop=True)
         w = want.sort_values(key).reset_index(drop=True)
         assert (g["uri"].values == w["uri"].values).all()
+        # and the weighted scores themselves agree where defined
+        import numpy as np
+
+        gs, ws = g["score"].values, w["score"].values
+        both = ~(np.isnan(gs) | np.isnan(ws))
+        assert np.allclose(gs[both], ws[both])
 
     def test_sameas_join_fallback_matches_broadcast_hop(self, unit_fixture):
         """sameAs over its row gate must route through the distributed
