@@ -78,6 +78,49 @@ def tei_to_pages(path: str, lang: str = "fr") -> pa.Table:
     })
 
 
+def tei_mentions(path: str, tags: tuple[str, ...] = ("persName",),
+                 exclude_character: bool = True) -> pa.Table:
+    """Tag-driven mention extraction from an annotated TEI file — the
+    reference's S3 on its native input (MainNELApp.java:233-258 selects
+    ``.//persName[not(@type='character')]`` per context window). Returns
+    the standard mentions table (url, mention_id, surface, surface_norm,
+    ne_type) with one url per //body/div (same urls as
+    ``tei_to_pages``), mention_id = document order within the div, and
+    surface = whitespace-collapsed text content of the annotation
+    element. ``ref``/``ref_auto`` attributes, when present, ride along
+    as nullable columns (gold / system URI) so the same reader serves
+    input, gold, and -outV3 files."""
+    root = ET.parse(path).getroot()
+    base = _doc_url(root, path)
+    urls, mids, surfs, norms, nes, refs, autos = [], [], [], [], [], [], []
+    for i, div in enumerate(_body_divs(root)):
+        mid = 0
+        for el in div.iter():
+            name = _localname(el.tag)
+            if name not in tags:
+                continue
+            if exclude_character and el.get("type") == "character":
+                continue
+            surface = " ".join("".join(el.itertext()).split())
+            urls.append(f"{base}#div{i}")
+            mids.append(mid)
+            surfs.append(surface)
+            norms.append(normalize_surface(surface))
+            nes.append(_NE_OF_TAG.get(name, "PER"))
+            refs.append(el.get("ref"))
+            autos.append(el.get("ref_auto"))
+            mid += 1
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "mention_id": pa.array(mids, pa.int64()),
+        "surface": pa.array(surfs, pa.string()),
+        "surface_norm": pa.array(norms, pa.string()),
+        "ne_type": pa.array(nes, pa.string()),
+        "ref": pa.array(refs, pa.string()),
+        "ref_auto": pa.array(autos, pa.string()),
+    })
+
+
 def tei_gold_links(path: str) -> pa.Table:
     """TEI gold annotations -> (url, surface, ne_type, ref) rows in
     document order: every persName/placeName with a ref URI, keyed by
