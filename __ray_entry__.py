@@ -215,6 +215,28 @@ def _q_nel_links_scale_path(sf_dir: str):
     return _scored_projection(links, lower_surface=True)
 
 
+def _q_nel_links_bigkb(sf_dir: str):
+    """The over-gate-KB shape a real web-scale user hits most:
+    vocabulary-sized dictionary (broadcastable) but a KB too large to
+    broadcast. The pipeline auto-routes linking through the J3
+    distributed join WITH the semi-join probe-universe reduction
+    active (NELConfig.kb_join_probe_filter: the KB side is filtered
+    map-side to dictionary-derivable subjects before its shuffle).
+    Hash-verified against the same SQL linking algebra as
+    nel_links_scored — the reduction is lossless by construction and
+    this query proves it on real data."""
+    from reden_ray.pipelines.nel import NELConfig, NELPipeline
+    from reden_ray.pipelines.webdemo import pages_from_documents, vocab_fixture
+
+    cfg = NELConfig(kb_broadcast_limit_bytes=0, join_partitions=8)
+    p = NELPipeline(vocab_fixture(), cfg)
+    assert not p.kb_broadcastable and p.dico_broadcastable
+    assert p.probe_universe_ref() is not None
+    mentions = p.mentions(p.texts(pages_from_documents(sf_dir))).materialize()
+    links = p.links(mentions_ds=mentions)
+    return _scored_projection(links, lower_surface=True)
+
+
 # Context-window width shared by the ctx driver query and its oracle.
 _CTX_WORDS_Q = 16
 
@@ -1316,6 +1338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nel_links_unambiguous": _q_nel_links_unambiguous,
         "nel_links_scored": _q_nel_links_scored,
         "nel_links_scale_path": _q_nel_links_scale_path,
+        "nel_links_bigkb": _q_nel_links_bigkb,
         "nel_links_ctx": _q_nel_links_ctx,
         "nel_triples": _q_nel_triples,
         "nel_mention_triples_unambiguous": _q_nel_mention_triples_unambiguous,
@@ -1413,6 +1436,7 @@ def oracle_sql() -> dict[str, str]:
         "nel_links": _nel_links_sql(),
         "nel_links_scored": _nel_links_scored_sql(),
         "nel_links_scale_path": _nel_links_scored_sql(),
+        "nel_links_bigkb": _nel_links_scored_sql(),
         "nel_links_ctx": _nel_links_ctx_sql(),
         "q29b_embedding_planted": _q29_planted_sql(),
         "nel_triples": _nel_triples_sql(),

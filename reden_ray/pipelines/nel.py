@@ -85,6 +85,19 @@ class NELConfig:
     dico_broadcast_limit_bytes: int = 256 << 20
     # hash-join partition count for the gated join path
     join_partitions: int = 16
+    # Semi-join reduction for the gated J3 / entity-triple KB joins:
+    # when the dictionary IS broadcastable (the common over-gate-KB
+    # shape: vocabulary-sized dictionary, DBpedia-scale KB), every
+    # probe URI the join can emit is already known driver-side
+    # (entity_id ∪ uris ∪ sameAs hops of those), so the KB side is
+    # filtered map-side to possibly-matching subjects BEFORE its
+    # shuffle — the "one unavoidable KB-sized exchange" ships only the
+    # candidate neighborhoods. Gated off when the universe can't be
+    # bounded: dictionary over ITS gate, sameAs too big to enumerate
+    # driver-side, or more distinct probe URIs than the cap.
+    kb_join_probe_filter: bool = True
+    probe_filter_max_uris: int = 4_000_000
+    probe_filter_sameas_limit_bytes: int = 64 << 20
     # S2 context granularity (the reference's xpathExpresion knob,
     # MainNELApp.java:222-231): None = whole page (//body); an int K =
     # K-word context windows (//body/div analog) — mentions, fusion
@@ -117,6 +130,42 @@ class NELPipeline:
                        if self.kb_broadcastable else None)
         self.sameas_ref = (put_broadcast(load_sameas_index(self.sameas_path))
                            if self.kb_broadcastable else None)
+
+    def probe_universe_ref(self):
+        """Broadcast ref to the probe-URI universe (Arrow string array)
+        for the semi-join KB reduction, or None when it can't be
+        soundly bounded (see NELConfig.kb_join_probe_filter). The
+        universe is a superset of every URI the J3 link join and the
+        entity-triple join can probe: dictionary entity_ids ∪ their
+        equivalence lists ∪ sameAs targets of either. Computed once
+        per pipeline from the same Parquet the probes derive from —
+        losslessness of the inner-join filter follows by construction."""
+        if getattr(self, "_probe_ref", None) is not None:
+            return self._probe_ref if self._probe_ref is not False else None
+        if not self.cfg.kb_join_probe_filter or not self.dico_broadcastable:
+            self._probe_ref = False
+            return None
+        if (_parquet_bytes(self.sameas_path)
+                > self.cfg.probe_filter_sameas_limit_bytes):
+            self._probe_ref = False
+            return None
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        d = pq.read_table(self.dico_path, columns=["entity_id", "uris"])
+        ents = d["entity_id"].combine_chunks().cast(pa.string())
+        flat = pc.list_flatten(d["uris"].combine_chunks()).cast(pa.string())
+        base = pc.unique(pa.chunked_array([ents, flat]).combine_chunks())
+        sa = pq.read_table(self.sameas_path, columns=["uri", "equiv_uri"])
+        hops = (sa["equiv_uri"].combine_chunks().cast(pa.string())
+                .filter(pc.is_in(sa["uri"].combine_chunks(), value_set=base)))
+        universe = pc.unique(pa.chunked_array([base, hops]).combine_chunks())
+        if len(universe) > self.cfg.probe_filter_max_uris:
+            self._probe_ref = False
+            return None
+        self._probe_ref = put_broadcast(universe)
+        return self._probe_ref
 
     # --- staged plans (each lazy) -------------------------------------
     def pages(self, pages_path: str | None = None):
@@ -167,7 +216,13 @@ class NELPipeline:
         (kb_broadcastable=False), the fused/broadcast paths are
         unavailable and linking routes through the distributed J3 join
         (stages/linker_join.py) — candidates likewise arrive via the J1
-        join when the dictionary is over its gate.
+        join when the dictionary is over its gate. On that route, a
+        caller-supplied ``candidates_ds`` must draw its candidate URIs
+        from THIS fixture's dictionary/sameas tables (the standing
+        pipeline contract — the broadcast path couples to the same
+        tables): the semi-join KB reduction
+        (cfg.kb_join_probe_filter) derives its probe universe from
+        them.
 
         Under cfg.context_words the mention rows carry minted context
         keys; the returned links are remapped back to the page ``url``
@@ -195,6 +250,7 @@ class NELPipeline:
                 pin_nonempty(cands),
                 rd.read_parquet(self.kb_path),
                 sameas_ds=rd.read_parquet(self.sameas_path),
+                kb_subj_filter_ref=self.probe_universe_ref(),
                 rels=self.cfg.rels,
                 measure=self.cfg.measure,
                 prefered_uri_order=self.cfg.prefered_uri_order,
@@ -314,7 +370,8 @@ class NELPipeline:
                 mention_pair_dedup=needs_pair_dedup,
                 partials=partials, entities_ds=entities,
                 kb_ds=rd.read_parquet(self.kb_path),
-                sameas_ds=rd.read_parquet(self.sameas_path))
+                sameas_ds=rd.read_parquet(self.sameas_path),
+                kb_subj_filter_ref=self.probe_universe_ref())
         return emit_triples(ds, labels, self.kb_ref, self.sameas_ref,
                             global_dedup=False,
                             mention_pair_dedup=needs_pair_dedup,

@@ -285,7 +285,8 @@ def make_entity_emitter(kb_ref, sameas_ref):
 
 
 def emit_entity_triples_via_join(entities_ds, kb_ds, sameas_ds=None,
-                                 num_partitions: int = 8):
+                                 num_partitions: int = 8,
+                                 kb_subj_filter_ref=None):
     """Entity-triple branch for KBs too large to broadcast: the
     Dataset-join analog of ``EntityTripleEmitter``.
 
@@ -294,13 +295,31 @@ def emit_entity_triples_via_join(entities_ds, kb_ds, sameas_ds=None,
     at the base; per-base (pred, obj) dedup = distinct (subj, pred,
     obj), which the D5 bucket dedup computes exactly. ``entities_ds``
     is vocabulary-sized (one row per distinct linked uri), so its side
-    of both joins is small; the kb side shuffles once on subj.
+    of both joins is small; the kb side shuffles once on subj —
+    reduced map-side to possibly-matching subjects when
+    ``kb_subj_filter_ref`` (a broadcast probe-URI-universe Arrow array,
+    see linker_join.link_documents_via_join) is provided.
     """
     import pyarrow.compute as pc
 
     import ray.data as rd
 
     from ..functions.blocks import pin_nonempty
+
+    if kb_subj_filter_ref is not None:
+        from ..state.broadcast import get_broadcast
+
+        def _semi_filter(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(
+                t["subj"], value_set=get_broadcast(kb_subj_filter_ref)))
+
+        # pin + drop the (many) zero-row filtered blocks before the
+        # join (functions/blocks.py); fully filtered-out KB -> no
+        # entity triples at all
+        kb_ds = pin_nonempty(kb_ds.map_batches(_semi_filter,
+                                               batch_format="pyarrow"))
+        if kb_ds.count() == 0:
+            return rd.from_arrow(TRIPLE_SCHEMA.empty_table())
 
     # vocabulary-sized; pin so the two joins don't re-run its lineage,
     # dropping empty schema-less blocks that break join key resolution
@@ -357,7 +376,8 @@ def distinct_linked_entities(links_ds, partials=None):
 def emit_triples(links_ds, labels_ds, kb_ref, sameas_ref,
                  concurrency: int | tuple = (1, 2), global_dedup: bool = True,
                  mention_pair_dedup: bool = True, partials=None,
-                 entities_ds=None, kb_ds=None, sameas_ds=None):
+                 entities_ds=None, kb_ds=None, sameas_ds=None,
+                 kb_subj_filter_ref=None):
     """links + labels -> deduplicated (subj, pred, obj) triples Dataset.
 
     ``kb_ref=None`` with ``kb_ds`` (+ optional ``sameas_ds``) Datasets
@@ -397,8 +417,9 @@ def emit_triples(links_ds, labels_ds, kb_ref, sameas_ref,
     entities = (entities_ds if entities_ds is not None
                 else distinct_linked_entities(links_ds, partials=partials))
     if kb_ref is None:
-        entity_t = emit_entity_triples_via_join(entities, kb_ds,
-                                                sameas_ds=sameas_ds)
+        entity_t = emit_entity_triples_via_join(
+            entities, kb_ds, sameas_ds=sameas_ds,
+            kb_subj_filter_ref=kb_subj_filter_ref)
     else:
         entity_t = entities.map_batches(
             make_entity_emitter(kb_ref, sameas_ref), batch_format="pyarrow"

@@ -303,26 +303,48 @@ def _attach_pair_texts(pairs_ds, ds, id_col: str, text_col: str,
             ds.select_columns([id_col, text_col]).map_batches(
                 flt, batch_format="pyarrow"))
         if cand_docs.size_bytes() <= broadcast_text_bytes:
-            cd = cand_docs.to_pandas()
-            tmap_ref = ray.put(dict(zip(cd[id_col].astype("int64"), cd[text_col])))
+            # Arrow-native broadcast attach (ADVICE r04): the candidate
+            # texts stay an Arrow (sorted-id array, text array) pair —
+            # never a driver-side Python dict (which roughly doubled
+            # the footprint and deserialized per worker). ray.put of
+            # Arrow/numpy buffers is plasma-backed: one shared-memory
+            # copy per NODE, zero-copy views in every worker. Lookup is
+            # vectorized searchsorted + take, no per-row Python.
+            tbl = pa.concat_tables(
+                ray.get(cand_docs.to_arrow_refs())).combine_chunks()
+            ids_arr = tbl[id_col].cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            order = np.argsort(ids_arr, kind="stable")
+            sid_ref = ray.put(ids_arr[order])
+            txt_ref = ray.put(
+                tbl[text_col].take(pa.array(order)).combine_chunks())
 
             def attach(t: pa.Table) -> pa.Table:
-                m = get_broadcast(tmap_ref)
-                a = t.column("a").to_pylist()
-                b = t.column("b").to_pylist()
-                out = pa.table({
-                    "a": t.column("a"),
-                    "b": t.column("b"),
-                    "text_a": pa.array([m.get(x) for x in a], pa.string()),
-                    "text_b": pa.array([m.get(x) for x in b], pa.string()),
-                })
+                sid = get_broadcast(sid_ref)
+                txt = get_broadcast(txt_ref)
+
+                def locate(col) -> tuple[np.ndarray, np.ndarray]:
+                    v = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+                    if len(sid) == 0:
+                        return (np.zeros(len(v), np.int64),
+                                np.zeros(len(v), bool))
+                    pos = np.searchsorted(sid, v)
+                    pos_c = np.minimum(pos, len(sid) - 1)
+                    return pos_c, (pos < len(sid)) & (sid[pos_c] == v)
+
+                pos_a, ok_a = locate(t.column("a"))
+                pos_b, ok_b = locate(t.column("b"))
                 # inner-join parity: drop pairs whose endpoint is not
                 # in the corpus (cannot happen for pairs derived from
                 # it, but the join path would drop them)
-                import pyarrow.compute as pc
-
-                return out.filter(pc.and_(pc.is_valid(out["text_a"]),
-                                          pc.is_valid(out["text_b"])))
+                keep = ok_a & ok_b
+                t2 = t.filter(pa.array(keep))
+                return pa.table({
+                    "a": t2.column("a"),
+                    "b": t2.column("b"),
+                    "text_a": txt.take(pa.array(pos_a[keep])),
+                    "text_b": txt.take(pa.array(pos_b[keep])),
+                })
 
             return pairs_ds.map_batches(attach, batch_format="pyarrow")
     else:

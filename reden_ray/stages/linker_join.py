@@ -164,11 +164,23 @@ def link_documents_via_join(
     num_partitions: int = 16,
     num_buckets: int = DEFAULT_URL_BUCKETS,
     sameas_broadcast_row_limit: int = 4_000_000,
+    kb_subj_filter_ref=None,
 ):
     """candidates + kb Datasets -> links Dataset (two shuffles:
     subj-hash join, then url-bucket regroup; the sameAs hop is a
     broadcast map-side expansion under ``sameas_broadcast_row_limit``,
     a third join above it).
+
+    ``kb_subj_filter_ref`` (optional): broadcast ref to an Arrow string
+    array holding a SUPERSET of every probe URI this run can emit — the
+    semi-join reduction. When set, the KB side is filtered map-side
+    (``is_in(subj, universe)``) BEFORE the join shuffle, so the "one
+    unavoidable KB-sized exchange" ships only subjects that can
+    possibly match instead of the whole KB (a DBpedia-class KB is
+    ~99% non-candidate subjects). Lossless for an inner join by
+    construction; callers must guarantee the superset property
+    (NELPipeline derives the universe from the same dictionary +
+    sameAs tables the probes come from — see probe_universe_ref).
 
     ``rels`` (the reference's -relsFile predicate weights) changes
     degree (weight sum) and closeness (weighted shortest paths) in the
@@ -263,6 +275,11 @@ def link_documents_via_join(
         # preds per pair) collapse here, exactly as the per-url pair
         # dedup would do later but before the join fans them out.
         # Weighted runs keep min(rels-mapped weight) per pair.
+        if kb_subj_filter_ref is not None:
+            from ..state.broadcast import get_broadcast
+
+            t = t.filter(pc.is_in(
+                t["subj"], value_set=get_broadcast(kb_subj_filter_ref)))
         t = t.filter(pc.not_equal(t["pred"], SAMEAS_PRED))
         if weighted:
             w = apply_rels_weights(t["pred"], t["weight"], rels)
@@ -292,13 +309,29 @@ def link_documents_via_join(
 
         probes = raw.map_batches(project, batch_format="pyarrow")
 
-    edges = probes.join(
-        kb_triples_ds.map_batches(prep_kb, batch_format="pyarrow"),
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("probe_uri",),
-        right_on=("subj",),
-    )  # the one unavoidable KB-sized exchange of this path
+    kb_prepped = kb_triples_ds.map_batches(prep_kb, batch_format="pyarrow")
+    if kb_subj_filter_ref is not None:
+        # The semi-join filter empties most padding/non-candidate KB
+        # blocks; zero-row blocks reaching a hash join poison its key
+        # resolution (see functions/blocks.py). The filtered KB is
+        # candidate-neighborhood-sized by construction, so pinning it
+        # is cheap — and a FULLY filtered-out KB must short-circuit
+        # (links still emit from candidates alone, with no graph).
+        from ..functions.blocks import pin_nonempty
+
+        kb_prepped = pin_nonempty(kb_prepped)
+        if kb_prepped.count() == 0:
+            kb_prepped = None
+    if kb_prepped is not None:
+        edges = probes.join(
+            kb_prepped,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("probe_uri",),
+            right_on=("subj",),
+        )  # the one unavoidable KB-sized exchange of this path
+    else:
+        edges = None
 
     def edge_rows(t: pa.Table) -> pa.Table:
         t = t.filter(pc.not_equal(t["src_v"], t["dst_v"]))  # self-loops
@@ -348,9 +381,10 @@ def link_documents_via_join(
 
     from ..functions.bucket import add_bucket
 
-    unioned = candidates_ds.map_batches(cand_rows, batch_format="pyarrow").union(
-        edges.map_batches(edge_rows, batch_format="pyarrow")
-    )
+    unioned = candidates_ds.map_batches(cand_rows, batch_format="pyarrow")
+    if edges is not None:
+        unioned = unioned.union(
+            edges.map_batches(edge_rows, batch_format="pyarrow"))
     bucketed = unioned.map_batches(
         lambda t: add_bucket(t, "url", num_buckets), batch_format="pyarrow"
     )

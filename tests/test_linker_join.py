@@ -233,3 +233,117 @@ class TestJoinPathEquivalence:
         bn = b["score"].isna()
         assert (bn.values == j["score"].isna().values).all()
         assert np.allclose(b["score"][~bn], j["score"][~bn.values])
+
+
+class TestSemiJoinReduction:
+    """kb_join_probe_filter: the KB side of the J3 link join and the
+    entity-triple join is filtered map-side to the dictionary-derived
+    probe universe before its shuffle — lossless for the inner join,
+    so links AND triples must be byte-identical to the broadcast path
+    even when the KB is padded with millions of never-matching rows."""
+
+    def _padded_fixture(self, unit_fixture, tmp_path, n_pad: int = 20_000):
+        """Copy the unit fixture; pad kb_triples with rows whose
+        subjects are outside the probe universe (unique namespace)."""
+        import shutil
+
+        import pyarrow as pa
+
+        fx = tmp_path / "padded"
+        fx.mkdir()
+        for f in ("dictionary", "gazetteer", "sameas", "pages",
+                  "gold_links", "gold_triples"):
+            src = f"{unit_fixture}/{f}.parquet"
+            shutil.copy(src, fx / f"{f}.parquet")
+        kb_dir = fx / "kb_triples.parquet"
+        kb_dir.mkdir()
+        shutil.copy(f"{unit_fixture}/kb_triples.parquet",
+                    kb_dir / "part-000.parquet")
+        pad = pa.table({
+            "subj": [f"http://pad.example/e/{i}" for i in range(n_pad)],
+            "pred": ["http://pad.example/p/rel"] * n_pad,
+            "obj": [f"http://pad.example/e/{(i * 7) % n_pad}"
+                    for i in range(n_pad)],
+            "obj_is_literal": [False] * n_pad,
+            "weight": [1.0] * n_pad,
+        })
+        pq.write_table(pad, kb_dir / "part-001.parquet")
+        return str(fx)
+
+    def test_probe_universe_gating(self, unit_fixture):
+        from reden_ray.pipelines.nel import NELConfig
+
+        # dico broadcastable -> universe available
+        p = NELPipeline(unit_fixture, NELConfig(kb_broadcast_limit_bytes=0))
+        assert p.probe_universe_ref() is not None
+        # cached second call returns the same ref
+        assert p.probe_universe_ref() is p.probe_universe_ref()
+        # dico over ITS gate -> no driver-side universe -> filter off
+        p2 = NELPipeline(unit_fixture, NELConfig(
+            kb_broadcast_limit_bytes=0, dico_broadcast_limit_bytes=0))
+        assert p2.probe_universe_ref() is None
+        # explicit opt-out
+        p3 = NELPipeline(unit_fixture, NELConfig(
+            kb_broadcast_limit_bytes=0, kb_join_probe_filter=False))
+        assert p3.probe_universe_ref() is None
+
+    def test_universe_is_superset_of_probes(self, unit_fixture):
+        """Soundness: every URI compact_probes can emit (entity_id,
+        equivalence list, broadcast sameAs hop) is in the universe."""
+        import ray
+
+        from reden_ray.pipelines.nel import NELConfig
+        from reden_ray.state.broadcast import load_sameas_index
+
+        p = NELPipeline(unit_fixture, NELConfig(kb_broadcast_limit_bytes=0))
+        universe = set(ray.get(p.probe_universe_ref()).to_pylist())
+        cands = p.candidates().to_pandas()
+        samap = load_sameas_index(f"{unit_fixture}/sameas.parquet")
+        for ent, uris in zip(cands["entity_id"], cands["uris_str"]):
+            assert ent in universe
+            for u in uris.split(" "):
+                assert u in universe
+            for eq in samap.get(ent, []):
+                assert eq in universe
+
+    def test_padded_kb_links_and_triples_match_broadcast(
+            self, unit_fixture, tmp_path):
+        from reden_ray.pipelines.nel import NELConfig
+
+        fx = self._padded_fixture(unit_fixture, tmp_path)
+        cfg = NELConfig(kb_broadcast_limit_bytes=0, join_partitions=2)
+        pj = NELPipeline(fx, cfg)
+        assert not pj.kb_broadcastable and pj.dico_broadcastable
+        assert pj.probe_universe_ref() is not None
+
+        pb = NELPipeline(unit_fixture)
+        key = ["url", "mention_id"]
+        got = pj.links().to_pandas().sort_values(key).reset_index(drop=True)
+        want = pb.links().to_pandas().sort_values(key).reset_index(drop=True)
+        assert len(got) == len(want)
+        assert (got["uri"].values == want["uri"].values).all()
+        bn = want["score"].isna()
+        assert (bn.values == got["score"].isna().values).all()
+
+        tkey = ["subj", "pred", "obj"]
+        gt = pj.triples().to_pandas().sort_values(tkey).reset_index(drop=True)
+        wt = pb.triples().to_pandas().sort_values(tkey).reset_index(drop=True)
+        assert gt.equals(wt)
+
+    def test_filter_off_still_correct_on_padded_kb(
+            self, unit_fixture, tmp_path):
+        """The unfiltered join path (universe unavailable) must also be
+        exact over a padded KB — the padding just rides the exchange."""
+        from reden_ray.pipelines.nel import NELConfig
+
+        fx = self._padded_fixture(unit_fixture, tmp_path, n_pad=5_000)
+        cfg = NELConfig(kb_broadcast_limit_bytes=0, join_partitions=2,
+                        kb_join_probe_filter=False)
+        pj = NELPipeline(fx, cfg)
+        assert pj.probe_universe_ref() is None
+        got = pj.links().to_pandas()
+        want = NELPipeline(unit_fixture).links().to_pandas()
+        key = ["url", "mention_id"]
+        g = got.sort_values(key).reset_index(drop=True)
+        w = want.sort_values(key).reset_index(drop=True)
+        assert (g["uri"].values == w["uri"].values).all()
