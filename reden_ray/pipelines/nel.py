@@ -98,6 +98,19 @@ class NELConfig:
     kb_join_probe_filter: bool = True
     probe_filter_max_uris: int = 4_000_000
     probe_filter_sameas_limit_bytes: int = 64 << 20
+    # Re-gate after reduction: a KB over its broadcast gate usually
+    # fails it on NON-candidate mass (a DBpedia-class KB is ~99%
+    # subjects no dictionary entry can ever probe). When the probe
+    # universe is enumerable, the semi-join filter shrinks the KB to
+    # candidate neighborhoods — whose measured size is re-checked
+    # against the SAME gate. If the reduced KB fits, the fast fused
+    # broadcast path runs against the reduced index (lossless: every
+    # KB probe on the broadcast path — ent_rec / _entity_edges /
+    # EntityTripleEmitter — draws from the universe). If it doesn't,
+    # the already-filtered, pinned KB is handed to the distributed
+    # joins so the reduction scan is never wasted. Forced-0 gates keep
+    # exercising the pure join path (no reduced size passes a 0 limit).
+    kb_reduced_broadcast: bool = True
     # S2 context granularity (the reference's xpathExpresion knob,
     # MainNELApp.java:222-231): None = whole page (//body); an int K =
     # K-word context windows (//body/div analog) — mentions, fusion
@@ -130,6 +143,75 @@ class NELPipeline:
                        if self.kb_broadcastable else None)
         self.sameas_ref = (put_broadcast(load_sameas_index(self.sameas_path))
                            if self.kb_broadcastable else None)
+        # routing record: "broadcast" (whole KB under the gate),
+        # "reduced-broadcast" (over-gate KB, reduced neighborhoods
+        # re-passed the gate), or "join" (distributed J3). Decided
+        # lazily for over-gate KBs — None until links()/triples() run.
+        self.kb_route = "broadcast" if self.kb_broadcastable else None
+
+    def _try_reduced_broadcast(self) -> bool:
+        """Attempt the reduced-KB re-gate (NELConfig.kb_reduced_broadcast).
+
+        Runs the semi-join subject filter over the KB Parquet as a
+        distributed map, pins the reduced rows, and measures them: under
+        the gate, the fused broadcast path is unlocked by building the
+        subj-keyed index from the reduced blocks (the in-memory Arrow
+        measurement is the conservative side of the Parquet-byte gate —
+        uncompressed Arrow ≥ Parquet for URI triples). Over the gate,
+        the pinned reduced Dataset is stashed for the join path to use
+        as its pre-filtered KB side, so the scan is never wasted —
+        the join path would have run the identical filter anyway."""
+        if self.kb_broadcastable:
+            return True
+        if getattr(self, "_reduced_tried", False):
+            return self.kb_ref is not None
+        self._reduced_tried = True
+        self._reduced_kb_ds = None
+        if (not self.cfg.kb_reduced_broadcast
+                or self.cfg.kb_broadcast_limit_bytes <= 0):
+            self.kb_route = "join"
+            return False
+        probe_ref = self.probe_universe_ref()
+        if probe_ref is None:
+            self.kb_route = "join"
+            return False
+        import pyarrow.compute as pc
+
+        import ray
+
+        from ..functions.blocks import pin_nonempty
+        from ..state.broadcast import get_broadcast, kb_index_from_table
+
+        def subj_in_universe(t, _ref=probe_ref):
+            return t.filter(pc.is_in(t["subj"],
+                                     value_set=get_broadcast(_ref)))
+
+        reduced = pin_nonempty(
+            rd.read_parquet(self.kb_path)
+            .map_batches(subj_in_universe, batch_format="pyarrow"))
+        if reduced.size_bytes() > self.cfg.kb_broadcast_limit_bytes:
+            self._reduced_kb_ds = reduced
+            self.kb_route = "join"
+            return False
+        idx: dict = {}
+        for tbl in ray.get(reduced.to_arrow_refs()):
+            kb_index_from_table(tbl, into=idx)
+        self.kb_ref = put_broadcast(idx)
+        # sameAs is bounded by probe_filter_sameas_limit_bytes here
+        # (the universe requires it), so the whole table broadcasts
+        self.sameas_ref = put_broadcast(load_sameas_index(self.sameas_path))
+        self.kb_broadcastable = True
+        self.kb_route = "reduced-broadcast"
+        return True
+
+    def _join_kb_ds(self):
+        """KB Dataset for the distributed-join path: the pinned
+        semi-join-reduced rows when a failed re-gate already produced
+        them (the in-join filter stays on — idempotent and cheap on the
+        reduced size, and it keeps the empty-KB short-circuit), else
+        the raw Parquet."""
+        stashed = getattr(self, "_reduced_kb_ds", None)
+        return stashed if stashed is not None else rd.read_parquet(self.kb_path)
 
     def probe_universe_ref(self):
         """Broadcast ref to the probe-URI universe (Arrow string array)
@@ -213,8 +295,11 @@ class NELPipeline:
         (default: this fixture's pages).
 
         When the measured KB size exceeds cfg.kb_broadcast_limit_bytes
-        (kb_broadcastable=False), the fused/broadcast paths are
-        unavailable and linking routes through the distributed J3 join
+        (kb_broadcastable=False), the reduced-KB re-gate runs first
+        (cfg.kb_reduced_broadcast — see _try_reduced_broadcast): if the
+        semi-join-reduced neighborhoods fit the gate, linking stays on
+        the fused broadcast path against the reduced index; otherwise
+        it routes through the distributed J3 join
         (stages/linker_join.py) — candidates likewise arrive via the J1
         join when the dictionary is over its gate. On that route, a
         caller-supplied ``candidates_ds`` must draw its candidate URIs
@@ -237,7 +322,7 @@ class NELPipeline:
         return split_context_key(links_ds)
 
     def _links_raw(self, candidates_ds=None, mentions_ds=None):
-        if not self.kb_broadcastable:
+        if not self.kb_broadcastable and not self._try_reduced_broadcast():
             cands = (candidates_ds if candidates_ds is not None
                      else self.candidates(mentions_ds))
             from ..functions.blocks import pin_nonempty
@@ -248,7 +333,7 @@ class NELPipeline:
             # poison the J3 join's key resolution (see blocks.py)
             return link_documents_via_join(
                 pin_nonempty(cands),
-                rd.read_parquet(self.kb_path),
+                self._join_kb_ds(),
                 sameas_ds=rd.read_parquet(self.sameas_path),
                 kb_subj_filter_ref=self.probe_universe_ref(),
                 rels=self.cfg.rels,
@@ -363,13 +448,13 @@ class NELPipeline:
                 for meta in bundle.metadata:
                     max_block = max(max_block, meta.size_bytes or 0)
             needs_pair_dedup = max_block >= target // 2
-        if self.kb_ref is None:
+        if self.kb_ref is None and not self._try_reduced_broadcast():
             # gated join mode: entity triples via the distributed join
             return emit_triples(
                 ds, labels, None, None, global_dedup=False,
                 mention_pair_dedup=needs_pair_dedup,
                 partials=partials, entities_ds=entities,
-                kb_ds=rd.read_parquet(self.kb_path),
+                kb_ds=self._join_kb_ds(),
                 sameas_ds=rd.read_parquet(self.sameas_path),
                 kb_subj_filter_ref=self.probe_universe_ref())
         return emit_triples(ds, labels, self.kb_ref, self.sameas_ref,

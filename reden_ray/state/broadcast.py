@@ -66,11 +66,14 @@ def load_gazetteer_surfaces(path: str) -> list[tuple[str, str]]:
     return sorted(zip(t["surface"].to_pylist(), t["ne_type"].to_pylist()))
 
 
-def load_kb_index(path: str) -> dict[str, list[tuple[str, str, bool, float]]]:
-    """subj -> [(pred, obj, obj_is_literal, weight)] — replaces the
-    per-URI N3 cache + Jena Model (GraphHandlerNEL.java:78-103,351-384)."""
-    t = pq.read_table(path)
-    idx: dict[str, list[tuple[str, str, bool, float]]] = {}
+def kb_index_from_table(
+    t, into: dict | None = None
+) -> dict[str, list[tuple[str, str, bool, float]]]:
+    """Fold KB triple rows (an Arrow table) into the subj-keyed
+    neighborhood index. ``into`` accumulates across several tables
+    (e.g. the object-store blocks of a semi-join-reduced KB)."""
+    idx: dict[str, list[tuple[str, str, bool, float]]] = (
+        {} if into is None else into)
     for s, p, o, lit, w in zip(
         t["subj"].to_pylist(),
         t["pred"].to_pylist(),
@@ -80,6 +83,12 @@ def load_kb_index(path: str) -> dict[str, list[tuple[str, str, bool, float]]]:
     ):
         idx.setdefault(s, []).append((p, o, bool(lit), float(w)))
     return idx
+
+
+def load_kb_index(path: str) -> dict[str, list[tuple[str, str, bool, float]]]:
+    """subj -> [(pred, obj, obj_is_literal, weight)] — replaces the
+    per-URI N3 cache + Jena Model (GraphHandlerNEL.java:78-103,351-384)."""
+    return kb_index_from_table(pq.read_table(path))
 
 
 def load_sameas_index(path: str) -> dict[str, list[str]]:

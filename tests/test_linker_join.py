@@ -347,3 +347,129 @@ class TestSemiJoinReduction:
         g = got.sort_values(key).reset_index(drop=True)
         w = want.sort_values(key).reset_index(drop=True)
         assert (g["uri"].values == w["uri"].values).all()
+
+
+class TestReducedBroadcastReGate:
+    """kb_reduced_broadcast: an over-gate KB whose semi-join-reduced
+    candidate neighborhoods re-pass the gate must route back onto the
+    fused broadcast path — with links and triples byte-identical to
+    the whole-KB broadcast run."""
+
+    def _padded(self, unit_fixture, tmp_path, n_pad=20_000, only_pad=False):
+        import shutil
+
+        import pyarrow as pa
+
+        fx = tmp_path / "regate"
+        fx.mkdir()
+        for f in ("dictionary", "gazetteer", "sameas", "pages",
+                  "gold_links", "gold_triples"):
+            shutil.copy(f"{unit_fixture}/{f}.parquet", fx / f"{f}.parquet")
+        kb_dir = fx / "kb_triples.parquet"
+        kb_dir.mkdir()
+        if not only_pad:
+            shutil.copy(f"{unit_fixture}/kb_triples.parquet",
+                        kb_dir / "part-000.parquet")
+        pad = pa.table({
+            "subj": [f"http://pad.example/e/{i}" for i in range(n_pad)],
+            "pred": ["http://pad.example/p/rel"] * n_pad,
+            "obj": [f"http://pad.example/e/{(i * 7) % n_pad}"
+                    for i in range(n_pad)],
+            "obj_is_literal": [False] * n_pad,
+            "weight": [1.0] * n_pad,
+        })
+        pq.write_table(pad, kb_dir / "part-001.parquet")
+        return str(fx)
+
+    def _regate_limit(self, unit_fixture) -> int:
+        # a gate the WHOLE padded KB fails but the reduced rows pass:
+        # reduced rows are a subset of the original unit KB, whose
+        # in-memory Arrow bytes bound the reduced measurement from above
+        return pq.read_table(f"{unit_fixture}/kb_triples.parquet").nbytes + 8192
+
+    def test_regate_routes_to_broadcast_and_matches(
+            self, unit_fixture, tmp_path):
+        from reden_ray.pipelines.nel import NELConfig
+
+        fx = self._padded(unit_fixture, tmp_path)
+        limit = self._regate_limit(unit_fixture)
+        pj = NELPipeline(fx, NELConfig(kb_broadcast_limit_bytes=limit))
+        assert not pj.kb_broadcastable, \
+            "padded KB must exceed the test gate on disk"
+        assert pj.kb_route is None  # lazy until links()/triples()
+
+        key = ["url", "mention_id"]
+        got = pj.links().to_pandas().sort_values(key).reset_index(drop=True)
+        assert pj.kb_route == "reduced-broadcast"
+        assert pj.kb_ref is not None and pj.sameas_ref is not None
+        want = (NELPipeline(unit_fixture).links().to_pandas()
+                .sort_values(key).reset_index(drop=True))
+        assert len(got) == len(want)
+        assert (got["uri"].values == want["uri"].values).all()
+        bn = want["score"].isna()
+        assert (bn.values == got["score"].isna().values).all()
+
+        tkey = ["subj", "pred", "obj"]
+        gt = pj.triples().to_pandas().sort_values(tkey).reset_index(drop=True)
+        wt = (NELPipeline(unit_fixture).triples().to_pandas()
+              .sort_values(tkey).reset_index(drop=True))
+        assert gt.equals(wt)
+
+    def test_failed_regate_reuses_filtered_kb_on_join_path(
+            self, unit_fixture, tmp_path):
+        from reden_ray.pipelines.nel import NELConfig
+
+        fx = self._padded(unit_fixture, tmp_path, n_pad=5_000)
+        pj = NELPipeline(fx, NELConfig(kb_broadcast_limit_bytes=1,
+                                       join_partitions=2))
+        key = ["url", "mention_id"]
+        got = pj.links().to_pandas().sort_values(key).reset_index(drop=True)
+        assert pj.kb_route == "join"
+        assert pj._reduced_kb_ds is not None  # stash reused by _join_kb_ds
+        # the stashed rows are exactly the universe-filtered KB
+        assert pj._reduced_kb_ds.count() == pq.read_table(
+            f"{unit_fixture}/kb_triples.parquet").num_rows
+        want = (NELPipeline(unit_fixture).links().to_pandas()
+                .sort_values(key).reset_index(drop=True))
+        assert (got["uri"].values == want["uri"].values).all()
+
+    def test_forced_zero_gate_skips_reduction(self, unit_fixture, tmp_path):
+        from reden_ray.pipelines.nel import NELConfig
+
+        fx = self._padded(unit_fixture, tmp_path, n_pad=2_000)
+        pj = NELPipeline(fx, NELConfig(kb_broadcast_limit_bytes=0,
+                                       join_partitions=2))
+        pj.links().materialize()
+        assert pj.kb_route == "join"
+        assert pj._reduced_kb_ds is None  # no scan was spent on a 0 gate
+
+    def test_opt_out_flag(self, unit_fixture, tmp_path):
+        from reden_ray.pipelines.nel import NELConfig
+
+        fx = self._padded(unit_fixture, tmp_path, n_pad=2_000)
+        limit = self._regate_limit(unit_fixture)
+        pj = NELPipeline(fx, NELConfig(kb_broadcast_limit_bytes=limit,
+                                       kb_reduced_broadcast=False,
+                                       join_partitions=2))
+        pj.links().materialize()
+        assert pj.kb_route == "join"
+
+    def test_fully_filtered_kb_regates_to_empty_index(
+            self, unit_fixture, tmp_path):
+        """A KB with ZERO candidate subjects reduces to an empty index;
+        the broadcast path must still link from candidates alone —
+        matching the join path's empty-KB short-circuit."""
+        from reden_ray.pipelines.nel import NELConfig
+
+        fx = self._padded(unit_fixture, tmp_path, n_pad=20_000, only_pad=True)
+        limit = self._regate_limit(unit_fixture)
+        pr = NELPipeline(fx, NELConfig(kb_broadcast_limit_bytes=limit))
+        assert not pr.kb_broadcastable
+        key = ["url", "mention_id"]
+        got = pr.links().to_pandas().sort_values(key).reset_index(drop=True)
+        assert pr.kb_route == "reduced-broadcast"
+        pj = NELPipeline(fx, NELConfig(kb_broadcast_limit_bytes=0,
+                                       join_partitions=2))
+        want = pj.links().to_pandas().sort_values(key).reset_index(drop=True)
+        assert len(got) == len(want)
+        assert (got["uri"].values == want["uri"].values).all()
