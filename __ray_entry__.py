@@ -237,6 +237,62 @@ def _q_nel_links_bigkb(sf_dir: str):
     return _scored_projection(links, lower_surface=True)
 
 
+def _q_nel_links_regate(sf_dir: str):
+    """The reduced-KB re-gate route (NELConfig.kb_reduced_broadcast):
+    a KB padded far over a tight broadcast gate with never-matching
+    subjects reduces — via the semi-join probe universe — to candidate
+    neighborhoods that re-pass the SAME gate, so linking runs the
+    fused broadcast path against an index built from the reduced
+    blocks. Hash-verified against the same SQL linking algebra as
+    nel_links_scored: the padding namespace is unreachable from the
+    dictionary, so the reduced index is provably the vocab KB and the
+    links must be byte-identical."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from reden_ray.pipelines.nel import NELConfig, NELPipeline
+    from reden_ray.pipelines.webdemo import pages_from_documents, vocab_fixture
+
+    vocab = vocab_fixture()
+    fx = f"{vocab}_regate"
+    if not os.path.exists(f"{fx}/_complete"):
+        tmp = f"{fx}.build"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        for f in ("dictionary", "gazetteer", "sameas"):
+            shutil.copy(f"{vocab}/{f}.parquet", f"{tmp}/{f}.parquet")
+        kb_dir = f"{tmp}/kb_triples.parquet"
+        os.makedirs(kb_dir)
+        shutil.copy(f"{vocab}/kb_triples.parquet", f"{kb_dir}/vocab-000.parquet")
+        n = 200_000
+        pq.write_table(pa.table({
+            "subj": [f"http://pad.example/e/{i:08x}" for i in range(n)],
+            "pred": ["http://pad.example/p/rel"] * n,
+            "obj": [f"http://pad.example/e/{(i * 7) % n:08x}" for i in range(n)],
+            "obj_is_literal": [False] * n,
+            "weight": [1.0] * n,
+        }), f"{kb_dir}/pad-000.parquet")
+        with open(f"{tmp}/_complete", "w") as fh:
+            fh.write("ok")
+        try:
+            os.rename(tmp, fx)  # atomic publish (concurrent-caller safe)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    # a gate the padded KB fails on disk but the reduced vocab
+    # neighborhoods (their in-memory Arrow bytes) comfortably re-pass
+    limit = pq.read_table(f"{vocab}/kb_triples.parquet").nbytes + (256 << 10)
+    p = NELPipeline(fx, NELConfig(kb_broadcast_limit_bytes=limit,
+                                  join_partitions=8))
+    assert not p.kb_broadcastable and p.dico_broadcastable
+    mentions = p.mentions(p.texts(pages_from_documents(sf_dir))).materialize()
+    links = p.links(mentions_ds=mentions)
+    assert p.kb_route == "reduced-broadcast", p.kb_route
+    return _scored_projection(links, lower_surface=True)
+
+
 # Context-window width shared by the ctx driver query and its oracle.
 _CTX_WORDS_Q = 16
 
@@ -1339,6 +1395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nel_links_scored": _q_nel_links_scored,
         "nel_links_scale_path": _q_nel_links_scale_path,
         "nel_links_bigkb": _q_nel_links_bigkb,
+        "nel_links_regate": _q_nel_links_regate,
         "nel_links_ctx": _q_nel_links_ctx,
         "nel_triples": _q_nel_triples,
         "nel_mention_triples_unambiguous": _q_nel_mention_triples_unambiguous,
@@ -1437,6 +1494,7 @@ def oracle_sql() -> dict[str, str]:
         "nel_links_scored": _nel_links_scored_sql(),
         "nel_links_scale_path": _nel_links_scored_sql(),
         "nel_links_bigkb": _nel_links_scored_sql(),
+        "nel_links_regate": _nel_links_scored_sql(),
         "nel_links_ctx": _nel_links_ctx_sql(),
         "q29b_embedding_planted": _q29_planted_sql(),
         "nel_triples": _nel_triples_sql(),
