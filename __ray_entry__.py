@@ -1381,6 +1381,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q32_pii_scrub": R.q32_pii_scrub,
         # per-host stats + domain blocklist (URL hygiene)
         "q33_host_stats": R.q33_host_stats,
+        "q34_host_cap": R.q34_host_cap,
+        "q35_decontaminate": R.q35_decontaminate,
         # flagship NEL / KG construction over derived pages (rows-only:
         # graph algorithm not SQL-expressible; parity is gated in pytest
         # against analytic gold fixtures instead).
@@ -1479,6 +1481,8 @@ def oracle_sql() -> dict[str, str]:
         "q30_quality_filter": R.Q30_SQL,
         "q32_pii_scrub": R.Q32_SQL,
         "q33_host_stats": R.Q33_SQL,
+        "q34_host_cap": R.Q34_SQL,
+        "q35_decontaminate": R.Q35_SQL,
         "q27_tumbling_window": __import__(
             "reden_ray.stages.windows", fromlist=["TUMBLING_SQL"]
         ).TUMBLING_SQL.format(size_us=3_600_000_000),

@@ -630,6 +630,114 @@ GROUP BY host
 """
 
 
+# Q34 — per-host document cap (hot-domain downsampling: the C4 /
+# RefinedWeb "max pages per domain" curation step). Deterministic rule:
+# keep the K lowest doc_ids per host. Combiner-first: per-batch partial
+# top-K per host (top-K is a semilattice, so block partials compose),
+# then ONE hash-bucket shuffle of the bounded partials and the same
+# rule per bucket — the corpus itself never crosses the exchange. Same
+# 17-host doc_id spread as q33 (the synthetic corpus is single-host).
+_HOST_CAP_K = 10
+
+
+def q34_host_cap(sf_dir: str) -> pd.DataFrame:
+    import numpy as np
+
+    from ..stages.windows import grouped_by_key_buckets
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def partial_cap(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hid = doc % 17
+        order = np.lexsort((doc, hid))
+        h_sorted = hid[order]
+        starts = np.flatnonzero(np.r_[True, h_sorted[1:] != h_sorted[:-1]])
+        lens = np.diff(np.r_[starts, len(h_sorted)])
+        rank = np.arange(len(h_sorted)) - np.repeat(starts, lens)
+        kept = doc[order[rank < _HOST_CAP_K]]
+        hid_s = pc.cast(pa.array(kept % 17, pa.int64()), pa.string())
+        host = pc.binary_join_element_wise("https://cdn", hid_s,
+                                           ".example.org", "")
+        return pa.table({"doc_id": pa.array(kept, pa.int64()), "host": host})
+
+    partials = ds.map_batches(partial_cap, batch_format="pyarrow")
+
+    def final_cap(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["host", "doc_id"], kind="stable")
+                .groupby("host", sort=False).head(_HOST_CAP_K))
+
+    return grouped_by_key_buckets(partials, "host", final_cap).to_pandas()
+
+
+Q34_SQL = f"""
+WITH x AS (
+  SELECT doc_id,
+         'https://cdn' || CAST(doc_id % 17 AS VARCHAR) || '.example.org' AS host
+  FROM documents
+), r AS (
+  SELECT doc_id, host,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+  FROM x
+)
+SELECT doc_id, host FROM r WHERE rn <= {_HOST_CAP_K}
+"""
+
+
+# Q35 — benchmark decontamination (training-data hygiene): flag every
+# document containing any probe phrase from a broadcast eval-set. The
+# probe set here is a deterministic stand-in — the first 8
+# space-separated words of every doc_id % 97 == 0 document (a real
+# pipeline broadcasts eval-benchmark 13-gram sets, often as a Bloom
+# filter; the OPERATOR — small probe side broadcast once via ray.put,
+# corpus scanned once with vectorized substring kernels, zero shuffles
+# — is exactly that shape). The documents table carries planted
+# duplicates, so probes hit beyond their own source docs.
+def q35_decontaminate(sf_dir: str) -> pd.DataFrame:
+    import numpy as np
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def probe_rows(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].filter(pa.array(doc % 97 == 0)).to_pylist()
+        probes = {" ".join(x.split(" ")[:8]) for x in texts}
+        probes.discard("")
+        return pa.table({"probe": pa.array(sorted(probes), pa.string())})
+
+    # eval-suite-sized by construction: collect + broadcast once
+    probes = sorted(set(
+        ds.map_batches(probe_rows, batch_format="pyarrow")
+        .to_pandas()["probe"]))
+    p_ref = ray.put(probes)
+
+    def flag(t: pa.Table) -> pa.Table:
+        n = np.zeros(t.num_rows, np.int64)
+        for probe in get_broadcast(p_ref):
+            hit = pc.fill_null(pc.match_substring(t["text"], probe), False)
+            n += hit.to_numpy(zero_copy_only=False).astype(np.int64)
+        out = pa.table({"doc_id": t["doc_id"],
+                        "n_probes_hit": pa.array(n, pa.int64())})
+        return out.filter(pc.greater(out["n_probes_hit"], 0))
+
+    return ds.map_batches(flag, batch_format="pyarrow").to_pandas()
+
+
+Q35_SQL = r"""
+WITH p AS (
+  SELECT DISTINCT
+         array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') AS probe
+  FROM documents WHERE doc_id % 97 = 0
+), pp AS (
+  SELECT probe FROM p WHERE length(probe) > 0
+)
+SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_probes_hit
+FROM documents d, pp
+WHERE contains(d.text, pp.probe)
+GROUP BY d.doc_id
+"""
+
+
 # Q16 — sessionization (30-min gap): ONE hash-bucket shuffle,
 # vectorized gap detection across all keys in the bucket at once
 def q16_user_sessions(sf_dir: str) -> pd.DataFrame:

@@ -266,3 +266,65 @@ class TestHostStats:
         assert set(out["n_chars"]) == {70}
         assert not any(h in ("cdn3.example.org", "cdn7.example.org")
                        for h in out["host"])
+
+
+class TestHostCap:
+    def test_cap_keeps_k_lowest_ids_per_host(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from reden_ray.pipelines.relational import _HOST_CAP_K, q34_host_cap
+
+        n = 17 * (_HOST_CAP_K + 5)  # every host over the cap
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(["x"] * n, pa.string()),
+        }), tmp_path / "documents.parquet")
+        out = q34_host_cap(str(tmp_path))
+        assert len(out) == 17 * _HOST_CAP_K
+        by_host = out.groupby("host")["doc_id"]
+        assert (by_host.count() == _HOST_CAP_K).all()
+        # the kept ids are the K LOWEST of each host's arithmetic spread
+        for host, ids in by_host.apply(sorted).items():
+            h = int(host.removeprefix("https://cdn").split(".")[0])
+            assert ids == [h + 17 * i for i in range(_HOST_CAP_K)]
+
+    def test_under_cap_passes_through(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from reden_ray.pipelines.relational import q34_host_cap
+
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(17), pa.int64()),  # 1 doc per host
+            "text": pa.array(["x"] * 17, pa.string()),
+        }), tmp_path / "documents.parquet")
+        out = q34_host_cap(str(tmp_path))
+        assert sorted(out["doc_id"]) == list(range(17))
+
+
+class TestDecontaminate:
+    def test_probe_hits_source_and_contaminated_docs(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from reden_ray.pipelines.relational import q35_decontaminate
+
+        probe_text = "alpha beta gamma delta epsilon zeta eta theta tail0"
+        rows = {
+            0: probe_text,                        # probe source (0 % 97 == 0)
+            1: "clean words only here",
+            2: f"prefix then {probe_text} suffix",  # contaminated
+            3: "alpha beta gamma delta",          # partial ngram: no hit
+            97: "another probe source words one two three four five",
+        }
+        ids = sorted(rows)
+        pq.write_table(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([rows[i] for i in ids], pa.string()),
+        }), tmp_path / "documents.parquet")
+        out = q35_decontaminate(str(tmp_path)).set_index("doc_id")
+        assert sorted(out.index) == [0, 2, 97]
+        assert out.loc[0, "n_probes_hit"] == 1
+        assert out.loc[2, "n_probes_hit"] == 1
+        assert out.loc[97, "n_probes_hit"] == 1
