@@ -379,6 +379,37 @@ def simhash64(text: str) -> int:
     return out
 
 
+def simhash64_batch(texts: "list[str]") -> np.ndarray:
+    """Batched :func:`simhash64` — bit-identical outputs, computed with
+    one blake2b per DISTINCT word across the whole batch (vocabulary
+    repeats across documents, so this collapses most of the hash work)
+    and one vectorized segment-sum vote pass (``np.add.reduceat`` over
+    per-doc word ranges) instead of a per-document Python loop."""
+    words_per_doc = [
+        sorted({w.lower() for w in _WORD_RE.findall(t)}) for t in texts
+    ]
+    counts = np.fromiter((len(ws) for ws in words_per_doc),
+                         dtype=np.int64, count=len(texts))
+    flat = [w for ws in words_per_doc for w in ws]
+    out = np.zeros(len(texts), dtype=np.uint64)
+    if not flat:
+        return out
+    uniq, inv = np.unique(np.asarray(flat, dtype=object), return_inverse=True)
+    hv = _hash64(list(uniq))[inv]
+    shifts = np.arange(64, dtype=np.uint64)[None, :]
+    bits = ((hv[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    nz = counts > 0
+    # dropping empty docs' (duplicate) starts leaves strictly increasing
+    # boundaries covering every flat row, so reduceat segments are exact
+    seg = np.add.reduceat(bits, starts[nz], axis=0)
+    votes = seg * 2 - counts[nz][:, None]
+    vals = ((votes > 0).astype(np.uint64)
+            << shifts).sum(axis=1, dtype=np.uint64)
+    out[nz] = vals
+    return out
+
+
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 

@@ -44,6 +44,7 @@ from ..functions.text import (
     minhash_signature,
     shingle_hashes64,
     simhash64,
+    simhash64_batch,
     word_ngrams,
 )
 from ..functions.bucket import add_bucket as add_bucket_arrow
@@ -538,22 +539,21 @@ def simhash_clusters(
     """
 
     def sim_rows(batch: pa.Table) -> pa.Table:
-        ids, bands, vals, hashes = [], [], [], []
-        for doc_id, text in zip(
-            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
-        ):
-            h = simhash64(text)
-            for band in range(4):
-                ids.append(doc_id)
-                bands.append(band)
-                vals.append((h >> (band * 16)) & 0xFFFF)
-                hashes.append(h)
+        import numpy as np
+
+        hs = simhash64_batch(batch.column(text_col).to_pylist())
+        n = len(hs)
+        ids = np.repeat(
+            batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64), 4)
+        h_rep = np.repeat(hs, 4)
+        bands = np.tile(np.arange(4, dtype=np.uint64), n)
+        vals = (h_rep >> (bands * np.uint64(16))) & np.uint64(0xFFFF)
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
-                "band": pa.array(bands, pa.int32()),
-                "val": pa.array(vals, pa.int32()),
-                "h": pa.array(hashes, pa.uint64()),
+                "band": pa.array(bands.astype(np.int32), pa.int32()),
+                "val": pa.array(vals.astype(np.int32), pa.int32()),
+                "h": pa.array(h_rep, pa.uint64()),
             }
         )
 

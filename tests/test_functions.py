@@ -328,3 +328,22 @@ class TestDecontaminate:
         assert out.loc[0, "n_probes_hit"] == 1
         assert out.loc[2, "n_probes_hit"] == 1
         assert out.loc[97, "n_probes_hit"] == 1
+
+
+class TestSimhashBatch:
+    def test_batch_equals_per_doc(self):
+        from reden_ray.functions.text import simhash64, simhash64_batch
+
+        texts = ["", "one", "Hello world hello WORLD", "a b c d e f g",
+                 "répété répété unicode çà", "the quick brown fox",
+                 "  ", "123 456 123", "tie tie", "x"]
+        got = simhash64_batch(texts)
+        assert [int(v) for v in got] == [simhash64(t) for t in texts]
+
+    def test_empty_edges(self):
+        import numpy as np
+
+        from reden_ray.functions.text import simhash64_batch
+
+        assert simhash64_batch([]).shape == (0,)
+        assert (simhash64_batch(["", "", ""]) == np.uint64(0)).all()
