@@ -1383,6 +1383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q33_host_stats": R.q33_host_stats,
         "q34_host_cap": R.q34_host_cap,
         "q35_decontaminate": R.q35_decontaminate,
+        "q36_line_dedup": R.q36_line_dedup,
         # flagship NEL / KG construction over derived pages (rows-only:
         # graph algorithm not SQL-expressible; parity is gated in pytest
         # against analytic gold fixtures instead).
@@ -1483,6 +1484,7 @@ def oracle_sql() -> dict[str, str]:
         "q33_host_stats": R.Q33_SQL,
         "q34_host_cap": R.Q34_SQL,
         "q35_decontaminate": R.Q35_SQL,
+        "q36_line_dedup": R.Q36_SQL,
         "q27_tumbling_window": __import__(
             "reden_ray.stages.windows", fromlist=["TUMBLING_SQL"]
         ).TUMBLING_SQL.format(size_us=3_600_000_000),

@@ -738,6 +738,89 @@ GROUP BY d.doc_id
 """
 
 
+# Q36 — corpus-level line dedup (C4's "discard any line occurring more
+# than once in the corpus", keeping one occurrence). The synthetic
+# corpus has no newlines, so BOTH sides deterministically chunk each
+# document's space-split words into 10-word "lines" first; the
+# OPERATOR is the real C4 step. Rule: a line survives only in the
+# minimum-doc_id document containing that exact line text; documents
+# reassemble their surviving lines in order and vanish when nothing
+# survives. Two exchanges, both necessary: co-locate equal lines
+# (hash-bucket on line), then regroup survivors per document. Line
+# splitting is Arrow-vectorized (split_pattern + list_slice +
+# binary_join per chunk index — no Python loop over rows). At 100 TB
+# you would ship (line_hash, doc_id, ln) through the first exchange and
+# re-derive text by re-scanning the corpus against surviving keys; the
+# exact-text form here keeps the oracle byte-exact.
+_LINE_WORDS = 10
+
+
+def q36_line_dedup(sf_dir: str) -> pd.DataFrame:
+    import numpy as np
+
+    from ..stages.windows import grouped_by_key_buckets
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def line_rows(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"], " ")
+        wc = pc.list_value_length(words)
+        base = pa.table({"doc_id": t["doc_id"], "w": words})
+        n_chunks = -(-(pc.max(wc).as_py() or 0) // _LINE_WORDS)
+        pieces = []
+        for k in range(n_chunks):
+            sub = base.filter(pc.greater(wc, k * _LINE_WORDS))
+            line = pc.binary_join(
+                pc.list_slice(sub["w"], k * _LINE_WORDS,
+                              (k + 1) * _LINE_WORDS), " ")
+            pieces.append(pa.table({
+                "doc_id": sub["doc_id"],
+                "ln": pa.array(np.full(sub.num_rows, k, np.int64)),
+                "line": line,
+            }))
+        if not pieces:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "ln": pa.array([], pa.int64()),
+                             "line": pa.array([], pa.string())})
+        return pa.concat_tables(pieces)
+
+    rows = ds.map_batches(line_rows, batch_format="pyarrow")
+
+    def keep_owner_rows(df: pd.DataFrame) -> pd.DataFrame:
+        owner = df.groupby("line", sort=False)["doc_id"].transform("min")
+        return df[df["doc_id"] == owner]
+
+    kept = grouped_by_key_buckets(rows, "line", keep_owner_rows)
+
+    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "ln"], kind="stable")
+        out = (df.groupby("doc_id", sort=False)["line"]
+               .agg(" ".join).reset_index())
+        out.columns = ["doc_id", "clean_text"]
+        return out
+
+    return grouped_by_key_buckets(kept, "doc_id", rebuild).to_pandas()
+
+
+Q36_SQL = f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS idx
+  FROM documents
+), l AS (
+  SELECT doc_id, (idx - 1) // {_LINE_WORDS} AS ln,
+         string_agg(word, ' ' ORDER BY idx) AS line
+  FROM w GROUP BY doc_id, (idx - 1) // {_LINE_WORDS}
+), k AS (
+  SELECT doc_id, ln, line,
+         MIN(doc_id) OVER (PARTITION BY line) AS owner
+  FROM l
+)
+SELECT doc_id, string_agg(line, ' ' ORDER BY ln) AS clean_text
+FROM k WHERE doc_id = owner GROUP BY doc_id
+"""
+
+
 # Q16 — sessionization (30-min gap): ONE hash-bucket shuffle,
 # vectorized gap detection across all keys in the bucket at once
 def q16_user_sessions(sf_dir: str) -> pd.DataFrame:

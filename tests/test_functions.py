@@ -347,3 +347,30 @@ class TestSimhashBatch:
 
         assert simhash64_batch([]).shape == (0,)
         assert (simhash64_batch(["", "", ""]) == np.uint64(0)).all()
+
+
+class TestLineDedup:
+    def test_c4_rule_keeps_one_occurrence_in_min_doc(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from reden_ray.pipelines.relational import q36_line_dedup
+
+        shared = " ".join(f"w{i}" for i in range(10))       # one full line
+        uniq = lambda tag: " ".join(f"{tag}{i}" for i in range(10))
+        rows = {
+            3: f"{shared} {uniq('a')}",   # min doc containing `shared`
+            5: f"{uniq('b')} {shared}",   # loses its copy of `shared`
+            9: shared,                    # all lines dup'd away: vanishes
+            11: "short tail words",       # partial line, unique: kept
+        }
+        ids = sorted(rows)
+        pq.write_table(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([rows[i] for i in ids], pa.string()),
+        }), tmp_path / "documents.parquet")
+        out = q36_line_dedup(str(tmp_path)).set_index("doc_id")
+        assert sorted(out.index) == [3, 5, 11]
+        assert out.loc[3, "clean_text"] == rows[3]
+        assert out.loc[5, "clean_text"] == uniq("b")
+        assert out.loc[11, "clean_text"] == "short tail words"
