@@ -821,6 +821,65 @@ FROM k WHERE doc_id = owner GROUP BY doc_id
 """
 
 
+# Q37 — within-document repetition stats (the Gopher quality-filter
+# family: documents dominated by repeated n-grams are low-quality
+# machine-generated or boilerplate text). Metric: the fraction of a
+# document's word-2-gram INSTANCES that are duplicates
+# (1 − distinct/count). Purely per-document — a stateless Arrow map
+# with zero shuffles: flatten words once, mint 2-grams with one
+# offset-by-one binary_join_element_wise over the flat array (masked at
+# document boundaries), then a per-batch group_by count/count_distinct.
+def q37_repetition_stats(sf_dir: str) -> pd.DataFrame:
+    import numpy as np
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def rep_stats(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"], " ")
+        flat = pc.list_flatten(words).combine_chunks()
+        par = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        if len(flat) < 2:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_grams": pa.array([], pa.int64()),
+                             "dup2gram_frac": pa.array([], pa.float64())})
+        left = flat.slice(0, len(flat) - 1)
+        right = flat.slice(1)
+        same_doc = par[:-1] == par[1:]
+        grams = pc.binary_join_element_wise(left, right, " ")
+        g = pa.table({
+            "d": pa.array(par[:-1][same_doc], pa.int64()),
+            "gram": grams.filter(pa.array(same_doc)),
+        }).group_by("d").aggregate([("gram", "count"),
+                                    ("gram", "count_distinct")])
+        n = g["gram_count"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nd = g["gram_count_distinct"].to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "doc_id": t["doc_id"].take(g["d"]),
+            "n_grams": pc.cast(g["gram_count"], pa.int64()),
+            "dup2gram_frac": pa.array(np.round(1.0 - nd / n, 6)),
+        })
+
+    return ds.map_batches(rep_stats, batch_format="pyarrow").to_pandas()
+
+
+Q37_SQL = r"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS idx
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         word || ' ' || LEAD(word) OVER (PARTITION BY doc_id ORDER BY idx) AS gram
+  FROM w
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       ROUND(1 - COUNT(DISTINCT gram) * 1.0 / COUNT(*), 6) AS dup2gram_frac
+FROM g WHERE gram IS NOT NULL
+GROUP BY doc_id
+"""
+
+
 # Q16 — sessionization (30-min gap): ONE hash-bucket shuffle,
 # vectorized gap detection across all keys in the bucket at once
 def q16_user_sessions(sf_dir: str) -> pd.DataFrame:

@@ -374,3 +374,29 @@ class TestLineDedup:
         assert out.loc[3, "clean_text"] == rows[3]
         assert out.loc[5, "clean_text"] == uniq("b")
         assert out.loc[11, "clean_text"] == "short tail words"
+
+
+class TestRepetitionStats:
+    def test_dup_2gram_fraction(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from reden_ray.pipelines.relational import q37_repetition_stats
+
+        rows = {
+            1: "a b a b a",        # grams: ab ba ab ba -> 4 grams, 2 distinct
+            2: "x y z w",          # all distinct -> 0.0
+            3: "solo",             # no 2-grams: absent from output
+            4: "r r r r",          # rr rr rr -> 3 grams, 1 distinct
+        }
+        ids = sorted(rows)
+        pq.write_table(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([rows[i] for i in ids], pa.string()),
+        }), tmp_path / "documents.parquet")
+        out = q37_repetition_stats(str(tmp_path)).set_index("doc_id")
+        assert sorted(out.index) == [1, 2, 4]
+        assert out.loc[1, "n_grams"] == 4 and out.loc[1, "dup2gram_frac"] == 0.5
+        assert out.loc[2, "dup2gram_frac"] == 0.0
+        assert out.loc[4, "n_grams"] == 3
+        assert abs(out.loc[4, "dup2gram_frac"] - round(1 - 1 / 3, 6)) < 1e-12
