@@ -1385,6 +1385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q35_decontaminate": R.q35_decontaminate,
         "q36_line_dedup": R.q36_line_dedup,
         "q37_repetition_stats": R.q37_repetition_stats,
+        "q38_top_terms": R.q38_top_terms,
         # flagship NEL / KG construction over derived pages (rows-only:
         # graph algorithm not SQL-expressible; parity is gated in pytest
         # against analytic gold fixtures instead).
@@ -1487,6 +1488,7 @@ def oracle_sql() -> dict[str, str]:
         "q35_decontaminate": R.Q35_SQL,
         "q36_line_dedup": R.Q36_SQL,
         "q37_repetition_stats": R.Q37_SQL,
+        "q38_top_terms": R.Q38_SQL,
         "q27_tumbling_window": __import__(
             "reden_ray.stages.windows", fromlist=["TUMBLING_SQL"]
         ).TUMBLING_SQL.format(size_us=3_600_000_000),

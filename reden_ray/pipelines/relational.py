@@ -880,6 +880,71 @@ GROUP BY doc_id
 """
 
 
+# Q38 — per-host top-K terms (corpus analytics: vocabulary profiling /
+# per-domain content summaries). The classic combiner-first wide text
+# aggregation: per-batch (host, word) partial counts via one vectorized
+# Arrow group_by over the flattened word array — only distinct pairs
+# leave each block — then ONE hash-bucket shuffle keyed on host (the
+# final top-K needs all of a host's words co-located); the per-bucket
+# finalizer re-sums partials and ranks. Deterministic tie-break:
+# higher count first, then lexicographic word. Same 17-host doc_id
+# spread as q33.
+_TOP_TERMS_K = 3
+
+
+def q38_top_terms(sf_dir: str) -> pd.DataFrame:
+    import numpy as np
+
+    from ..stages.windows import grouped_by_key_buckets
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"], " ")
+        flat = pc.list_flatten(words).combine_chunks()
+        par = pc.list_parent_indices(words)
+        doc = t["doc_id"].take(par)
+        hid = pc.cast(pc.subtract(doc, pc.multiply(
+            pc.divide(doc, 17), pa.scalar(17, pa.int64()))), pa.string())
+        host = pc.binary_join_element_wise("https://cdn", hid,
+                                           ".example.org", "")
+        g = (pa.table({"host": host, "word": flat})
+             .group_by(["host", "word"]).aggregate([([], "count_all")]))
+        return pa.table({"host": g["host"], "word": g["word"],
+                         "cnt": pc.cast(g["count_all"], pa.int64())})
+
+    pre = ds.map_batches(partials, batch_format="pyarrow")
+
+    def top_k(df: pd.DataFrame) -> pd.DataFrame:
+        total = (df.groupby(["host", "word"], as_index=False)["cnt"].sum()
+                 .sort_values(["host", "cnt", "word"],
+                              ascending=[True, False, True],
+                              kind="stable"))
+        out = total.groupby("host", sort=False).head(_TOP_TERMS_K).copy()
+        out["rank"] = out.groupby("host", sort=False).cumcount() + 1
+        return out[["host", "rank", "word", "cnt"]]
+
+    return grouped_by_key_buckets(pre, "host", top_k).to_pandas()
+
+
+Q38_SQL = f"""
+WITH w AS (
+  SELECT 'https://cdn' || CAST(doc_id % 17 AS VARCHAR) || '.example.org' AS host,
+         unnest(string_split(text, ' ')) AS word
+  FROM documents
+), c AS (
+  SELECT host, word, COUNT(*) AS cnt FROM w GROUP BY host, word
+), r AS (
+  SELECT host, word, cnt,
+         ROW_NUMBER() OVER (PARTITION BY host
+                            ORDER BY cnt DESC, word ASC) AS rank
+  FROM c
+)
+SELECT host, CAST(rank AS BIGINT) AS rank, word, CAST(cnt AS BIGINT) AS cnt
+FROM r WHERE rank <= {_TOP_TERMS_K}
+"""
+
+
 # Q16 — sessionization (30-min gap): ONE hash-bucket shuffle,
 # vectorized gap detection across all keys in the bucket at once
 def q16_user_sessions(sf_dir: str) -> pd.DataFrame:

@@ -400,3 +400,27 @@ class TestRepetitionStats:
         assert out.loc[2, "dup2gram_frac"] == 0.0
         assert out.loc[4, "n_grams"] == 3
         assert abs(out.loc[4, "dup2gram_frac"] - round(1 - 1 / 3, 6)) < 1e-12
+
+
+class TestTopTerms:
+    def test_rank_and_tiebreak(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from reden_ray.pipelines.relational import q38_top_terms
+
+        # all doc_ids ≡ 0 (mod 17): one host, controlled counts
+        pq.write_table(pa.table({
+            "doc_id": pa.array([0, 17, 34], pa.int64()),
+            "text": pa.array([
+                "apple apple banana cherry",
+                "apple banana banana date",
+                "cherry apple zebra zebra",   # zebra ties banana at 2? no: zebra 2, banana 3
+            ], pa.string()),
+        }), tmp_path / "documents.parquet")
+        out = q38_top_terms(str(tmp_path)).sort_values("rank")
+        assert list(out["host"].unique()) == ["https://cdn0.example.org"]
+        # counts: apple 4, banana 3, cherry 2, zebra 2, date 1
+        assert list(out["word"]) == ["apple", "banana", "cherry"]
+        assert list(out["cnt"]) == [4, 3, 2]  # cherry beats zebra lexicographically
+        assert list(out["rank"]) == [1, 2, 3]
