@@ -1386,6 +1386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q36_line_dedup": R.q36_line_dedup,
         "q37_repetition_stats": R.q37_repetition_stats,
         "q38_top_terms": R.q38_top_terms,
+        "q39_token_shards": R.q39_token_shards,
         # flagship NEL / KG construction over derived pages (rows-only:
         # graph algorithm not SQL-expressible; parity is gated in pytest
         # against analytic gold fixtures instead).
@@ -1489,6 +1490,7 @@ def oracle_sql() -> dict[str, str]:
         "q36_line_dedup": R.Q36_SQL,
         "q37_repetition_stats": R.Q37_SQL,
         "q38_top_terms": R.Q38_SQL,
+        "q39_token_shards": R.Q39_SQL,
         "q27_tumbling_window": __import__(
             "reden_ray.stages.windows", fromlist=["TUMBLING_SQL"]
         ).TUMBLING_SQL.format(size_us=3_600_000_000),

@@ -945,6 +945,88 @@ FROM r WHERE rank <= {_TOP_TERMS_K}
 """
 
 
+# Q39 — token-budget sharding (training-output packing: assign each
+# document, in deterministic doc_id order, to the shard whose running
+# token total it starts in — the "pack docs into ~N-token training
+# shards" step before writing tokenized data). shard =
+# exclusive_prefix_sum(n_tokens) // budget, exact integer arithmetic.
+#
+# This is a DISTRIBUTED ORDERED PREFIX SUM — a different shape from
+# every groupby/join operator in this file: (1) per-batch combiner
+# sums n_tokens into fixed-width doc_id RANGE buckets (tiny table),
+# (2) the driver prefix-sums the bucket totals into exclusive offsets
+# (vocabulary-sized, broadcast via ray.put), (3) ONE range-keyed
+# bucket shuffle co-locates each range, which sorts by doc_id and adds
+# its offset to a local exclusive cumsum. No global sort, no
+# corpus-sized exchange beyond the one co-locating shuffle.
+_SHARD_TOKEN_BUDGET = 2000
+_SHARD_RANGE_WIDTH = 1024  # doc_ids per range bucket
+
+
+def q39_token_shards(sf_dir: str) -> pd.DataFrame:
+    import numpy as np
+
+    from ..stages.windows import grouped_by_key_buckets
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def token_rows(t: pa.Table) -> pa.Table:
+        wc = pc.list_value_length(pc.split_pattern(t["text"], " "))
+        rng = pc.divide(t["doc_id"], pa.scalar(_SHARD_RANGE_WIDTH, pa.int64()))
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_tokens": pc.cast(wc, pa.int64()),
+                         "rng": pc.cast(rng, pa.int64())})
+
+    rows = ds.map_batches(token_rows, batch_format="pyarrow")
+
+    def range_partials(t: pa.Table) -> pa.Table:
+        g = t.select(["rng", "n_tokens"]).group_by("rng").aggregate(
+            [("n_tokens", "sum")])
+        return pa.table({"rng": g["rng"],
+                         "tok": pc.cast(g["n_tokens_sum"], pa.int64())})
+
+    # tiny: one row per doc_id range per block, re-summed here
+    hist = (rows.map_batches(range_partials, batch_format="pyarrow")
+            .to_pandas().groupby("rng", as_index=False)["tok"].sum()
+            .sort_values("rng"))
+    offsets = dict(zip(
+        hist["rng"],
+        np.concatenate(([0], np.cumsum(hist["tok"].to_numpy())[:-1]))))
+    off_ref = ray.put(offsets)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        off = get_broadcast(off_ref)
+        out = []
+        for rng, g in df.groupby("rng", sort=False):
+            g = g.sort_values("doc_id", kind="stable")
+            cum = int(off[rng]) + np.concatenate(
+                ([0], np.cumsum(g["n_tokens"].to_numpy())[:-1]))
+            out.append(pd.DataFrame({
+                "doc_id": g["doc_id"].to_numpy(),
+                "n_tokens": g["n_tokens"].to_numpy(),
+                "shard": cum // _SHARD_TOKEN_BUDGET,
+            }))
+        return pd.concat(out) if out else pd.DataFrame(
+            {"doc_id": [], "n_tokens": [], "shard": []}).astype("int64")
+
+    return grouped_by_key_buckets(rows, "rng", assign).to_pandas()
+
+
+Q39_SQL = f"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum // {_SHARD_TOKEN_BUDGET} AS BIGINT) AS shard
+FROM c
+"""
+
+
 # Q16 — sessionization (30-min gap): ONE hash-bucket shuffle,
 # vectorized gap detection across all keys in the bucket at once
 def q16_user_sessions(sf_dir: str) -> pd.DataFrame:

@@ -424,3 +424,33 @@ class TestTopTerms:
         assert list(out["word"]) == ["apple", "banana", "cherry"]
         assert list(out["cnt"]) == [4, 3, 2]  # cherry beats zebra lexicographically
         assert list(out["rank"]) == [1, 2, 3]
+
+
+class TestTokenShards:
+    def test_exclusive_prefix_sharding(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from reden_ray.pipelines.relational import (
+            _SHARD_RANGE_WIDTH,
+            _SHARD_TOKEN_BUDGET,
+            q39_token_shards,
+        )
+
+        # docs of 600 tokens each; budget 2000 -> shard boundary inside
+        # doc 3 (exclusive prefix 1800 < 2000) then doc 4 starts shard 1
+        n = 8
+        text = " ".join(["w"] * 600)
+        # ids straddle a range-bucket boundary to exercise the offsets
+        ids = [0, 1, 2, _SHARD_RANGE_WIDTH - 1, _SHARD_RANGE_WIDTH,
+               _SHARD_RANGE_WIDTH + 1, 3 * _SHARD_RANGE_WIDTH, 10**6]
+        pq.write_table(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([text] * n, pa.string()),
+        }), tmp_path / "documents.parquet")
+        out = (q39_token_shards(str(tmp_path))
+               .sort_values("doc_id").reset_index(drop=True))
+        assert list(out["doc_id"]) == sorted(ids)
+        want = [(600 * i) // _SHARD_TOKEN_BUDGET for i in range(n)]
+        assert list(out["shard"]) == want
+        assert set(out["n_tokens"]) == {600}
