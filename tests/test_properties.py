@@ -89,3 +89,14 @@ class TestNerProperties:
         ms = find_mentions(text, trie)
         for (b1, e1, *_), (b2, e2, *_) in zip(ms, ms[1:]):
             assert e1 <= b2  # non-overlapping, left to right
+
+
+class TestSimhashBatchProperties:
+    @given(st.lists(st.text(max_size=80), min_size=0, max_size=12))
+    @settings(max_examples=150, deadline=None)
+    def test_batch_matches_per_doc_on_arbitrary_text(self, texts):
+        from reden_ray.functions.text import simhash64_batch
+
+        got = simhash64_batch(texts)
+        assert len(got) == len(texts)
+        assert [int(v) for v in got] == [simhash64(t) for t in texts]
