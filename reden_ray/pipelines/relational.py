@@ -960,7 +960,8 @@ FROM r WHERE rank <= {_TOP_TERMS_K}
 # its offset to a local exclusive cumsum. No global sort, no
 # corpus-sized exchange beyond the one co-locating shuffle.
 _SHARD_TOKEN_BUDGET = 2000
-_SHARD_RANGE_WIDTH = 1024  # doc_ids per range bucket
+_SHARD_RANGE_WIDTH = 1024   # min doc_ids per range bucket
+_SHARD_MAX_RANGES = 65536   # driver histogram stays <= this many rows
 
 
 def q39_token_shards(sf_dir: str) -> pd.DataFrame:
@@ -969,10 +970,17 @@ def q39_token_shards(sf_dir: str) -> pd.DataFrame:
     from ..stages.windows import grouped_by_key_buckets
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    # adaptive range width: bounds the driver-side histogram at
+    # _SHARD_MAX_RANGES rows for ANY id domain (sparse 64-bit ids
+    # included); the shard assignment is width-invariant, width only
+    # trades histogram size against per-range sort size. One cheap
+    # doc_id-column scan.
+    max_id = ds.max("doc_id") or 0
+    width = max(_SHARD_RANGE_WIDTH, (max_id // _SHARD_MAX_RANGES) + 1)
 
     def token_rows(t: pa.Table) -> pa.Table:
         wc = pc.list_value_length(pc.split_pattern(t["text"], " "))
-        rng = pc.divide(t["doc_id"], pa.scalar(_SHARD_RANGE_WIDTH, pa.int64()))
+        rng = pc.divide(t["doc_id"], pa.scalar(width, pa.int64()))
         return pa.table({"doc_id": t["doc_id"],
                          "n_tokens": pc.cast(wc, pa.int64()),
                          "rng": pc.cast(rng, pa.int64())})
