@@ -293,6 +293,46 @@ def _q_nel_links_regate(sf_dir: str):
     return _scored_projection(links, lower_surface=True)
 
 
+def _q_warc_roundtrip(sf_dir: str):
+    """Web-native ingestion verified on real data: the documents table
+    is serialized to a WET-style WARC archive (one conversion record
+    per doc, gzipped), read back through sources/webpages.pages_from_warc
+    and the extract stage, and the (url, text) rows are hash-verified
+    against the documents table itself — the full
+    write->WARC->parse->extract round trip must be byte-identical."""
+    import gzip
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from reden_ray.pipelines.webdemo import URL_PREFIX
+    from reden_ray.sources.webpages import pages_from_warc
+    from reden_ray.stages.extract import extract_pages
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    key = hashlib.blake2b(
+        f"{sf_dir}:{t.num_rows}".encode(), digest_size=8).hexdigest()
+    warc = f"/tmp/reden_warc_rt_{key}.warc.gz"
+    if not os.path.exists(warc):
+        recs = []
+        for i, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            payload = x.encode("utf-8")
+            recs.append((
+                f"WARC/1.0\r\nWARC-Type: conversion\r\n"
+                f"WARC-Target-URI: {URL_PREFIX}{i}\r\n"
+                f"WARC-Date: 2017-03-06T04:02:06Z\r\n"
+                f"Content-Length: {len(payload)}\r\n"
+            ).encode() + b"\r\n" + payload + b"\r\n\r\n")
+        tmp = warc + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(gzip.compress(b"".join(recs)))
+        os.replace(tmp, warc)
+    pages = extract_pages(pages_from_warc(warc))
+    return pages.map_batches(
+        lambda b: b.select(["url", "text"]), batch_format="pyarrow")
+
+
 # Context-window width shared by the ctx driver query and its oracle.
 _CTX_WORDS_Q = 16
 
@@ -1387,6 +1427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q37_repetition_stats": R.q37_repetition_stats,
         "q38_top_terms": R.q38_top_terms,
         "q39_token_shards": R.q39_token_shards,
+        "q40_warc_roundtrip": _q_warc_roundtrip,
         # flagship NEL / KG construction over derived pages (rows-only:
         # graph algorithm not SQL-expressible; parity is gated in pytest
         # against analytic gold fixtures instead).
@@ -1491,6 +1532,9 @@ def oracle_sql() -> dict[str, str]:
         "q37_repetition_stats": R.Q37_SQL,
         "q38_top_terms": R.Q38_SQL,
         "q39_token_shards": R.Q39_SQL,
+        "q40_warc_roundtrip": (
+            "SELECT 'https://docs.example/' || CAST(doc_id AS VARCHAR) AS url, "
+            "CAST(text AS VARCHAR) AS text FROM documents"),
         "q27_tumbling_window": __import__(
             "reden_ray.stages.windows", fromlist=["TUMBLING_SQL"]
         ).TUMBLING_SQL.format(size_us=3_600_000_000),
