@@ -333,6 +333,30 @@ def _q_warc_roundtrip(sf_dir: str):
         lambda b: b.select(["url", "text"]), batch_format="pyarrow")
 
 
+def _q_url_canonical_dedup(sf_dir: str):
+    from reden_ray.pipelines.webops import q41_url_canonical_dedup
+
+    return q41_url_canonical_dedup(sf_dir)
+
+
+def _q_link_graph(sf_dir: str):
+    from reden_ray.pipelines.webops import q42_link_graph
+
+    return q42_link_graph(sf_dir)
+
+
+def _q_host_pagerank(sf_dir: str):
+    from reden_ray.pipelines.webops import q42b_host_pagerank
+
+    return q42b_host_pagerank(sf_dir)
+
+
+def _q_snapshot_diff(sf_dir: str):
+    from reden_ray.pipelines.webops import q43_snapshot_diff
+
+    return q43_snapshot_diff(sf_dir)
+
+
 # Context-window width shared by the ctx driver query and its oracle.
 _CTX_WORDS_Q = 16
 
@@ -1428,6 +1452,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q38_top_terms": R.q38_top_terms,
         "q39_token_shards": R.q39_token_shards,
         "q40_warc_roundtrip": _q_warc_roundtrip,
+        # web-native crawl ops over derived pages: URL canonicalization
+        # dedup, host link-graph extraction, PageRank (iterative graph
+        # propagation, size-gated like CC), crawl snapshot diff
+        "q41_url_canonical_dedup": _q_url_canonical_dedup,
+        "q42_link_graph": _q_link_graph,
+        "q42b_host_pagerank": _q_host_pagerank,
+        "q43_snapshot_diff": _q_snapshot_diff,
         # flagship NEL / KG construction over derived pages (rows-only:
         # graph algorithm not SQL-expressible; parity is gated in pytest
         # against analytic gold fixtures instead).
@@ -1535,6 +1566,14 @@ def oracle_sql() -> dict[str, str]:
         "q40_warc_roundtrip": (
             "SELECT 'https://docs.example/' || CAST(doc_id AS VARCHAR) AS url, "
             "CAST(text AS VARCHAR) AS text FROM documents"),
+        "q41_url_canonical_dedup": __import__(
+            "reden_ray.pipelines.webops", fromlist=["Q41_SQL"]).Q41_SQL,
+        "q42_link_graph": __import__(
+            "reden_ray.pipelines.webops", fromlist=["Q42_SQL"]).Q42_SQL,
+        "q42b_host_pagerank": __import__(
+            "reden_ray.pipelines.webops", fromlist=["Q42B_SQL"]).Q42B_SQL,
+        "q43_snapshot_diff": __import__(
+            "reden_ray.pipelines.webops", fromlist=["Q43_SQL"]).Q43_SQL,
         "q27_tumbling_window": __import__(
             "reden_ray.stages.windows", fromlist=["TUMBLING_SQL"]
         ).TUMBLING_SQL.format(size_us=3_600_000_000),

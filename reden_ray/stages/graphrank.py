@@ -1,0 +1,254 @@
+"""Distributed PageRank over an edge Dataset (iterative graph rank).
+
+The reference ranks candidate URIs by centrality over per-context
+fusion graphs (CentralityHandler.java via stages/linker.py A3); this
+module is the corpus-LEVEL counterpart a web-scale KG pipeline needs:
+rank the HOST graph (who links to whom across the crawl) to weight
+sources during canonicalization / quality filtering. PageRank is an
+*iterative* primitive none of the groupby/join/window operators cover
+— each round propagates mass along edges — so it gets the same
+treatment as connected components (stages/cc.py):
+
+* Below ``local_solve_max_edges`` the solve runs as ONE vectorized
+  numpy task (factorize endpoints, ``np.bincount`` propagation): a
+  distributed round costs two hash-bucket exchanges of fixed overhead
+  that dwarf the work on small graphs. Host graphs are |hosts|^2-ish
+  — usually millions of rows even for trillion-page crawls — so this
+  is the common path.
+* Above the gate, each iteration runs as two bucketed exchanges of
+  pre-reduced rows (the CC pattern, stages/cc.py:199-230): ranks and
+  normalized edges co-locate on hash(src) so every node's out-edges
+  and rank meet in one bucket (contribution join + per-bucket partial
+  sums), then contributions and the node list co-locate on hash(dst)
+  to finalize ``r' = (1-a)/N + a*(contrib + dangling/N)``. Nothing
+  node- or edge-shaped ever sits on the driver; only the scalar
+  dangling mass does.
+
+Semantics (both paths, bit-for-bit the same formula):
+  nodes    = distinct endpoints of the edge list
+  p(s->d)  = w(s->d) / sum_d' w(s->d')      (weight-normalized)
+  r_0      = 1/N
+  r_{i+1}(d) = (1-alpha)/N + alpha * (sum_s r_i(s) p(s->d)
+                                      + dangling_i / N)
+  dangling_i = sum of r_i over nodes with no out-edges
+Self-loops and duplicate (src, dst) rows are legal (weights add).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..functions.bucket import add_bucket
+
+# encoded row kinds flowing through the union exchanges
+_K_RANK = 0   # (key=node, val=rank)
+_K_EDGE = 1   # (key=src, dst=dst, val=normalized weight)
+_K_CONTRIB = 2  # (key=dst, val=partial contribution)
+_K_NODE = 3   # (key=node, val=0) — finalize coalesce side
+_K_DANGLING = 4  # (key='', val=partial dangling rank mass)
+
+_ENC_SCHEMA = pa.schema({
+    "key": pa.string(), "dst": pa.string(),
+    "val": pa.float64(), "kind": pa.int8(),
+})
+
+
+def _enc(key, dst, val, kind: int) -> pa.Table:
+    n = len(key)
+    return pa.table({
+        "key": pa.array(key, pa.string()),
+        "dst": pa.array(dst, pa.string()) if dst is not None
+        else pa.nulls(n, pa.string()),
+        "val": pa.array(np.asarray(val, dtype=np.float64), pa.float64()),
+        "kind": pa.array(np.full(n, kind, dtype=np.int8), pa.int8()),
+    })
+
+
+def _rank_solve_local(src: np.ndarray, dst: np.ndarray, w: np.ndarray,
+                      n_iters: int, alpha: float) -> pd.DataFrame:
+    """Vectorized single-heap solve. ``src``/``dst`` are object arrays
+    of node keys; factorization order is np.unique (sorted) so the
+    result is deterministic regardless of input row order."""
+    nodes, codes = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    s = codes[: len(src)]
+    d = codes[len(src):]
+    n = len(nodes)
+    out_w = np.bincount(s, weights=w, minlength=n)
+    p = w / out_w[s]
+    r = np.full(n, 1.0 / n)
+    no_out = out_w == 0.0
+    for _ in range(n_iters):
+        contrib = np.bincount(d, weights=r[s] * p, minlength=n)
+        dangling = float(r[no_out].sum())
+        r = (1.0 - alpha) / n + alpha * (contrib + dangling / n)
+    return pd.DataFrame({"node": nodes, "rank": r})
+
+
+def pagerank(
+    edges_ds,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    n_iters: int = 4,
+    alpha: float = 0.85,
+    num_buckets: int = 64,
+    local_solve_max_edges: int = 4_000_000,
+):
+    """Edge Dataset -> ``(node, rank)`` Dataset, one row per distinct
+    endpoint. See module docstring for the formula and the size gate."""
+
+    def enc_edges(t: pa.Table) -> pa.Table:
+        return _enc(
+            t.column(src_col).cast(pa.string()).to_pylist(),
+            t.column(dst_col).cast(pa.string()).to_pylist(),
+            t.column(weight_col).cast(pa.float64()).to_numpy(zero_copy_only=False),
+            _K_EDGE,
+        )
+
+    # The edge set is reused every round: coalesce tiny upstream blocks
+    # and materialize the encoded form once (the CC idiom, cc.py:115-120).
+    edges = (
+        edges_ds.map_batches(enc_edges, batch_format="pyarrow")
+        .repartition(8)
+        .materialize()
+    )
+    n_edges = edges.count()
+    if n_edges == 0:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "rank": pa.array([], pa.float64()),
+        }))
+
+    if n_edges <= local_solve_max_edges:
+        def solve(t: pa.Table) -> pa.Table:
+            df = _rank_solve_local(
+                np.asarray(t.column("key").to_pylist(), dtype=object),
+                np.asarray(t.column("dst").to_pylist(), dtype=object),
+                t.column("val").to_numpy(zero_copy_only=False),
+                n_iters, alpha)
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        return edges.repartition(1).map_batches(
+            solve, batch_size=None, batch_format="pyarrow")
+
+    # ---- distributed path ------------------------------------------------
+    num_buckets = max(4, min(num_buckets, n_edges // 25_000 + 4))
+
+    # One-time: normalize weights per src (all of a src's edges share a
+    # bucket, so the normalization is a bucket-local groupby-transform).
+    def normalize_bucket(df: pd.DataFrame) -> pa.Table:
+        tot = df.groupby("key")["val"].transform("sum")
+        t = _enc(df["key"].to_numpy(dtype=object), None,
+                 df["val"].to_numpy() / tot.to_numpy(), _K_EDGE)
+        return t.set_column(1, "dst",
+                            pa.array(df["dst"].to_numpy(dtype=object),
+                                     pa.string()))
+
+    edges_norm = (
+        edges.map_batches(lambda t: add_bucket(t, "key", num_buckets),
+                          batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda df: normalize_bucket(df.drop(columns="__bucket")),
+                    batch_format="pandas")
+        .materialize()
+    )
+
+    # Node universe + N, once. (Distinct over both endpoints: a bucketed
+    # per-bucket dedup of pre-deduped per-batch partials.)
+    def node_partials(t: pa.Table) -> pa.Table:
+        ks = np.unique(np.concatenate([
+            np.asarray(t.column("key").to_pylist(), dtype=object),
+            np.asarray(t.column("dst").to_pylist(), dtype=object)]))
+        return _enc(ks, None, np.zeros(len(ks)), _K_NODE)
+
+    def dedup_bucket(df: pd.DataFrame) -> pa.Table:
+        u = df.drop_duplicates("key")
+        return _enc(u["key"].to_numpy(dtype=object), None,
+                    np.zeros(len(u)), _K_NODE)
+
+    nodes = (
+        edges.map_batches(node_partials, batch_format="pyarrow")
+        .map_batches(lambda t: add_bucket(t, "key", num_buckets),
+                     batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda df: dedup_bucket(df.drop(columns="__bucket")),
+                    batch_format="pandas")
+        .materialize()
+    )
+    n_nodes = nodes.count()
+
+    def init_rank(t: pa.Table) -> pa.Table:
+        return _enc(t.column("key").to_pylist(), None,
+                    np.full(t.num_rows, 1.0 / n_nodes), _K_RANK)
+
+    ranks = nodes.map_batches(init_rank, batch_format="pyarrow")
+
+    def contrib_bucket(df: pd.DataFrame) -> pa.Table:
+        """Ranks + edges co-located on hash(src): join, emit per-bucket
+        partial contribution sums by dst, plus the bucket's dangling
+        rank mass (a node's rank and ALL its out-edges share a bucket,
+        so 'no edge rows for this key' == dangling)."""
+        r = df[df["kind"] == _K_RANK]
+        e = df[df["kind"] == _K_EDGE]
+        rmap = pd.Series(r["val"].to_numpy(), index=r["key"])
+        parts = []
+        if len(e):
+            rv = rmap.reindex(e["key"]).to_numpy()
+            c = pd.DataFrame({"key": e["dst"].to_numpy(),
+                              "val": rv * e["val"].to_numpy()})
+            c = c.groupby("key", as_index=False)["val"].sum()
+            parts.append(_enc(c["key"].to_numpy(dtype=object), None,
+                              c["val"].to_numpy(), _K_CONTRIB))
+        dangling = float(rmap[~rmap.index.isin(e["key"])].sum())
+        parts.append(_enc([""], None, [dangling], _K_DANGLING))
+        return pa.concat_tables(parts)
+
+    def finalize_bucket(dangling: float):
+        def fin(df: pd.DataFrame) -> pa.Table:
+            n = df[df["kind"] == _K_NODE]
+            c = df[df["kind"] == _K_CONTRIB]
+            csum = c.groupby("key")["val"].sum()
+            cv = csum.reindex(n["key"]).fillna(0.0).to_numpy()
+            r = (1.0 - alpha) / n_nodes + alpha * (cv + dangling / n_nodes)
+            return _enc(n["key"].to_numpy(dtype=object), None, r, _K_RANK)
+        return fin
+
+    def only_kind(kind: int):
+        def f(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return t.filter(pc.equal(t["kind"], pa.scalar(kind, pa.int8())))
+        return f
+
+    for _ in range(n_iters):
+        contrib = (
+            ranks.union(edges_norm)
+            .map_batches(lambda t: add_bucket(t, "key", num_buckets),
+                         batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(lambda df: contrib_bucket(df.drop(columns="__bucket")),
+                        batch_format="pandas")
+            .materialize()
+        )
+        # scalar only — the one thing the driver holds per round
+        dangling = contrib.map_batches(
+            only_kind(_K_DANGLING), batch_format="pyarrow").sum("val") or 0.0
+        ranks = (
+            nodes.union(contrib.map_batches(only_kind(_K_CONTRIB),
+                                            batch_format="pyarrow"))
+            .map_batches(lambda t: add_bucket(t, "key", num_buckets),
+                         batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(lambda df, _d=dangling: finalize_bucket(_d)(
+                df.drop(columns="__bucket")), batch_format="pandas")
+            .materialize()
+        )
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["key"].to_numpy(),
+                             "rank": df["val"].to_numpy()})
+
+    return ranks.map_batches(emit, batch_format="pandas")
