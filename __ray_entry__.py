@@ -1459,6 +1459,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q42_link_graph": _q_link_graph,
         "q42b_host_pagerank": _q_host_pagerank,
         "q43_snapshot_diff": _q_snapshot_diff,
+        # cross-document duplicate n-gram spans (ExactSubstr-lite)
+        "q44_duplicate_ngram_spans": R.q44_duplicate_ngram_spans,
         # flagship NEL / KG construction over derived pages (rows-only:
         # graph algorithm not SQL-expressible; parity is gated in pytest
         # against analytic gold fixtures instead).
@@ -1574,6 +1576,7 @@ def oracle_sql() -> dict[str, str]:
             "reden_ray.pipelines.webops", fromlist=["Q42B_SQL"]).Q42B_SQL,
         "q43_snapshot_diff": __import__(
             "reden_ray.pipelines.webops", fromlist=["Q43_SQL"]).Q43_SQL,
+        "q44_duplicate_ngram_spans": R.Q44_SQL,
         "q27_tumbling_window": __import__(
             "reden_ray.stages.windows", fromlist=["TUMBLING_SQL"]
         ).TUMBLING_SQL.format(size_us=3_600_000_000),

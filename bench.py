@@ -285,6 +285,9 @@ def run_bench() -> dict:
         "q17b_minhash_exact_clusters",  # LSH dedup machinery
         "q27_tumbling_window",       # event-time windows
         "q30_quality_filter",        # corpus quality filter
+        "q41_url_canonical_dedup",   # URL canonicalization dedup
+        "q42b_host_pagerank",        # link graph + PageRank
+        "q43_snapshot_diff",         # crawl snapshot diff
     ]
     for name in component_names:
         t0 = time.perf_counter()
@@ -335,8 +338,14 @@ def run_scaling() -> dict:
                    GRAFT_BENCH_COMPONENTS=os.environ.get(
                        "GRAFT_BENCH_COMPONENTS", "0"))
         res = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
-                             capture_output=True, text=True, check=True,
+                             capture_output=True, text=True, check=False,
                              cwd=os.path.dirname(os.path.abspath(__file__)))
+        if res.returncode != 0:
+            # surface the child's stderr — a swallowed leg failure is
+            # undiagnosable after the fact
+            raise RuntimeError(
+                f"scaling leg (num_cpus={ncpu}) exited {res.returncode}; "
+                f"stderr tail:\n{res.stderr[-4000:]}")
         return json.loads(res.stdout.strip().splitlines()[-1])
 
     # CPU pair: N and 4N (default 8 vs 32). The host caps measurable

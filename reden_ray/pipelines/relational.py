@@ -1035,6 +1035,82 @@ FROM c
 """
 
 
+# Q44 — cross-document duplicate n-gram spans (ExactSubstr-lite: the
+# "deduplicating training data" signal — word sequences repeated
+# VERBATIM across distinct documents, the spans a suffix-array dedup
+# would mask). Mint is one vectorized pass over the flattened word
+# array (the q37 idiom generalized: N shifted slices joined in one
+# binary_join_element_wise, masked where the window crosses a document
+# boundary), then a per-batch combiner collapses to distinct (gram,
+# doc, count) partials before the single gram-keyed exchange — the
+# same ship-the-string tradeoff as q36's line dedup; at 100 TB you'd
+# ship a 64-bit gram hash + re-attach representatives, which is the
+# documented scale path of the minhash family (dedup.py).
+_XDOC_NGRAM_N = 8
+
+
+def q44_duplicate_ngram_spans(sf_dir: str) -> pd.DataFrame:
+    import numpy as np
+
+    from ..stages.windows import grouped_by_key_buckets
+
+    n = _XDOC_NGRAM_N
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def gram_partials(t: pa.Table) -> pa.Table:
+        empty = pa.table({"gram": pa.array([], pa.string()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "n_part": pa.array([], pa.int64())})
+        words = pc.split_pattern(t["text"], " ")
+        flat = pc.list_flatten(words).combine_chunks()
+        if len(flat) < n:
+            return empty
+        par = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        m = len(flat) - (n - 1)
+        shifted = [flat.slice(k, m) for k in range(n)]
+        grams = pc.binary_join_element_wise(*shifted, " ")
+        same_doc = pa.array(par[: m] == par[n - 1:])
+        g = pa.table({
+            "gram": grams.filter(same_doc),
+            "doc_id": t["doc_id"].take(par[: m][par[: m] == par[n - 1:]]),
+        }).group_by(["gram", "doc_id"]).aggregate([("doc_id", "count")])
+        return pa.table({"gram": g["gram"], "doc_id": g["doc_id"],
+                         "n_part": pc.cast(g["doc_id_count"], pa.int64())})
+
+    rows = ds.map_batches(gram_partials, batch_format="pyarrow")
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        per_doc = df.groupby(["gram", "doc_id"], as_index=False)["n_part"].sum()
+        agg = (per_doc.groupby("gram")
+               .agg(n_docs=("doc_id", "nunique"), n_occ=("n_part", "sum"))
+               .reset_index())
+        out = agg[agg["n_docs"] >= 2]
+        return pd.DataFrame({"gram": out["gram"],
+                             "n_docs": out["n_docs"].astype("int64"),
+                             "n_occ": out["n_occ"].astype("int64")})
+
+    return grouped_by_key_buckets(rows, "gram", finalize).to_pandas()
+
+
+_Q44_LEADS = " || ' ' || ".join(
+    ["word"] + [f"LEAD(word, {k}) OVER win" for k in range(1, _XDOC_NGRAM_N)])
+
+Q44_SQL = f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS idx
+  FROM documents
+), g AS (
+  SELECT doc_id, {_Q44_LEADS} AS gram
+  FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY idx)
+)
+SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occ
+FROM g WHERE gram IS NOT NULL
+GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
 # Q16 — sessionization (30-min gap): ONE hash-bucket shuffle,
 # vectorized gap detection across all keys in the bucket at once
 def q16_user_sessions(sf_dir: str) -> pd.DataFrame:

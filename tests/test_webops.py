@@ -149,6 +149,38 @@ class TestPageRank:
         pd.testing.assert_frame_equal(canon(ray_df), canon(sql_df))
 
 
+class TestQ44DuplicateNgramSpans:
+    def test_matches_oracle(self, con):
+        from reden_ray.pipelines import relational as R
+
+        ray_df = R.q44_duplicate_ngram_spans(SF)
+        sql_df = con.sql(R.Q44_SQL).df()
+        pd.testing.assert_frame_equal(canon(ray_df), canon(sql_df))
+
+    def test_planted_duplicate_span_found(self):
+        """Two docs sharing a verbatim 8-word run must surface it."""
+        import ray
+
+        from reden_ray.pipelines import relational as R
+
+        run = "alpha beta gamma delta epsilon zeta eta theta"
+        docs = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([f"x {run} y", f"z {run}", "unrelated words only"],
+                             pa.string()),
+        })
+        import os
+        import tempfile
+
+        import pyarrow.parquet as pq
+        d = tempfile.mkdtemp(prefix="q44_")
+        pq.write_table(docs, os.path.join(d, "documents.parquet"))
+        out = R.q44_duplicate_ngram_spans(d)
+        assert run in set(out["gram"])
+        row = out[out["gram"] == run].iloc[0]
+        assert row["n_docs"] == 2 and row["n_occ"] == 2
+
+
 class TestQ43SnapshotDiff:
     def test_matches_oracle(self, con):
         ray_df = W.q43_snapshot_diff(SF)
