@@ -142,6 +142,24 @@ def _q_nel_triples(sf_dir: str):
     return p.triples(p.links(mentions_ds=mentions))
 
 
+def _q_nel_triples_incremental(sf_dir: str):
+    """Incremental crawl -> incremental KG: snapshot A's links are the
+    checkpoint; snapshot B (deleted %11 / revised %7 / added %13 pages,
+    webops.snapshot_b_pages) is processed by re-linking ONLY the delta
+    urls and carrying the rest forward (pipelines/incremental.py). The
+    oracle runs the FULL SQL linking algebra over the mutated corpus —
+    so the hash check proves the incremental path equals a from-scratch
+    run on B."""
+    from reden_ray.pipelines.incremental import incremental_triples
+    from reden_ray.pipelines.webdemo import pages_from_documents
+    from reden_ray.pipelines.webops import snapshot_b_pages
+
+    p, mentions = _nel_mentions(sf_dir)
+    prev_links = p.links(mentions_ds=mentions).materialize()
+    return incremental_triples(p, prev_links, pages_from_documents(sf_dir),
+                               snapshot_b_pages(sf_dir))
+
+
 def _q_nel_mention_triples_unambiguous(sf_dir: str):
     """Hash-verified projection of the REAL triples output: mention
     triples (url -mentions-> entity) whose object is an unambiguous
@@ -1137,7 +1155,7 @@ def _nel_links_sql() -> str:
     )
 
 
-def _nel_triples_sql() -> str:
+def _nel_triples_sql(src_sql: str | None = None) -> str:
     """FULL oracle for the flagship triples output: all three emission
     branches re-derived from the SQL ``linkrow`` winners --
     * mention triples: DISTINCT (url, winner uri);
@@ -1151,7 +1169,7 @@ def _nel_triples_sql() -> str:
     from reden_ray import CANONICAL_LABEL_PRED, MENTIONS_PRED
 
     return (
-        _nel_algebra_ctes()
+        _nel_algebra_ctes(src_sql)
         + f"""
 , linked AS (SELECT DISTINCT uri FROM linkrow)
 , eprobe AS (
@@ -1478,6 +1496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nel_links_regate": _q_nel_links_regate,
         "nel_links_ctx": _q_nel_links_ctx,
         "nel_triples": _q_nel_triples,
+        "nel_triples_incremental": _q_nel_triples_incremental,
         "nel_mention_triples_unambiguous": _q_nel_mention_triples_unambiguous,
         "nel_mention_triple_count": _q_nel_mention_triple_count,
         "q25b_annotation_surfaces": _q_annotation_surfaces,
@@ -1596,6 +1615,16 @@ def oracle_sql() -> dict[str, str]:
         "nel_links_ctx": _nel_links_ctx_sql(),
         "q29b_embedding_planted": _q29_planted_sql(),
         "nel_triples": _nel_triples_sql(),
+        # full linking algebra over the MUTATED snapshot-B corpus: the
+        # incremental path must equal a from-scratch run on B
+        "nel_triples_incremental": _nel_triples_sql(src_sql=(
+            "SELECT CAST(doc_id AS VARCHAR) AS did, "
+            "CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END"
+            " AS text FROM documents WHERE doc_id % 11 <> 0 "
+            "UNION ALL "
+            "SELECT CAST(doc_id + 200000 AS VARCHAR) AS did, "
+            "'new page ' || CAST(doc_id + 200000 AS VARCHAR) AS text "
+            "FROM documents WHERE doc_id % 13 = 0")),
         "nel_predicate_frequency": _nel_predicate_frequency_sql(),
         "q31b_eval_records_scored": _eval_records_scored_sql(),
         "nel_mention_triples_unambiguous": _nel_mention_triples_unambiguous_sql(),

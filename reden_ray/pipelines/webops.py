@@ -430,6 +430,44 @@ def _snapshot_b(sf_dir: str):
             .union(ds.map_batches(added, batch_format="pyarrow")))
 
 
+def snapshot_b_pages(sf_dir: str):
+    """Full-schema pages (url, warc_ts, html, text, lang) for the
+    'next crawl' snapshot — the SAME mutation rules as ``_snapshot_b``
+    (deleted %11, revised %7, added %13) over webdemo's page derivation
+    (same URL namespace), so the incremental pipeline's input is
+    SQL-reconstructable (``nel_triples_incremental``'s oracle feeds the
+    mutated corpus into the full linking algebra)."""
+    import ray.data as _rd
+
+    from .webdemo import EPOCH_MS, URL_PREFIX
+
+    ds = _rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text", "lang"])
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        rows = []
+        for i, x, lang in zip(t["doc_id"].to_pylist(), t["text"].to_pylist(),
+                              t["lang"].to_pylist()):
+            if i % 11 != 0:  # %11 == 0 pages are deleted in snapshot B
+                rows.append((i, x + " [rev2]" if i % 7 == 0 else x, lang))
+            if i % 13 == 0:  # additions are independent of deletions
+                nid = i + _ADDED_ID_SHIFT
+                rows.append((nid, f"new page {nid}", lang))
+        return pa.table({
+            "url": pa.array([f"{URL_PREFIX}{i}" for i, _, _ in rows],
+                            pa.string()),
+            "warc_ts": pa.array([EPOCH_MS + i * 1000 for i, _, _ in rows],
+                                pa.timestamp("ms")),
+            "html": pa.array(
+                [text_to_html(x, title=f"Doc {i}") for i, x, _ in rows],
+                pa.binary()),
+            "text": pa.array([x for _, x, _ in rows], pa.large_string()),
+            "lang": pa.array([l for _, _, l in rows], pa.string()),
+        })
+
+    return ds.map_batches(to_pages, batch_format="pyarrow")
+
+
 def snapshot_diff(a_ds, b_ds, num_buckets: int = 64,
                   coalesce_small: bool = False):
     """Two page snapshots (url, text) -> (url, status) with status in
