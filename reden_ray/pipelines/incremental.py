@@ -41,20 +41,19 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .webops import snapshot_diff
-
 _DELTA = ("added", "changed")
 _STALE = ("deleted", "changed")
 
 
-def _urls_with_status(diff_ds, statuses) -> "ray.data.Dataset":  # noqa: F821
+def _urls_with_status(diff_ds, statuses, keep_status: bool = False):
     import pyarrow.compute as pc
 
     want = list(statuses)
+    cols = ["url", "status"] if keep_status else ["url"]
 
     def f(t: pa.Table) -> pa.Table:
         return t.filter(pc.is_in(t["status"], value_set=pa.array(want))) \
-            .select(["url"])
+            .select(cols)
 
     return diff_ds.map_batches(f, batch_format="pyarrow")
 
@@ -99,6 +98,7 @@ def _bucketed_anti_by_url(rows_ds, drop_urls_ds, num_buckets: int = 64):
 
 
 def incremental_links(pipeline, prev_links_ds, pages_a_ds, pages_b_ds,
+                      prev_hashes_ds=None, pages_b_narrow_ds=None,
                       num_buckets: int = 64,
                       broadcast_url_limit: int = 2_000_000,
                       join_partitions: int = 16):
@@ -106,27 +106,51 @@ def incremental_links(pipeline, prev_links_ds, pages_a_ds, pages_b_ds,
 
     ``pipeline`` is the NELPipeline whose config/dictionary both runs
     share (the standing contract — a dictionary change invalidates
-    carried links, so it must re-run full)."""
+    carried links, so it must re-run full).
+
+    ``prev_hashes_ds`` — the (url, h) content fingerprints persisted
+    with snapshot A's link checkpoint (webops.page_content_hashes).
+    When given, the diff never touches snapshot A's pages at all: the
+    production checkpoint stores the fingerprints, so an incremental
+    run scans ONLY the new snapshot (measured: the A-side re-scan was
+    ~40% of the whole incremental wall at 600k pages). Without it,
+    ``pages_a_ds`` is hashed on the fly (text column only — the
+    projection keeps the fat html out of the diff read).
+
+    ``pages_b_narrow_ds`` — an optional (url, text) source for the
+    diff's B side with column pruning pushed into the READ (e.g.
+    ``read_parquet(dir, columns=["url", "text"])``); a map-side
+    projection over ``pages_b_ds`` cannot prune what the scan already
+    fetched, and html dominates the page bytes."""
     import ray
 
-    def proj(ds):
+    from .webops import page_content_hashes, snapshot_diff_keys
+
+    def narrow(ds):
         def mk(t: pa.Table) -> pa.Table:
             return pa.table({"url": t["url"],
                              "text": t["text"].cast(pa.string())})
         return ds.map_batches(mk, batch_format="pyarrow")
 
-    diff = snapshot_diff(proj(pages_a_ds), proj(pages_b_ds),
-                         num_buckets=num_buckets).materialize()
-    n_affected = _urls_with_status(diff, ("added", "changed", "deleted")).count()
+    a_keys = (prev_hashes_ds if prev_hashes_ds is not None
+              else page_content_hashes(narrow(pages_a_ds)))
+    b_narrow = (pages_b_narrow_ds if pages_b_narrow_ds is not None
+                else narrow(pages_b_ds))
+    diff = snapshot_diff_keys(a_keys, page_content_hashes(b_narrow),
+                              num_buckets=num_buckets).materialize()
 
-    n_delta = _urls_with_status(diff, _DELTA).count()
+    # ONE driver pull of the (url, status) rows decides the gate and,
+    # below it, builds both url sets — not three passes over the diff
+    aff = _urls_with_status(diff, ("added", "changed", "deleted"),
+                            keep_status=True).materialize()
+    n_affected = aff.count()  # free on the materialized narrow rows
     if n_affected <= broadcast_url_limit:
-        def url_set(statuses) -> frozenset:
-            df = _urls_with_status(diff, statuses).to_pandas()
-            # an all-empty Dataset materializes with no columns at all
-            return frozenset(df["url"]) if "url" in df.columns else frozenset()
-
-        ref = ray.put((url_set(_DELTA), url_set(_STALE)))
+        df = aff.to_pandas()
+        if "url" not in df.columns:  # all-empty Dataset: no columns
+            df = pd.DataFrame({"url": [], "status": []})
+        n_delta = int(df["status"].isin(_DELTA).sum())
+        ref = ray.put((frozenset(df.loc[df["status"].isin(_DELTA), "url"]),
+                       frozenset(df.loc[df["status"].isin(_STALE), "url"])))
 
         def keep(which: int, member: bool):
             def f(t: pa.Table) -> pa.Table:
@@ -143,8 +167,9 @@ def incremental_links(pipeline, prev_links_ds, pages_a_ds, pages_b_ds,
         carried = prev_links_ds.map_batches(keep(1, False),
                                             batch_format="pyarrow")
     else:
-        delta_urls = _urls_with_status(diff, _DELTA)
-        stale_urls = _urls_with_status(diff, _STALE)
+        delta_urls = _urls_with_status(aff, _DELTA)
+        stale_urls = _urls_with_status(aff, _STALE)
+        n_delta = delta_urls.count()
         # pages: left_semi Dataset.join (the latest_page_per_url attach
         # path, extract.py:205 — binary payloads are join-safe)
         delta_pages = pages_b_ds.join(delta_urls, join_type="left_semi",
@@ -175,7 +200,7 @@ def incremental_links(pipeline, prev_links_ds, pages_a_ds, pages_b_ds,
 
 
 def incremental_triples(pipeline, prev_links_ds, pages_a_ds, pages_b_ds,
-                        **kw):
+                        **kw) -> "ray.data.Dataset":  # noqa: F821
     """Snapshot-B triples computed incrementally — hash-equal to a full
     run on B (see module docstring)."""
     return pipeline.triples(

@@ -468,37 +468,57 @@ def snapshot_b_pages(sf_dir: str):
     return ds.map_batches(to_pages, batch_format="pyarrow")
 
 
-def snapshot_diff(a_ds, b_ds, num_buckets: int = 64,
-                  coalesce_small: bool = False):
-    """Two page snapshots (url, text) -> (url, status) with status in
-    added / deleted / changed / unchanged. Keys-only: each side reduces
-    to (url, hash64, side) before the single hash(url)-bucketed
-    exchange; texts never move. Size the bucket count to the input
-    (the CC idiom, stages/cc.py): small snapshots pay per-bucket task
-    dispatch, huge ones need spread. ``coalesce_small`` additionally
-    repartitions the keyed rows to ``num_buckets`` blocks before the
-    groupby — two unioned reads of a small corpus leave O(cpus) tiny
-    blocks each, and the sort-shuffle's per-block dispatch then costs
-    ~8x the actual exchange (measured 2.5 s over 192 tiny blocks vs
-    0.34 s coalesced). Only set it when the keyed rows are known-small:
-    at scale the extra exchange is pure waste."""
+def page_content_hashes(pages_ds):
+    """(url, text, ...) -> (url, h): the 64-bit content fingerprint a
+    link checkpoint should persist alongside its links — the NEXT
+    incremental run then diffs against these hashes instead of
+    re-reading the previous snapshot's text (pipelines/incremental.py).
+    Same vectorized polars hash as the bucketing plane."""
 
-    def keyed(side: int):
+    def mk(t: pa.Table) -> pa.Table:
+        h = hash_column(t, "text").astype(np.int64)
+        return pa.table({"url": t["url"], "h": pa.array(h, pa.int64())})
+
+    return pages_ds.map_batches(mk, batch_format="pyarrow")
+
+
+def snapshot_diff_keys(a_keys_ds, b_keys_ds, num_buckets: int = 64,
+                       coalesce_small: bool | None = None):
+    """Pre-hashed diff core: two (url, h) sides -> (url, status). Both
+    sides hash in the same environment, so hash equality == text
+    equality (modulo 2^-64 collisions).
+
+    ``coalesce_small=None`` (default) decides from the MEASURED keyed
+    stream: the keys are materialized (they are the shuffle's input
+    either way — narrow rows), and when the average block is under 50k
+    rows the stream is repartitioned before the groupby. Two unioned
+    page reads leave O(read tasks) tiny blocks and the sort-shuffle's
+    per-block dispatch then costs ~3x the actual exchange (measured
+    14.8 s vs 4.9 s at 1.1M keyed rows in 408 blocks). At scale blocks
+    arrive right-sized and the condition never fires."""
+
+    def tag(side: int):
         def mk(t: pa.Table) -> pa.Table:
-            h = hash_column(t, "text").astype(np.int64)
             out = pa.table({
                 "url": t["url"],
-                "h": pa.array(h, pa.int64()),
+                "h": t["h"],
                 "side": pa.array(np.full(t.num_rows, side, dtype=np.int8),
                                  pa.int8()),
             })
             return add_bucket(out, "url", num_buckets)
         return mk
 
-    keys = (a_ds.map_batches(keyed(0), batch_format="pyarrow")
-            .union(b_ds.map_batches(keyed(1), batch_format="pyarrow")))
+    keys = (a_keys_ds.map_batches(tag(0), batch_format="pyarrow")
+            .union(b_keys_ds.map_batches(tag(1), batch_format="pyarrow")))
+    if coalesce_small is None:
+        keys = keys.materialize()
+        n_rows, n_blocks = keys.count(), max(1, keys.num_blocks())
+        coalesce_small = n_rows / n_blocks < 50_000
+        num_blocks = max(num_buckets, n_rows // 250_000 + 1)
+    else:
+        num_blocks = num_buckets
     if coalesce_small:
-        keys = keys.repartition(num_buckets)
+        keys = keys.repartition(num_blocks)
 
     def classify(df: pd.DataFrame) -> pd.DataFrame:
         # nullable Int64 so the outer merge can't demote the 64-bit
@@ -517,6 +537,26 @@ def snapshot_diff(a_ds, b_ds, num_buckets: int = 64,
     return (keys.groupby("__bucket")
             .map_groups(lambda df: classify(df.drop(columns="__bucket")),
                         batch_format="pandas"))
+
+
+def snapshot_diff(a_ds, b_ds, num_buckets: int = 64,
+                  coalesce_small: bool = False):
+    """Two page snapshots (url, text) -> (url, status) with status in
+    added / deleted / changed / unchanged. Keys-only: each side reduces
+    to (url, hash64, side) before the single hash(url)-bucketed
+    exchange; texts never move. Size the bucket count to the input
+    (the CC idiom, stages/cc.py): small snapshots pay per-bucket task
+    dispatch, huge ones need spread. ``coalesce_small`` additionally
+    repartitions the keyed rows to ``num_buckets`` blocks before the
+    groupby — two unioned reads of a small corpus leave O(cpus) tiny
+    blocks each, and the sort-shuffle's per-block dispatch then costs
+    ~8x the actual exchange (measured 2.5 s over 192 tiny blocks vs
+    0.34 s coalesced). Only set it when the keyed rows are known-small:
+    at scale the extra exchange is pure waste."""
+    return snapshot_diff_keys(page_content_hashes(a_ds),
+                              page_content_hashes(b_ds),
+                              num_buckets=num_buckets,
+                              coalesce_small=coalesce_small)
 
 
 def q43_snapshot_diff(sf_dir: str) -> pd.DataFrame:

@@ -57,6 +57,19 @@ class TestIncrementalEqualsFull:
             broadcast_url_limit=0, join_partitions=4))
         pd.testing.assert_frame_equal(got, full_on_b)
 
+    def test_prev_hashes_checkpoint_route(self, full_on_b, prev_state):
+        """With the persisted (url, h) fingerprint table the diff never
+        reads snapshot A — result must be identical."""
+        from reden_ray.pipelines.webops import page_content_hashes
+
+        p, prev_links = prev_state
+        prev_hashes = page_content_hashes(
+            pages_from_documents(SF)).materialize()
+        got = _triples_df(incremental_triples(
+            p, prev_links, pages_from_documents(SF), snapshot_b_pages(SF),
+            prev_hashes_ds=prev_hashes))
+        pd.testing.assert_frame_equal(got, full_on_b)
+
     def test_identical_snapshots_reuse_all_links(self, prev_state):
         """A == B: zero pages re-link; the carried links alone must
         reproduce the full run on A."""
