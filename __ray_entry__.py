@@ -1405,6 +1405,7 @@ FROM y
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from reden_ray.pipelines import curation as C
     from reden_ray.pipelines import relational as R
 
     return {
@@ -1479,6 +1480,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q43_snapshot_diff": _q_snapshot_diff,
         # cross-document duplicate n-gram spans (ExactSubstr-lite)
         "q44_duplicate_ngram_spans": R.q44_duplicate_ngram_spans,
+        # corpus-curation family: exact length quantiles, stratified
+        # domain-mixture sampling, distributed k-means over embeddings,
+        # bigram-LM coverage scoring (pipelines/curation.py)
+        "q45_length_quantiles": C.q45_length_quantiles,
+        "q46_domain_mixture_sample": C.q46_domain_mixture_sample,
+        "q47_kmeans_clusters": C.q47_kmeans_clusters,
+        "q48_bigram_lm_score": C.q48_bigram_lm_score,
         # flagship NEL / KG construction over derived pages (rows-only:
         # graph algorithm not SQL-expressible; parity is gated in pytest
         # against analytic gold fixtures instead).
@@ -1531,6 +1539,7 @@ SELECT u.vec_id, g.cluster FROM u JOIN g USING (embedding) WHERE g.c > 1
 
 
 def oracle_sql() -> dict[str, str]:
+    from reden_ray.pipelines import curation as C
     from reden_ray.pipelines import relational as R
     from reden_ray.pipelines.webdemo import GAZETTEER_WORDS, URL_PREFIX
 
@@ -1596,6 +1605,10 @@ def oracle_sql() -> dict[str, str]:
         "q43_snapshot_diff": __import__(
             "reden_ray.pipelines.webops", fromlist=["Q43_SQL"]).Q43_SQL,
         "q44_duplicate_ngram_spans": R.Q44_SQL,
+        "q45_length_quantiles": C.Q45_SQL,
+        "q46_domain_mixture_sample": C.Q46_SQL,
+        "q47_kmeans_clusters": C.Q47_SQL,
+        "q48_bigram_lm_score": C.Q48_SQL,
         "q27_tumbling_window": __import__(
             "reden_ray.stages.windows", fromlist=["TUMBLING_SQL"]
         ).TUMBLING_SQL.format(size_us=3_600_000_000),

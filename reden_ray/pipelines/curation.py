@@ -1,0 +1,419 @@
+"""Corpus-curation operators for training-data pipelines (q45-q48).
+
+Beyond-reference family (like q34-q39): the calibration / mixing /
+clustering steps a 100 TB pretraining-data pipeline runs between the
+dedup and quality passes that the rest of the repo covers. Every
+operator is Dataset-plane, combiner-first, and hash-verified against a
+DuckDB oracle with all-integer (or exact-string) output columns — the
+q42b PageRank precedent: floats are either avoided outright or pinned
+to identical IEEE-double operations on both engines.
+
+* q45 — exact distributed quantiles of document length (the knob that
+  sets length-filter thresholds): per-batch value-count combiner, one
+  exchange of pre-reduced ``(value, cnt)`` rows, driver-side CDF over
+  the vocabulary-sized histogram. ``percentile_disc`` semantics
+  reproduced exactly (position ``ceil(q*n)``, verified against DuckDB
+  across randomized n).
+* q46 — stratified domain-mixture sampling (the Pile/Dolma data-mixing
+  step): a deterministic Knuth multiplicative hash of the doc key
+  against per-host target rates. Stateless vectorized filter, ZERO
+  shuffles, reproducible without any stored sample state — the
+  property that makes the sample resumable/checkpoint-free at 100 TB.
+* q47 — distributed k-means over the embedding table (topic balancing
+  / cluster-aware mixing): broadcast centroids, per-batch integer
+  partial sums (quantized coordinates, so the reduce is exact and
+  order-independent — run-to-run deterministic regardless of block
+  arrival order), driver update of the K×D-sized state, T assignment
+  rounds. The oracle unrolls the same Lloyd iterations as generated
+  SQL CTEs (the q42b pattern).
+* q48 — bigram language-model coverage scoring (the KenLM-shaped
+  quality filter): a bigram model counted from a deterministic
+  reference subset (combiner-first, one gram-keyed exchange of
+  pre-reduced partials), broadcast once, then a single vectorized
+  scoring scan (searchsorted against the sorted gram vocabulary — no
+  per-row Python dict lookups). Integer outputs (occurrence counts and
+  model-mass sums) keep the oracle exact; a real deployment swaps the
+  coverage stats for log-prob sums behind the same plumbing.
+
+Scale notes: q45's histogram is bounded by distinct document lengths
+(≤ max doc bytes — vocabulary-sized at any corpus size); q46 never
+shuffles; q47's per-round exchange is ``num_blocks × K`` bounded
+partial rows and the model state is K×D; q48's model side mirrors the
+q35 broadcast-probe shape — above a size gate the same score pass
+becomes a hash join against the model table (documented, not needed
+for a bigram vocabulary).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from ..state.broadcast import get_broadcast
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Q45 — exact distributed quantiles of document length
+# ---------------------------------------------------------------------------
+
+# permille targets; 1-indexed sorted position is ceil(q*n) computed in
+# IEEE double exactly as DuckDB's percentile_disc does (verified by a
+# randomized sweep in tests/test_curation.py)
+QUANTILES_PERMILLE = (10, 100, 250, 500, 750, 900, 990)
+
+
+def exact_quantiles(ds, value_col: str,
+                    permille=QUANTILES_PERMILLE) -> pd.DataFrame:
+    """Exact percentile_disc over ``value_col`` via a value-count
+    histogram: per-batch combiner → ONE exchange of pre-reduced
+    ``(value, cnt)`` rows → driver CDF over the vocabulary-sized
+    result. Never sorts or collects the corpus itself."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = t.column(value_col).value_counts()
+        return pa.table({
+            value_col: vc.field("values"),
+            "cnt": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(value_col).aggregate(Sum("cnt")).to_pandas())
+    if len(hist) == 0:
+        return pd.DataFrame({"q_permille": pd.array([], dtype="int64"),
+                             "value": pd.array([], dtype="int64")})
+    vals = hist[value_col].to_numpy()
+    cnts = hist["sum(cnt)"].to_numpy()
+    order = np.argsort(vals, kind="stable")
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for pm in permille:
+        if n == 0:
+            break
+        pos = max(math.ceil((pm / 1000.0) * n), 1)  # 1-indexed
+        out_q.append(pm)
+        out_v.append(int(vals[int(np.searchsorted(cum, pos))]))
+    return pd.DataFrame({"q_permille": pd.array(out_q, dtype="int64"),
+                         "value": pd.array(out_v, dtype="int64")})
+
+
+def q45_length_quantiles(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["n_chars"])
+    return exact_quantiles(ds, "n_chars")
+
+
+Q45_SQL = "\nUNION ALL\n".join(
+    f"SELECT CAST({pm} AS BIGINT) AS q_permille, "
+    f"percentile_disc({pm / 1000.0}) WITHIN GROUP (ORDER BY n_chars) AS value "
+    f"FROM documents"
+    for pm in QUANTILES_PERMILLE
+)
+
+
+# ---------------------------------------------------------------------------
+# Q46 — stratified domain-mixture sampling
+# ---------------------------------------------------------------------------
+
+# Knuth multiplicative hash: deterministic, seedless, identical integer
+# arithmetic in numpy int64 and DuckDB BIGINT (doc_id * KNUTH stays
+# below 2^63 for doc_id < ~3.4e9; the documented scale path splits the
+# key into 32-bit halves first).
+_KNUTH = 2654435761
+_MIX_MOD = 1000
+
+
+def _mix_rate_permille(host_id):
+    """Per-host target sampling rate (deterministic spread 50..930)."""
+    return 50 + 55 * host_id
+
+
+def q46_domain_mixture_sample(sf_dir: str) -> pd.DataFrame:
+    """Keep each document iff hash(doc_id) lands under its host's
+    target rate — the domain-reweighting sample, reproducible from the
+    key alone (zero shuffles, no stored sample state). Hosts are the
+    same deterministic doc_id%17 spread as q33/q34."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hid = doc % 17
+        rate = _mix_rate_permille(hid)
+        h = (doc * _KNUTH) % 4294967296 % _MIX_MOD
+        m = h < rate
+        kept, khid = doc[m], hid[m]
+        hid_s = pc.cast(pa.array(khid, pa.int64()), pa.string())
+        host = pc.binary_join_element_wise(
+            "https://cdn", hid_s, ".example.org", "")
+        return pa.table({
+            "doc_id": pa.array(kept, pa.int64()),
+            "host": host,
+            "rate_permille": pa.array(_mix_rate_permille(khid), pa.int64()),
+        })
+
+    return ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+
+
+Q46_SQL = f"""
+SELECT doc_id,
+       'https://cdn' || CAST(doc_id % 17 AS VARCHAR) || '.example.org' AS host,
+       CAST(50 + 55 * (doc_id % 17) AS BIGINT) AS rate_permille
+FROM documents
+WHERE ((doc_id * {_KNUTH}) % 4294967296) % {_MIX_MOD} < 50 + 55 * (doc_id % 17)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q47 — distributed k-means over the embedding table
+# ---------------------------------------------------------------------------
+
+_KMEANS_K = 8
+_KMEANS_ROUNDS = 3           # assignment rounds (Lloyd); updates between
+_KMEANS_SCALE = 1048576.0    # 2^20: float32*2^20 is exact in float64
+
+
+def _quantize(x: np.ndarray) -> np.ndarray:
+    """Round-half-away-from-zero to int64 — DuckDB ROUND semantics
+    (numpy's .round is half-even). x*SCALE is exactly representable
+    (float32 mantissa shifted), so ties are deterministic."""
+    xs = x.astype(np.float64) * _KMEANS_SCALE
+    return np.where(xs >= 0, np.floor(xs + 0.5),
+                    np.ceil(xs - 0.5)).astype(np.int64)
+
+
+def _kmeans_quantized(t: pa.Table) -> np.ndarray:
+    from ..stages.similarity import _as_matrix
+
+    return _quantize(_as_matrix(t, "embedding"))
+
+
+def kmeans_assign(ds, k: int = _KMEANS_K, rounds: int = _KMEANS_ROUNDS):
+    """Lloyd's algorithm, Ray-Data-shaped: centroids broadcast per
+    round, per-batch INTEGER partial sums (quantized coordinates make
+    the cross-block reduce exact and order-independent — the output is
+    identical regardless of block arrival order), K×D driver state.
+    Returns the final (vec_id, cluster) assignment Dataset.
+
+    Initial centroids are the embeddings of vec_id < k. Empty clusters
+    keep their previous centroid (both engines agree). At 100 TB each
+    round is one corpus scan with a num_blocks×K-bounded partial
+    exchange; you would persist the quantized matrix once to Parquet
+    instead of re-deriving it per round."""
+    init = (ds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], pa.scalar(k))),
+        batch_format="pyarrow").to_pandas().sort_values("vec_id"))
+    if len(init) < k:
+        raise ValueError(f"need vec_id 0..{k-1} present for seeding")
+    emb = np.stack([np.asarray(e, dtype=np.float32)
+                    for e in init["embedding"]])
+    centroids = _quantize(emb).astype(np.float64)
+
+    def assign(xq: np.ndarray, cents: np.ndarray) -> np.ndarray:
+        # ||x-c||^2; argmin takes the lowest cluster index on ties
+        d = ((xq[:, None, :].astype(np.float64) - cents[None, :, :]) ** 2
+             ).sum(axis=2)
+        return d.argmin(axis=1)
+
+    for _ in range(rounds - 1):
+        c_ref = ray.put(centroids)
+
+        def partial_sums(t: pa.Table) -> pa.Table:
+            xq = _kmeans_quantized(t)
+            a = assign(xq, get_broadcast(c_ref))
+            cols: dict = {"k": pa.array(np.arange(_KMEANS_K), pa.int64())}
+            sums = np.zeros((_KMEANS_K, xq.shape[1]), np.int64)
+            np.add.at(sums, a, xq)
+            cnt = np.bincount(a, minlength=_KMEANS_K).astype(np.int64)
+            cols["m"] = pa.array(cnt, pa.int64())
+            for d_i in range(xq.shape[1]):
+                cols[f"s{d_i}"] = pa.array(sums[:, d_i], pa.int64())
+            return pa.table(cols)
+
+        parts = ds.map_batches(partial_sums,
+                               batch_format="pyarrow").to_pandas()
+        red = parts.groupby("k", as_index=True).sum().sort_index()
+        m = red["m"].to_numpy().astype(np.float64)
+        s = red[[f"s{i}" for i in range(centroids.shape[1])]].to_numpy(
+        ).astype(np.float64)
+        nonempty = m > 0
+        centroids = centroids.copy()
+        centroids[nonempty] = s[nonempty] / m[nonempty, None]
+
+    c_ref = ray.put(centroids)
+
+    def final_assign(t: pa.Table) -> pa.Table:
+        a = assign(_kmeans_quantized(t), get_broadcast(c_ref))
+        return pa.table({"vec_id": t["vec_id"],
+                         "cluster": pa.array(a.astype(np.int64), pa.int64())})
+
+    return ds.map_batches(final_assign, batch_format="pyarrow")
+
+
+def q47_kmeans_clusters(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans_assign(ds).to_pandas()
+
+
+def _q47_sql(k: int = _KMEANS_K, rounds: int = _KMEANS_ROUNDS) -> str:
+    """The same Lloyd rounds unrolled as SQL CTEs (q42b pattern):
+    identical quantization (ROUND is half-away in DuckDB, matching
+    _quantize), identical integer centroid sums, identical double
+    division — the engines evaluate the same IEEE doubles end to end
+    up to intra-sum ordering, and assignments are integers."""
+    parts = [f"""ptsq AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * {_KMEANS_SCALE}, 0)
+              AS BIGINT) AS xq
+  FROM embeddings
+)""", f"""c0 AS (
+  SELECT vec_id AS k, d, CAST(xq AS DOUBLE) AS c FROM ptsq WHERE vec_id < {k}
+)"""]
+    for i in range(1, rounds + 1):
+        prev = f"c{i - 1}"
+        parts.append(f"""dist{i} AS (
+  SELECT p.vec_id, c.k,
+         SUM((CAST(p.xq AS DOUBLE) - c.c) * (CAST(p.xq AS DOUBLE) - c.c)) AS dd
+  FROM ptsq p JOIN {prev} c ON c.d = p.d
+  GROUP BY p.vec_id, c.k
+)""")
+        parts.append(f"""a{i} AS (
+  SELECT vec_id, k FROM (
+    SELECT vec_id, k,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, k) AS rn
+    FROM dist{i}) WHERE rn = 1
+)""")
+        if i < rounds:
+            parts.append(f"""c{i} AS (
+  SELECT pc.k, pc.d, COALESCE(u.s / u.m, pc.c) AS c
+  FROM {prev} pc LEFT JOIN (
+    SELECT a.k, p.d, CAST(SUM(p.xq) AS DOUBLE) AS s,
+           CAST(COUNT(*) AS DOUBLE) AS m
+    FROM a{i} a JOIN ptsq p ON p.vec_id = a.vec_id
+    GROUP BY a.k, p.d) u ON u.k = pc.k AND u.d = pc.d
+)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT vec_id, CAST(k AS BIGINT) AS cluster FROM a{rounds}")
+
+
+Q47_SQL = _q47_sql()
+
+
+# ---------------------------------------------------------------------------
+# Q48 — bigram language-model coverage scoring
+# ---------------------------------------------------------------------------
+
+_LM_SUBSET_MOD = 29  # model reference subset: doc_id % 29 == 0
+
+
+def _bigrams_flat(t: pa.Table):
+    """Vectorized within-document bigram minting (the q44 idiom at
+    n=2): returns (grams Arrow array, parent doc row index ndarray)."""
+    words = pc.split_pattern(t["text"], " ")
+    flat = pc.list_flatten(words).combine_chunks()
+    if len(flat) < 2:
+        return pa.array([], pa.string()), np.zeros(0, np.int64)
+    par = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    m = len(flat) - 1
+    grams = pc.binary_join_element_wise(flat.slice(0, m), flat.slice(1, m),
+                                        " ")
+    same_doc = par[:m] == par[1:]
+    return grams.filter(pa.array(same_doc)), par[:m][same_doc]
+
+
+def q48_bigram_lm_score(sf_dir: str) -> pd.DataFrame:
+    """Score every document against a bigram model counted from the
+    deterministic reference subset. Outputs exact integers per doc:
+    total bigram occurrences, occurrences known to the model, and the
+    summed model counts of the known occurrences (the order-independent
+    integer stand-in for a log-prob sum; docs with zero bigrams carry
+    no row, matching the oracle's bigram-table join)."""
+    from ..stages.windows import grouped_by_key_buckets
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def model_partial(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(doc % _LM_SUBSET_MOD == 0))
+        grams, _ = _bigrams_flat(sub)
+        g = pa.table({"gram": grams}).group_by("gram").aggregate(
+            [("gram", "count")])
+        return pa.table({"gram": g["gram"],
+                         "cnt": pc.cast(g["gram_count"], pa.int64())})
+
+    def model_final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("gram", as_index=False)["cnt"].sum()
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    model = grouped_by_key_buckets(
+        ds.map_batches(model_partial, batch_format="pyarrow"),
+        "gram", model_final).to_pandas()
+    # bigram-vocabulary-sized by construction (q35 broadcast-probe
+    # shape); above a byte gate this becomes a hash join on gram
+    model = model.sort_values("gram", kind="stable")
+    grams_sorted = model["gram"].to_numpy(dtype=object)
+    counts_sorted = model["cnt"].to_numpy().astype(np.int64)
+    m_ref = ray.put((grams_sorted, counts_sorted))
+
+    def score(t: pa.Table) -> pa.Table:
+        g_sorted, c_sorted = get_broadcast(m_ref)
+        grams, par = _bigrams_flat(t)
+        n_rows = t.num_rows
+        garr = grams.to_numpy(zero_copy_only=False)
+        if len(g_sorted):
+            pos = np.searchsorted(g_sorted, garr)
+            pos_c = np.clip(pos, 0, len(g_sorted) - 1)
+            known = g_sorted[pos_c] == garr
+            mass = np.where(known, c_sorted[pos_c], 0)
+        else:
+            known = np.zeros(len(garr), bool)
+            mass = np.zeros(len(garr), np.int64)
+        n_bi = np.bincount(par, minlength=n_rows).astype(np.int64)
+        n_known = np.bincount(par, weights=known.astype(np.float64),
+                              minlength=n_rows).astype(np.int64)
+        kmass = np.bincount(par, weights=mass.astype(np.float64),
+                            minlength=n_rows).astype(np.int64)
+        keep = n_bi > 0
+        return pa.table({
+            "doc_id": t["doc_id"].filter(pa.array(keep)),
+            "n_bigrams": pa.array(n_bi[keep], pa.int64()),
+            "n_known": pa.array(n_known[keep], pa.int64()),
+            "known_mass": pa.array(kmass[keep], pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow").to_pandas()
+
+
+Q48_SQL = f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS idx
+  FROM documents
+), g AS (
+  SELECT doc_id, word || ' ' || LEAD(word) OVER win AS gram
+  FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY idx)
+), bi AS (
+  SELECT doc_id, gram FROM g WHERE gram IS NOT NULL
+), model AS (
+  SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM bi WHERE doc_id % {_LM_SUBSET_MOD} = 0 GROUP BY gram
+)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(COUNT(m.gram) AS BIGINT) AS n_known,
+       CAST(COALESCE(SUM(m.cnt), 0) AS BIGINT) AS known_mass
+FROM bi b LEFT JOIN model m ON m.gram = b.gram
+GROUP BY b.doc_id
+"""

@@ -1,0 +1,138 @@
+"""Curation-operator tests (q45-q48): exact quantiles, stratified
+mixture sampling, distributed k-means, bigram-LM coverage scoring."""
+
+import math
+import random
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from reden_ray.pipelines.curation import (
+    _KMEANS_K,
+    _bigrams_flat,
+    _mix_rate_permille,
+    _quantize,
+    exact_quantiles,
+    kmeans_assign,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestQuantileFormula:
+    def test_position_matches_percentile_disc(self):
+        """ceil(q*n) 1-indexed reproduces DuckDB percentile_disc across
+        randomized sizes and duplicate-heavy data."""
+        con = duckdb.connect()
+        rng = random.Random(11)
+        for _ in range(25):
+            n = rng.randint(1, 400)
+            vals = [rng.randint(0, 30) for _ in range(n)]
+            s = sorted(vals)
+            con.sql("DROP TABLE IF EXISTS t")
+            con.sql("CREATE TABLE t(x INT)")
+            con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+            for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+                duck = con.sql(
+                    f"SELECT percentile_disc({q}) WITHIN GROUP (ORDER BY x) FROM t"
+                ).fetchone()[0]
+                pos = max(math.ceil(q * n), 1)
+                assert s[pos - 1] == duck, (n, q)
+
+    def test_distributed_histogram_path(self):
+        rng = random.Random(5)
+        vals = [rng.randint(0, 50) for _ in range(997)]
+        ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.int64())}))
+        out = exact_quantiles(ds, "x")
+        s = sorted(vals)
+        for r in out.itertuples():
+            pos = max(math.ceil((r.q_permille / 1000.0) * len(vals)), 1)
+            assert r.value == s[pos - 1]
+
+    def test_empty_input(self):
+        ds = rd.from_arrow(pa.table({"x": pa.array([], pa.int64())}))
+        assert len(exact_quantiles(ds, "x")) == 0
+
+
+class TestMixtureSample:
+    def test_rate_and_determinism(self):
+        from reden_ray.pipelines.curation import q46_domain_mixture_sample
+
+        a = q46_domain_mixture_sample(SF)
+        b = q46_domain_mixture_sample(SF)
+        pd.testing.assert_frame_equal(
+            a.sort_values("doc_id").reset_index(drop=True),
+            b.sort_values("doc_id").reset_index(drop=True))
+        # achieved per-host rate tracks the target (multiplicative hash
+        # is near-uniform; wide tolerance for small strata)
+        n_total = duckdb.sql(
+            f"SELECT COUNT(*) FROM read_parquet('{SF}/documents.parquet')"
+        ).fetchone()[0]
+        per_host_total = n_total / 17
+        got = a.groupby("rate_permille").size()
+        for rate, n_kept in got.items():
+            assert n_kept <= per_host_total * 2
+            assert abs(n_kept / per_host_total - rate / 1000.0) < 0.45
+
+
+class TestKMeans:
+    def test_quantize_matches_duckdb_round(self):
+        xs = np.array([0.5, -0.5, 1.5, -1.5, 2.5, 0.4999, -0.0, 3.123],
+                      np.float32) / 1048576.0
+        q = _quantize(xs.reshape(-1, 1)).ravel()
+        duck = [duckdb.sql(
+            f"SELECT CAST(ROUND(CAST({float(v)!r} AS DOUBLE) * 1048576.0, 0)"
+            " AS BIGINT)").fetchone()[0] for v in xs]
+        assert q.tolist() == duck
+
+    def test_assignment_properties(self):
+        ds = rd.read_parquet(f"{SF}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        out = kmeans_assign(ds).to_pandas()
+        n = duckdb.sql(
+            f"SELECT COUNT(*) FROM read_parquet('{SF}/embeddings.parquet')"
+        ).fetchone()[0]
+        assert len(out) == n
+        assert out["cluster"].between(0, _KMEANS_K - 1).all()
+        assert out["cluster"].nunique() >= 2  # non-degenerate
+        # deterministic across runs (integer partial sums are
+        # order-independent, so block arrival order cannot leak in)
+        out2 = kmeans_assign(ds).to_pandas()
+        pd.testing.assert_frame_equal(
+            out.sort_values("vec_id").reset_index(drop=True),
+            out2.sort_values("vec_id").reset_index(drop=True))
+
+    def test_seeds_assign_to_themselves_round1(self):
+        """With rounds=1 (pure seeded assignment), every seed point is
+        distance-0 from its own centroid."""
+        ds = rd.read_parquet(f"{SF}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        out = kmeans_assign(ds, rounds=1).to_pandas()
+        seeds = out[out["vec_id"] < _KMEANS_K].sort_values("vec_id")
+        assert seeds["cluster"].tolist() == list(range(_KMEANS_K))
+
+
+class TestBigramLM:
+    def test_bigram_mint_matches_reference(self):
+        t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                      "text": pa.array(["a b c", "x", "p q"], pa.string())})
+        grams, par = _bigrams_flat(t)
+        assert grams.to_pylist() == ["a b", "b c", "p q"]
+        assert par.tolist() == [0, 0, 2]
+
+    def test_subset_docs_fully_known(self):
+        """Every bigram of a model-subset doc is by construction in the
+        model, so its coverage is total."""
+        from reden_ray.pipelines.curation import (_LM_SUBSET_MOD,
+                                                  q48_bigram_lm_score)
+
+        out = q48_bigram_lm_score(SF)
+        sub = out[out["doc_id"] % _LM_SUBSET_MOD == 0]
+        assert len(sub) > 0
+        assert (sub["n_known"] == sub["n_bigrams"]).all()
+        assert (out["known_mass"] >= out["n_known"]).all()
+        assert (out["n_known"] <= out["n_bigrams"]).all()
