@@ -396,6 +396,128 @@ def q48_bigram_lm_score(sf_dir: str) -> pd.DataFrame:
     return ds.map_batches(score, batch_format="pyarrow").to_pandas()
 
 
+# ---------------------------------------------------------------------------
+# Q49 — SemDeDup-lite: k-means-cell-bounded exact near-dup over embeddings
+# ---------------------------------------------------------------------------
+
+# Near-dup pairs are planted by unioning the table with integer-
+# perturbed copies (id+100000, each quantized coordinate shifted by a
+# deterministic hash in -3..+3 quanta) — the same plant-and-recover
+# protocol as q17c/q18b/q19b. EVERYTHING downstream is int64: cells are
+# the argmin-L2 assignment to the quantized seed centroids (vec_id<8),
+# so there are no float ties anywhere and both engines agree exactly.
+_SEMDEDUP_R2 = 10_000        # planted pairs have d2 <= 64*9 = 576;
+#                              the nearest natural pair is ~1e12
+_SEMDEDUP_COPY_OFFSET = 100_000
+_SEMDEDUP_PERT_MOD = 7
+
+
+def _pert(ids: np.ndarray, dim: int) -> np.ndarray:
+    """(n, dim) deterministic perturbation in -3..+3 quanta; d is
+    1-based to match SQL generate_subscripts."""
+    d = np.arange(1, dim + 1, dtype=np.int64)[None, :]
+    return ((ids[:, None] * 31 + d) * _KNUTH) % 4294967296 \
+        % _SEMDEDUP_PERT_MOD - 3
+
+
+def q49_semantic_dedup(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup-shaped semantic dedup: cluster cells bound the
+    comparison space (never all-pairs), then exact integer L2 within
+    each cell. One corpus scan to assign + ONE cell-keyed exchange;
+    at 100 TB you add a per-cell pair cap with reported truncation
+    (the LSH-bucket discipline in stages/dedup.py) and ship int16
+    quantized vectors instead of the raw floats."""
+    from ..stages.windows import grouped_by_key_buckets
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    init = (ds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], pa.scalar(_KMEANS_K))),
+        batch_format="pyarrow").to_pandas().sort_values("vec_id"))
+    emb = np.stack([np.asarray(e, dtype=np.float32)
+                    for e in init["embedding"]])
+    cents = _quantize(emb)                       # (K, D) int64 — exact
+    c_ref = ray.put(cents)
+
+    def assign_union(t: pa.Table) -> pa.Table:
+        xq = _kmeans_quantized(t)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        xq2 = xq + _pert(ids, xq.shape[1])       # perturbed copies
+        allq = np.concatenate([xq, xq2])
+        pid = np.concatenate([ids, ids + _SEMDEDUP_COPY_OFFSET])
+        c = get_broadcast(c_ref)
+        d2 = ((allq[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        cell = d2.argmin(axis=1).astype(np.int64)
+        flat = pa.array(allq.ravel(), pa.int64())
+        offs = pa.array(np.arange(len(pid) + 1, dtype=np.int32)
+                        * allq.shape[1])
+        return pa.table({"pid": pa.array(pid, pa.int64()),
+                         "cell": pa.array(cell, pa.int64()),
+                         "xq": pa.ListArray.from_arrays(offs, flat)})
+
+    pts = ds.map_batches(assign_union, batch_format="pyarrow")
+
+    def pairs_in_cells(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_d = [], [], []
+        for _, g in df.groupby("cell", sort=False):
+            x = np.stack(g["xq"].to_numpy())
+            pid = g["pid"].to_numpy()
+            order = np.argsort(pid, kind="stable")
+            x, pid = x[order], pid[order]
+            d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(axis=2)
+            ia, ib = np.triu_indices(len(pid), 1)
+            hit = d2[ia, ib] <= _SEMDEDUP_R2
+            out_a.append(pid[ia[hit]])
+            out_b.append(pid[ib[hit]])
+            out_d.append(d2[ia[hit], ib[hit]])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.array([], dtype="int64"),
+                                 "id_b": pd.array([], dtype="int64"),
+                                 "d2": pd.array([], dtype="int64")})
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a).astype("int64"),
+            "id_b": np.concatenate(out_b).astype("int64"),
+            "d2": np.concatenate(out_d).astype("int64")})
+
+    return grouped_by_key_buckets(pts, "cell", pairs_in_cells).to_pandas()
+
+
+Q49_SQL = f"""
+WITH base AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * {_KMEANS_SCALE}, 0)
+              AS BIGINT) AS xq
+  FROM embeddings
+), pts AS (
+  SELECT vec_id AS pid, d, xq FROM base
+  UNION ALL
+  SELECT vec_id + {_SEMDEDUP_COPY_OFFSET}, d,
+         xq + ((((vec_id * 31 + d) * {_KNUTH}) % 4294967296)
+               % {_SEMDEDUP_PERT_MOD}) - 3
+  FROM base
+), c0 AS (
+  SELECT pid AS k, d, xq AS c FROM pts WHERE pid < {_KMEANS_K}
+), dist AS (
+  SELECT p.pid, c.k, SUM((p.xq - c.c) * (p.xq - c.c)) AS dd
+  FROM pts p JOIN c0 c ON c.d = p.d GROUP BY p.pid, c.k
+), a AS (
+  SELECT pid, k FROM (
+    SELECT pid, k, ROW_NUMBER() OVER (PARTITION BY pid ORDER BY dd, k) AS rn
+    FROM dist) WHERE rn = 1
+), pairs AS (
+  SELECT x.pid AS id_a, y.pid AS id_b
+  FROM a x JOIN a y ON x.k = y.k AND x.pid < y.pid
+), pd AS (
+  SELECT p.id_a, p.id_b, SUM((x.xq - y.xq) * (x.xq - y.xq)) AS d2
+  FROM pairs p
+  JOIN pts x ON x.pid = p.id_a
+  JOIN pts y ON y.pid = p.id_b AND y.d = x.d
+  GROUP BY p.id_a, p.id_b
+)
+SELECT id_a, id_b, CAST(d2 AS BIGINT) AS d2 FROM pd WHERE d2 <= {_SEMDEDUP_R2}
+"""
+
+
 Q48_SQL = f"""
 WITH w AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS word,

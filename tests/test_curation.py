@@ -116,6 +116,24 @@ class TestKMeans:
         assert seeds["cluster"].tolist() == list(range(_KMEANS_K))
 
 
+class TestSemanticDedup:
+    def test_planted_pairs_recovered_exactly(self):
+        """Every planted (original, perturbed-copy) pair is recovered,
+        nothing else qualifies, and distances stay within the plant's
+        64*9 bound — the math is all-int64 so this is exact."""
+        from reden_ray.pipelines.curation import (_SEMDEDUP_COPY_OFFSET,
+                                                  q49_semantic_dedup)
+
+        out = q49_semantic_dedup(SF)
+        n = duckdb.sql(
+            f"SELECT COUNT(*) FROM read_parquet('{SF}/embeddings.parquet')"
+        ).fetchone()[0]
+        assert len(out) == n
+        assert (out["id_b"] - out["id_a"] == _SEMDEDUP_COPY_OFFSET).all()
+        assert (out["d2"] <= 64 * 9).all()
+        assert out["id_a"].is_unique
+
+
 class TestBigramLM:
     def test_bigram_mint_matches_reference(self):
         t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
