@@ -1488,6 +1488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q47_kmeans_clusters": C.q47_kmeans_clusters,
         "q48_bigram_lm_score": C.q48_bigram_lm_score,
         "q49_semantic_dedup": C.q49_semantic_dedup,
+        "q50_bpe_merges": C.q50_bpe_merges,
         # flagship NEL / KG construction over derived pages (rows-only:
         # graph algorithm not SQL-expressible; parity is gated in pytest
         # against analytic gold fixtures instead).
@@ -1611,6 +1612,7 @@ def oracle_sql() -> dict[str, str]:
         "q47_kmeans_clusters": C.Q47_SQL,
         "q48_bigram_lm_score": C.Q48_SQL,
         "q49_semantic_dedup": C.Q49_SQL,
+        "q50_bpe_merges": C.Q50_SQL,
         "q27_tumbling_window": __import__(
             "reden_ray.stages.windows", fromlist=["TUMBLING_SQL"]
         ).TUMBLING_SQL.format(size_us=3_600_000_000),

@@ -518,6 +518,133 @@ SELECT id_a, id_b, CAST(d2 AS BIGINT) AS d2 FROM pd WHERE d2 <= {_SEMDEDUP_R2}
 """
 
 
+# ---------------------------------------------------------------------------
+# Q50 — BPE tokenizer training (distributed word-frequency pass +
+# vocabulary-sized merge loop)
+# ---------------------------------------------------------------------------
+
+# Real BPE trainers (GPT-2/SentencePiece-style) scan the corpus ONCE
+# for word frequencies — the only corpus-sized step, distributed here
+# as a per-batch value-count combiner + one word-keyed exchange of
+# pre-reduced rows — then run the merge loop over the vocabulary-sized
+# (word, freq) table. The merge loop uses a wrapped-symbol string
+# encoding (\x01 sym \x02, space-joined) whose str.replace is EXACTLY
+# the greedy-left non-overlapping symbol-list merge, with no
+# cross-symbol false matches; DuckDB's replace has identical
+# semantics, so the oracle unrolls the same merges as CTEs (the
+# q42b/q47 pattern). Tie-break: max count, then lexicographically
+# smallest (left, right) — binary collation on both engines.
+_BPE_MERGES = 6
+_BPE_W0, _BPE_W1 = "\x01", "\x02"  # symbol wrappers (never in corpus words)
+
+
+def _bpe_seq(word: str) -> str:
+    return " ".join(_BPE_W0 + ch + _BPE_W1 for ch in word)
+
+
+def bpe_train(word_freq: pd.DataFrame, n_merges: int = _BPE_MERGES
+              ) -> pd.DataFrame:
+    """Merge loop over the vocabulary-sized (word, f) table: returns
+    one row per merge step (step, l, r, cnt)."""
+    from collections import Counter
+
+    seqs = {w: _bpe_seq(w) for w in word_freq["word"]}
+    freq = dict(zip(word_freq["word"], word_freq["f"]))
+    out_step, out_l, out_r, out_c = [], [], [], []
+    for step in range(1, n_merges + 1):
+        pairs: Counter = Counter()
+        for w, seq in seqs.items():
+            syms = [s[1:-1] for s in seq.split(" ")]
+            f = freq[w]
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        (l, r), cnt = min(pairs.items(),
+                          key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        pat = _BPE_W0 + l + _BPE_W1 + " " + _BPE_W0 + r + _BPE_W1
+        rep = _BPE_W0 + l + r + _BPE_W1
+        seqs = {w: s.replace(pat, rep) for w, s in seqs.items()}
+        out_step.append(step)
+        out_l.append(l)
+        out_r.append(r)
+        out_c.append(int(cnt))
+    return pd.DataFrame({"step": pd.array(out_step, dtype="int64"),
+                         "l": out_l, "r": out_r,
+                         "cnt": pd.array(out_c, dtype="int64")})
+
+
+def q50_bpe_merges(sf_dir: str) -> pd.DataFrame:
+    from ..stages.windows import grouped_by_key_buckets
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def wf_partial(t: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern(t["text"], " "))
+        words = words.filter(pc.not_equal(words, pa.scalar("")))
+        vc = words.value_counts()
+        return pa.table({"word": vc.field("values"),
+                         "f": pc.cast(vc.field("counts"), pa.int64())})
+
+    def wf_final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("word", as_index=False)["f"].sum()
+        out["f"] = out["f"].astype("int64")
+        return out
+
+    wf = grouped_by_key_buckets(
+        ds.map_batches(wf_partial, batch_format="pyarrow"),
+        "word", wf_final).to_pandas()
+    return bpe_train(wf)
+
+
+def _q50_sql(n_merges: int = _BPE_MERGES) -> str:
+    w0, w1 = "chr(1)", "chr(2)"
+    parts = [f"""wf AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS f FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+)""", f"""s0 AS (
+  SELECT word, f,
+         array_to_string(list_transform(generate_series(1, length(word)),
+                                        i -> {w0} || word[i] || {w1}),
+                         ' ') AS seq
+  FROM wf
+)"""]
+    for i in range(1, n_merges + 1):
+        prev = f"s{i - 1}"
+        parts.append(f"""t{i} AS (
+  SELECT word, f, unnest(string_split(seq, ' ')) AS sym,
+         generate_subscripts(string_split(seq, ' '), 1) AS idx
+  FROM {prev}
+)""")
+        parts.append(f"""c{i} AS (
+  SELECT substr(sym, 2, length(sym) - 2) AS l,
+         substr(nxt, 2, length(nxt) - 2) AS r,
+         CAST(SUM(f) AS BIGINT) AS cnt
+  FROM (SELECT f, sym, LEAD(sym) OVER (PARTITION BY word ORDER BY idx) AS nxt
+        FROM t{i})
+  WHERE nxt IS NOT NULL GROUP BY 1, 2
+)""")
+        parts.append(
+            f"b{i} AS (SELECT l, r, cnt FROM c{i} "
+            f"ORDER BY cnt DESC, l, r LIMIT 1)")
+        if i < n_merges:
+            parts.append(f"""s{i} AS (
+  SELECT word, f,
+         replace(seq,
+                 (SELECT {w0} || l || {w1} || ' ' || {w0} || r || {w1} FROM b{i}),
+                 (SELECT {w0} || l || r || {w1} FROM b{i})) AS seq
+  FROM {prev}
+)""")
+    final = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, l, r, cnt FROM b{i}"
+        for i in range(1, n_merges + 1))
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+Q50_SQL = _q50_sql()
+
+
 Q48_SQL = f"""
 WITH w AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS word,

@@ -134,6 +134,57 @@ class TestSemanticDedup:
         assert out["id_a"].is_unique
 
 
+class TestBPE:
+    def _wf(self, rows):
+        return pd.DataFrame({"word": [w for w, _ in rows],
+                             "f": pd.array([f for _, f in rows],
+                                           dtype="int64")})
+
+    def test_greedy_left_overlap(self):
+        """'aaa' holds TWO overlapping (a,a) positions for counting but
+        only ONE greedy-left merge applies — the wrapped-string replace
+        reproduces symbol-list semantics."""
+        from reden_ray.pipelines.curation import bpe_train
+
+        out = bpe_train(self._wf([("aaa", 1)]), n_merges=2)
+        assert out.iloc[0][["l", "r", "cnt"]].tolist() == ["a", "a", 2]
+        # after merging -> [aa, a]; the next pair is (aa, a) counted once
+        assert out.iloc[1][["l", "r", "cnt"]].tolist() == ["aa", "a", 1]
+
+    def test_no_cross_symbol_false_match(self):
+        """Symbols 'a'+'ab' must NOT be corrupted by an (a,a) merge:
+        the wrapper encoding prevents substring false positives."""
+        from reden_ray.pipelines.curation import bpe_train
+
+        # 'aab' -> [a,a,b] merges (a,a); 'ab' -> [a,b] must stay intact
+        out = bpe_train(self._wf([("aab", 3), ("ab", 5)]), n_merges=2)
+        assert out.iloc[0][["l", "r"]].tolist() == ["a", "b"]  # cnt 5+3? no:
+        # pairs: (a,a)x3 from aab, (a,b)x3 (aab) + x5 (ab) = 8 -> (a,b) wins
+        assert out.iloc[0]["cnt"] == 8
+
+    def test_tiebreak_lexicographic(self):
+        from reden_ray.pipelines.curation import bpe_train
+
+        # (a,b) and (c,d) both count 2 -> smallest (l, r) wins
+        out = bpe_train(self._wf([("ab", 2), ("cd", 2)]), n_merges=1)
+        assert out.iloc[0][["l", "r", "cnt"]].tolist() == ["a", "b", 2]
+
+    def test_distributed_word_freq_matches_duckdb(self):
+        from reden_ray.pipelines.curation import q50_bpe_merges
+
+        got = q50_bpe_merges(SF)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+        from reden_ray.pipelines.curation import Q50_SQL
+
+        want = con.sql(Q50_SQL).df()
+        pd.testing.assert_frame_equal(
+            got.sort_values("step").reset_index(drop=True),
+            want.sort_values("step").reset_index(drop=True)
+            .astype({"step": "int64", "cnt": "int64"}))
+
+
 class TestBigramLM:
     def test_bigram_mint_matches_reference(self):
         t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
