@@ -1489,6 +1489,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q48_bigram_lm_score": C.q48_bigram_lm_score,
         "q49_semantic_dedup": C.q49_semantic_dedup,
         "q50_bpe_merges": C.q50_bpe_merges,
+        "q51_hll_registers": C.q51_hll_registers,
+        "q52_inverted_index": C.q52_inverted_index,
         # flagship NEL / KG construction over derived pages (rows-only:
         # graph algorithm not SQL-expressible; parity is gated in pytest
         # against analytic gold fixtures instead).
@@ -1613,6 +1615,8 @@ def oracle_sql() -> dict[str, str]:
         "q48_bigram_lm_score": C.Q48_SQL,
         "q49_semantic_dedup": C.Q49_SQL,
         "q50_bpe_merges": C.Q50_SQL,
+        "q51_hll_registers": C.Q51_SQL,
+        "q52_inverted_index": C.Q52_SQL,
         "q27_tumbling_window": __import__(
             "reden_ray.stages.windows", fromlist=["TUMBLING_SQL"]
         ).TUMBLING_SQL.format(size_us=3_600_000_000),

@@ -288,6 +288,8 @@ def run_bench() -> dict:
         "q41_url_canonical_dedup",   # URL canonicalization dedup
         "q42b_host_pagerank",        # link graph + PageRank
         "q43_snapshot_diff",         # crawl snapshot diff
+        "q49_semantic_dedup",        # k-means cells + exact int L2
+        "q50_bpe_merges",            # BPE training (word-freq pass)
     ]
     for name in component_names:
         t0 = time.perf_counter()

@@ -645,6 +645,148 @@ def _q50_sql(n_merges: int = _BPE_MERGES) -> str:
 Q50_SQL = _q50_sql()
 
 
+# ---------------------------------------------------------------------------
+# Q51 — HyperLogLog distinct-count registers (sketch aggregation)
+# ---------------------------------------------------------------------------
+
+# The register TABLE is the verified object (all-integer, exact on
+# both engines); the cardinality estimate derived from it is checked
+# against the exact distinct count in pytest. Registers are a max-
+# semilattice, so the per-batch combiner bounds the exchange to
+# (n_event_types × 2^P) rows per block regardless of corpus size —
+# the whole point of sketches at 100 TB. Rank extraction avoids
+# floating log2 entirely: numpy uses an exact power-of-two
+# searchsorted, SQL uses length(bin(w)).
+_HLL_P = 6                     # 2^6 = 64 registers per group
+_HLL_WBITS = 32 - _HLL_P       # hash is 32-bit multiplicative
+
+
+def hll_ranks(user_id: np.ndarray):
+    """(bucket, rank) per item from the 32-bit Knuth hash."""
+    h = (user_id.astype(np.int64) * _KNUTH) % 4294967296
+    bucket = h % (1 << _HLL_P)
+    w = h >> _HLL_P
+    powers = 1 << np.arange(0, _HLL_WBITS + 1, dtype=np.int64)
+    bitlen = np.searchsorted(powers, w, side="right")  # 0 for w == 0
+    rank = np.where(w == 0, _HLL_WBITS + 1, _HLL_WBITS + 1 - bitlen)
+    return bucket, rank.astype(np.int64)
+
+
+def hll_estimate(max_ranks: np.ndarray) -> float:
+    """Standard HLL estimator over one group's full register vector
+    (zeros for untouched registers); linear-counting small-range
+    correction included."""
+    m = 1 << _HLL_P
+    alpha = 0.709 if m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}[m]
+    est = alpha * m * m / np.sum(2.0 ** -max_ranks)
+    zeros = int((max_ranks == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def q51_hll_registers(sf_dir: str) -> pd.DataFrame:
+    """Distinct users per event type as HLL registers: per-batch max
+    combiner, ONE exchange of pre-reduced (type, bucket, rank) rows."""
+    from ..stages.windows import grouped_by_key_buckets
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        bucket, rank = hll_ranks(uid)
+        out = pa.table({"event_type": t["event_type"],
+                        "bucket": pa.array(bucket, pa.int64()),
+                        "rank": pa.array(rank, pa.int64())})
+        g = out.group_by(["event_type", "bucket"]).aggregate([("rank", "max")])
+        return pa.table({"event_type": g["event_type"],
+                         "bucket": g["bucket"],
+                         "rank": pc.cast(g["rank_max"], pa.int64())})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["event_type", "bucket"], as_index=False)["rank"]
+               .max().rename(columns={"rank": "max_rank"}))
+        out["max_rank"] = out["max_rank"].astype("int64")
+        return out
+
+    return grouped_by_key_buckets(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "event_type", final).to_pandas()
+
+
+Q51_SQL = f"""
+WITH h AS (
+  SELECT event_type, ((user_id * {_KNUTH}) % 4294967296) AS hv FROM events
+), r AS (
+  SELECT event_type, hv % {1 << _HLL_P} AS bucket,
+         hv // {1 << _HLL_P} AS w
+  FROM h
+), rk AS (
+  SELECT event_type, bucket,
+         CASE WHEN w = 0 THEN {_HLL_WBITS + 1}
+              ELSE {_HLL_WBITS + 1} - length(bin(w)) END AS rank
+  FROM r
+)
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+       CAST(MAX(rank) AS BIGINT) AS max_rank
+FROM rk GROUP BY event_type, bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q52 — inverted-index build (term -> ordered posting list)
+# ---------------------------------------------------------------------------
+
+
+def q52_inverted_index(sf_dir: str) -> pd.DataFrame:
+    """The search-engine staple (and the corpus-side analog of the
+    reference's Lucene dictionary indexing, SURVEY §2 S5): per-batch
+    DISTINCT (term, doc_id) pairs — the combiner that stops head terms
+    from shipping every occurrence — then ONE term-keyed exchange and
+    per-term ordered posting assembly. At 100 TB posting lists shard
+    by (term, doc-range) instead of one string per term; df and the
+    ordered assembly are unchanged."""
+    from ..stages.windows import grouped_by_key_buckets
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"], " ")
+        flat = pc.list_flatten(words)
+        par = pc.list_parent_indices(words)
+        doc = t["doc_id"].take(par)
+        keep = pc.not_equal(flat, pa.scalar(""))
+        return (pa.table({"term": flat.filter(keep),
+                          "doc_id": doc.filter(keep)})
+                .group_by(["term", "doc_id"]).aggregate([]))
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["term", "doc_id"]).sort_values(
+            ["term", "doc_id"], kind="stable")
+        g = df.groupby("term", sort=False)
+        out = g.agg(df_count=("doc_id", "size"),
+                    postings=("doc_id",
+                              lambda s: ",".join(map(str, s)))).reset_index()
+        out["df_count"] = out["df_count"].astype("int64")
+        return out
+
+    return grouped_by_key_buckets(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        "term", assemble).to_pandas()
+
+
+Q52_SQL = """
+WITH p AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''
+)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df_count,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM p GROUP BY term
+"""
+
+
 Q48_SQL = f"""
 WITH w AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS word,
