@@ -1491,6 +1491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q50_bpe_merges": C.q50_bpe_merges,
         "q51_hll_registers": C.q51_hll_registers,
         "q52_inverted_index": C.q52_inverted_index,
+        "q53_moment_matrix": C.q53_moment_matrix,
         # flagship NEL / KG construction over derived pages (rows-only:
         # graph algorithm not SQL-expressible; parity is gated in pytest
         # against analytic gold fixtures instead).
@@ -1617,6 +1618,7 @@ def oracle_sql() -> dict[str, str]:
         "q50_bpe_merges": C.Q50_SQL,
         "q51_hll_registers": C.Q51_SQL,
         "q52_inverted_index": C.Q52_SQL,
+        "q53_moment_matrix": C.Q53_SQL,
         "q27_tumbling_window": __import__(
             "reden_ray.stages.windows", fromlist=["TUMBLING_SQL"]
         ).TUMBLING_SQL.format(size_us=3_600_000_000),

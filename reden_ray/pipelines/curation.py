@@ -787,6 +787,86 @@ FROM p GROUP BY term
 """
 
 
+# ---------------------------------------------------------------------------
+# Q53 — distributed normal-equations accumulation (linear quality-
+# classifier training)
+# ---------------------------------------------------------------------------
+
+# The RefinedWeb/C4-style "train a quality classifier" step, split the
+# way it actually distributes: the corpus-sized pass accumulates the
+# exact second-moment matrix of [features, label] as INTEGER partial
+# sums (a per-batch X^T X combiner — the exchange is a constant
+# 15 rows per block at any corpus size), and the D×D solve happens on
+# the driver. The moment table is the hash-verified object; the ridge
+# solve + prediction quality are pytest-gated. The label here is a
+# deterministic stand-in (n_chars >= threshold); a real pipeline
+# feeds human/LLM labels through the identical plumbing.
+_Q53_Y_THRESHOLD = 300
+_Q53_DIM = 5  # [1, n_chars, n_words, n_uniq_words, y]
+
+
+def _q53_features(t: pa.Table) -> np.ndarray:
+    import polars as pl
+
+    txt = pl.from_arrow(t.column("text").combine_chunks())
+    words = txt.str.split(" ")
+    n_chars = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_words = words.list.len().to_numpy().astype(np.int64)
+    n_uniq = words.list.n_unique().to_numpy().astype(np.int64)
+    y = (n_chars >= _Q53_Y_THRESHOLD).astype(np.int64)
+    return np.column_stack([np.ones(len(n_chars), np.int64),
+                            n_chars, n_words, n_uniq, y])
+
+
+def q53_moment_matrix(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["text", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = _q53_features(t)
+        m = x.T @ x                      # (5,5) int64, exact
+        iu, ju = np.triu_indices(_Q53_DIM)
+        return pa.table({"i": pa.array(iu.astype(np.int64)),
+                         "j": pa.array(ju.astype(np.int64)),
+                         "value": pa.array(m[iu, ju], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby(["i", "j"], as_index=False)["value"].sum()
+    out["value"] = out["value"].astype("int64")
+    return out
+
+
+def ridge_from_moments(moments: pd.DataFrame, lam: float = 1.0
+                       ) -> np.ndarray:
+    """Solve the ridge normal equations from the exact moment table —
+    the driver-side half of the classifier training."""
+    m = np.zeros((_Q53_DIM, _Q53_DIM), np.float64)
+    for r in moments.itertuples():
+        m[r.i, r.j] = m[r.j, r.i] = r.value
+    xtx = m[:-1, :-1]
+    xty = m[:-1, -1]
+    return np.linalg.solve(xtx + lam * np.eye(_Q53_DIM - 1), xty)
+
+
+def _q53_sql() -> str:
+    feats = ["f0", "f1", "f2", "f3", "y"]
+    sums = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS i, CAST({j} AS BIGINT) AS j, "
+        f"CAST(SUM({feats[i]} * {feats[j]}) AS BIGINT) AS value FROM f"
+        for i in range(_Q53_DIM) for j in range(i, _Q53_DIM))
+    return f"""
+WITH f AS (
+  SELECT 1 AS f0, n_chars AS f1,
+         len(string_split(text, ' ')) AS f2,
+         len(list_distinct(string_split(text, ' '))) AS f3,
+         CASE WHEN n_chars >= {_Q53_Y_THRESHOLD} THEN 1 ELSE 0 END AS y
+  FROM documents
+)
+{sums}"""
+
+
+Q53_SQL = _q53_sql()
+
+
 Q48_SQL = f"""
 WITH w AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS word,

@@ -239,6 +239,38 @@ class TestInvertedIndex:
             assert len(ids) == len(set(ids)) == r.df_count
 
 
+class TestMomentMatrix:
+    def test_ridge_recovers_separation(self):
+        """The driver-side ridge solve over the exact distributed
+        moments must separate the label (perfectly encoded in f1 here;
+        real pipelines feed human/LLM labels through this plumbing)."""
+        import numpy as np
+
+        from reden_ray.pipelines.curation import (_q53_features,
+                                                  q53_moment_matrix,
+                                                  ridge_from_moments)
+        import pyarrow.parquet as pq
+
+        moments = q53_moment_matrix(SF)
+        w = ridge_from_moments(moments, lam=1e-6)
+        t = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["text", "n_chars"])
+        x = _q53_features(t)
+        pred = (x[:, :-1].astype(np.float64) @ w) >= 0.5
+        acc = (pred == (x[:, -1] == 1)).mean()
+        assert acc >= 0.95, acc
+
+    def test_moments_symmetric_consistent(self):
+        from reden_ray.pipelines.curation import q53_moment_matrix
+
+        m = q53_moment_matrix(SF)
+        assert len(m) == 15
+        n = int(m[(m["i"] == 0) & (m["j"] == 0)]["value"].iloc[0])
+        # SUM(y*y) == SUM(y) <= n for a 0/1 label
+        syy = int(m[(m["i"] == 4) & (m["j"] == 4)]["value"].iloc[0])
+        assert 0 < syy < n
+
+
 class TestBigramLM:
     def test_bigram_mint_matches_reference(self):
         t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
