@@ -1492,6 +1492,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q51_hll_registers": C.q51_hll_registers,
         "q52_inverted_index": C.q52_inverted_index,
         "q53_moment_matrix": C.q53_moment_matrix,
+        "q54_asof_join": C.q54_asof_join,
+        "q55_range_join": C.q55_range_join,
         # flagship NEL / KG construction over derived pages (rows-only:
         # graph algorithm not SQL-expressible; parity is gated in pytest
         # against analytic gold fixtures instead).
@@ -1619,6 +1621,8 @@ def oracle_sql() -> dict[str, str]:
         "q51_hll_registers": C.Q51_SQL,
         "q52_inverted_index": C.Q52_SQL,
         "q53_moment_matrix": C.Q53_SQL,
+        "q54_asof_join": C.Q54_SQL,
+        "q55_range_join": C.Q55_SQL,
         "q27_tumbling_window": __import__(
             "reden_ray.stages.windows", fromlist=["TUMBLING_SQL"]
         ).TUMBLING_SQL.format(size_us=3_600_000_000),

@@ -867,6 +867,185 @@ WITH f AS (
 Q53_SQL = _q53_sql()
 
 
+# ---------------------------------------------------------------------------
+# Q54 — as-of join (event-time point lookup, an operator Ray Data
+# lacks natively)
+# ---------------------------------------------------------------------------
+
+# For every 'view' event, the user's most recent 'click' at-or-before
+# its timestamp. Ray-shape: both streams union-tagged through ONE
+# user-hash-bucketed exchange, then a vectorized pandas merge_asof per
+# bucket (every row of a user co-located; the right stream is deduped
+# to max event_id per (user, ts) so ties are deterministic — matching
+# DuckDB's ASOF JOIN, which requires a unique right side). Partition
+# assumption: a user's history fits a bucket — the same contract as
+# the session/window operators (stages/windows.py).
+
+
+def asof_join(left_ds, right_ds, key_col: str, ts_col: str,
+              left_id: str, right_id: str, num_buckets: int = 64):
+    """Generic as-of (backward, inclusive) join: for each left row,
+    the right row with the greatest ts <= left ts for the same key.
+    Returns (left_id, right_id, lag_us) as fixed output columns
+    ("left_id"/"right_id"), matched rows only."""
+    import ray.data as _rd
+
+    from ..functions.bucket import add_bucket
+
+    def tag(kind: str):
+        def fn(t: pa.Table) -> pa.Table:
+            out = pa.table({
+                key_col: t[key_col],
+                ts_col: t[ts_col],
+                "__id": t[left_id if kind == "l" else right_id],
+                "__side": pa.array([kind] * t.num_rows, pa.string()),
+            })
+            return add_bucket(out, key_col, num_buckets)
+        return fn
+
+    both = left_ds.map_batches(tag("l"), batch_format="pyarrow").union(
+        right_ds.map_batches(tag("r"), batch_format="pyarrow"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side"] == "l"]
+        r = df[df["__side"] == "r"]
+        # deterministic unique right side: max id per (key, ts)
+        r = (r.sort_values([key_col, ts_col, "__id"], kind="stable")
+             .drop_duplicates([key_col, ts_col], keep="last"))
+        if l.empty or r.empty:
+            return pd.DataFrame({"left_id": pd.array([], dtype="int64"),
+                                 "right_id": pd.array([], dtype="int64"),
+                                 "lag_us": pd.array([], dtype="int64")})
+        r = r.rename(columns={"__id": "__rid", ts_col: "__rts"})
+        m = pd.merge_asof(
+            l.sort_values(ts_col, kind="stable"),
+            r.sort_values("__rts", kind="stable")[
+                [key_col, "__rts", "__rid"]],
+            left_on=ts_col, right_on="__rts", by=key_col,
+            direction="backward")
+        m = m[m["__rid"].notna()]
+        lag = (m[ts_col].astype("int64") - m["__rts"].astype("int64"))
+        return pd.DataFrame({"left_id": m["__id"].astype("int64"),
+                             "right_id": m["__rid"].astype("int64"),
+                             "lag_us": lag.astype("int64")})
+
+    return (both.groupby("__bucket")
+            .map_groups(lambda d: merge(d.drop(columns=["__bucket"])),
+                        batch_format="pandas"))
+
+
+def q54_asof_join(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def side(kind: str):
+        return ds.map_batches(
+            lambda t, k=kind: t.filter(pc.equal(t["event_type"],
+                                                pa.scalar(k))),
+            batch_format="pyarrow")
+
+    out = asof_join(side("view"), side("click"), key_col="user_id",
+                    ts_col="ts", left_id="event_id", right_id="event_id")
+    return out.to_pandas().rename(columns={"left_id": "view_id",
+                                           "right_id": "click_id"})
+
+
+Q54_SQL = """
+WITH v AS (
+  SELECT event_id AS view_id, user_id, ts FROM events
+  WHERE event_type = 'view'
+), c0 AS (
+  SELECT user_id, ts, MAX(event_id) AS click_id FROM events
+  WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT v.view_id, c.click_id,
+       CAST(epoch_us(v.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us
+FROM v ASOF JOIN c0 c ON v.user_id = c.user_id AND v.ts >= c.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q55 — range (interval) join via bin replication
+# ---------------------------------------------------------------------------
+
+# Join events to OVERLAPPING value bands [k*5, k*5+12): the classic
+# range join Ray Data has no operator for. Scale shape: each interval
+# replicates to the ceil(width/bin)=3 bins it spans (bounded blowup),
+# each point maps to exactly 1 bin, ONE co-locating exchange, then a
+# vectorized in-bin interval check — no all-pairs, works for interval
+# tables far beyond broadcast size (for THIS 102-row band table a
+# broadcast filter would win; the bin path is the one that generalizes,
+# and the in-bin verify is identical either way).
+_RANGE_BIN = 5.0
+_BAND_W = 12.0
+_N_BANDS = 102  # covers value in [0, 510)
+
+
+def q55_range_join(sf_dir: str) -> pd.DataFrame:
+    from ..stages.windows import grouped_by_key_buckets
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    spans = int(np.ceil(_BAND_W / _RANGE_BIN))
+
+    def point_rows(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bin": pa.array((v // _RANGE_BIN).astype(np.int64)),
+            "event_id": t["event_id"],
+            "value": t["value"],
+            "band_id": pa.array(np.full(t.num_rows, -1, np.int64)),
+        })
+
+    def band_rows() -> pa.Table:
+        k = np.arange(_N_BANDS, dtype=np.int64)
+        lo = k * _RANGE_BIN
+        bins = (lo // _RANGE_BIN).astype(np.int64)
+        rep_bin = (bins[:, None] + np.arange(spans)[None, :]).ravel()
+        rep_band = np.repeat(k, spans)
+        return pa.table({
+            "bin": pa.array(rep_bin),
+            "event_id": pa.array(np.full(len(rep_bin), -1, np.int64)),
+            "value": pa.array(np.zeros(len(rep_bin))),
+            "band_id": pa.array(rep_band),
+        })
+
+    both = ds.map_batches(point_rows, batch_format="pyarrow").union(
+        rd.from_arrow(band_rows()))
+
+    def join_bin(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in df.groupby("bin", sort=False):
+            pts = g[g["band_id"] < 0]
+            bands = g[g["band_id"] >= 0]
+            if pts.empty or bands.empty:
+                continue
+            k = bands["band_id"].to_numpy()
+            lo = k * _RANGE_BIN
+            hi = lo + _BAND_W
+            v = pts["value"].to_numpy()
+            hit = (v[:, None] >= lo[None, :]) & (v[:, None] < hi[None, :])
+            ia, ib = np.nonzero(hit)
+            out.append(pd.DataFrame({
+                "event_id": pts["event_id"].to_numpy()[ia],
+                "band_id": k[ib]}))
+        if not out:
+            return pd.DataFrame({"event_id": pd.array([], dtype="int64"),
+                                 "band_id": pd.array([], dtype="int64")})
+        res = pd.concat(out, ignore_index=True)
+        return res.astype({"event_id": "int64", "band_id": "int64"})
+
+    return grouped_by_key_buckets(both, "bin", join_bin).to_pandas()
+
+
+Q55_SQL = f"""
+WITH bands AS (
+  SELECT k AS band_id, k * {_RANGE_BIN} AS lo, k * {_RANGE_BIN} + {_BAND_W} AS hi
+  FROM range(0, {_N_BANDS}) t(k)
+)
+SELECT e.event_id, CAST(b.band_id AS BIGINT) AS band_id
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+"""
+
+
 Q48_SQL = f"""
 WITH w AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS word,

@@ -271,6 +271,66 @@ class TestMomentMatrix:
         assert 0 < syy < n
 
 
+class TestAsofJoin:
+    def test_backward_inclusive_and_tie_semantics(self):
+        import pyarrow as _pa
+
+        from reden_ray.pipelines.curation import asof_join
+
+        def mk(rows, idc):
+            return rd.from_arrow(_pa.table({
+                "user_id": _pa.array([r[0] for r in rows], _pa.int64()),
+                "ts": _pa.array([pd.Timestamp(r[1]) for r in rows],
+                                _pa.timestamp("us")),
+                idc: _pa.array([r[2] for r in rows], _pa.int64()),
+            }))
+
+        left = mk([(1, "2024-01-01 10:00", 100),
+                   (1, "2024-01-01 09:00", 101),
+                   (2, "2024-01-01 10:00", 102)], "event_id")
+        right = mk([(1, "2024-01-01 10:00", 200),   # exact match wins
+                    (1, "2024-01-01 10:00", 201),   # tie -> max id
+                    (1, "2024-01-01 08:00", 202),
+                    (2, "2024-01-01 11:00", 203)], "event_id")  # future
+        out = (asof_join(left, right, "user_id", "ts",
+                         "event_id", "event_id")
+               .to_pandas().sort_values("left_id").reset_index(drop=True))
+        assert out["left_id"].tolist() == [100, 101]
+        assert out["right_id"].tolist() == [201, 202]  # tie broke to 201
+        assert out["lag_us"].tolist() == [0, 3600_000_000]
+        # user 2 has only a FUTURE right row -> no match emitted
+
+    def test_matches_are_prior_clicks(self):
+        from reden_ray.pipelines.curation import q54_asof_join
+
+        out = q54_asof_join(SF)
+        assert (out["lag_us"] >= 0).all()
+        assert out["view_id"].is_unique
+
+
+class TestRangeJoin:
+    def test_every_pair_satisfies_predicate(self):
+        from reden_ray.pipelines.curation import (_BAND_W, _RANGE_BIN,
+                                                  q55_range_join)
+
+        out = q55_range_join(SF)
+        ev = duckdb.sql(
+            f"SELECT event_id, value FROM "
+            f"read_parquet('{SF}/events.parquet')").df().set_index(
+            "event_id")["value"]
+        v = ev.loc[out["event_id"]].to_numpy()
+        lo = out["band_id"].to_numpy() * _RANGE_BIN
+        assert ((v >= lo) & (v < lo + _BAND_W)).all()
+        # completeness: per-event match count == analytic band count
+        import numpy as np
+
+        ks = np.arange(0, 102)
+        expect = sum(int(((vv >= ks * _RANGE_BIN)
+                          & (vv < ks * _RANGE_BIN + _BAND_W)).sum())
+                     for vv in ev.to_numpy())
+        assert len(out) == expect
+
+
 class TestBigramLM:
     def test_bigram_mint_matches_reference(self):
         t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
