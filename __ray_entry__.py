@@ -1407,6 +1407,7 @@ FROM y
 def queries() -> dict[str, Callable[[str], Any]]:
     from reden_ray.pipelines import curation as C
     from reden_ray.pipelines import relational as R
+    from reden_ray.pipelines import selection as SEL
 
     return {
         # relational / operator inventory (SQL-checked)
@@ -1494,6 +1495,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q53_moment_matrix": C.q53_moment_matrix,
         "q54_asof_join": C.q54_asof_join,
         "q55_range_join": C.q55_range_join,
+        # selection & sketch family: DSIR importance resampling,
+        # triangle counting, single-pass ROLLUP, Bloom membership,
+        # Misra-Gries heavy hitters (pipelines/selection.py)
+        "q56_dsir_sample": SEL.q56_dsir_sample,
+        "q57_triangle_counts": SEL.q57_triangle_counts,
+        "q58_rollup": SEL.q58_rollup,
+        "q59_bloom_membership": SEL.q59_bloom_membership,
+        "q60_heavy_hitters": SEL.q60_heavy_hitters,
         # flagship NEL / KG construction over derived pages (rows-only:
         # graph algorithm not SQL-expressible; parity is gated in pytest
         # against analytic gold fixtures instead).
@@ -1548,6 +1557,7 @@ SELECT u.vec_id, g.cluster FROM u JOIN g USING (embedding) WHERE g.c > 1
 def oracle_sql() -> dict[str, str]:
     from reden_ray.pipelines import curation as C
     from reden_ray.pipelines import relational as R
+    from reden_ray.pipelines import selection as SEL
     from reden_ray.pipelines.webdemo import GAZETTEER_WORDS, URL_PREFIX
 
     values = ", ".join(f"('{w}')" for w in GAZETTEER_WORDS)
@@ -1623,6 +1633,11 @@ def oracle_sql() -> dict[str, str]:
         "q53_moment_matrix": C.Q53_SQL,
         "q54_asof_join": C.Q54_SQL,
         "q55_range_join": C.Q55_SQL,
+        "q56_dsir_sample": SEL.Q56_SQL,
+        "q57_triangle_counts": SEL._q57_sql(),
+        "q58_rollup": SEL.Q58_SQL,
+        "q59_bloom_membership": SEL.Q59_SQL,
+        "q60_heavy_hitters": SEL.Q60_SQL,
         "q27_tumbling_window": __import__(
             "reden_ray.stages.windows", fromlist=["TUMBLING_SQL"]
         ).TUMBLING_SQL.format(size_us=3_600_000_000),

@@ -1,0 +1,630 @@
+"""Data-selection & sketch operators for training-data pipelines
+(q56-q60).
+
+Beyond-reference family (like q45-q55): the selection, membership and
+frequency machinery a 100 TB pretraining pipeline runs around its dedup
+and quality passes. Every operator is Dataset-plane and combiner-first;
+outputs are all-integer (or exact-string) so the DuckDB oracles are
+bit-exact — the q42b/q51 precedent.
+
+* q56 — DSIR-shaped importance resampling (Xie et al. 2023, "Data
+  Selection for Language Models via Importance Resampling"): hashed
+  word-feature counts for a target distribution (here the ``lang='en'``
+  slice) vs the raw corpus, a per-bucket importance weight, one
+  vectorized scoring scan, and a deterministic top-N selection. The
+  published method scores log(p/q) of hashed n-grams; this keeps the
+  exact same plumbing with an integer quantized ratio
+  ``((ct+1) * 2^20) // (cr+1)`` so both engines agree bit-for-bit (a
+  real deployment swaps in float log-ratios behind the same passes).
+  Model build: B-bounded partial rows per block (B=64). Scoring: zero
+  shuffles (model broadcast once). Selection: per-batch partial top-N,
+  driver final — no global sort.
+* q57 — triangle counting over the host link graph (the community /
+  spam-cluster signal on a crawl graph): canonical undirected distinct
+  edges, degree-ordered orientation (every out-neighborhood is
+  O(sqrt(m)) — the node-iterator bound), wedge generation by a
+  vectorized self-merge within src-bucketed groups, and a union-tagged
+  bucket join against the oriented edge set to close wedges. Per-host
+  triangle counts come out of a final combiner-first groupby.
+* q58 — single-pass ROLLUP (grouping sets): one corpus scan emits
+  partials for ALL grouping sets — (month, event_type), (month), ()
+  — derived locally from the finest per-block aggregate, then ONE
+  exchange of pre-reduced rows. The classic "don't scan once per
+  grouping set" trick; oracle is DuckDB's native GROUP BY ROLLUP.
+* q59 — Bloom-filter membership (the seen-URL / visited-set filter,
+  reference ST5 at corpus scale): K=3 Knuth-multiplicative bit
+  positions into an M=4096-bit filter, registers built as a
+  max-semilattice of per-block OR partials (the q51 HLL shape:
+  exchange bounded to M/32 words per block), broadcast once, then a
+  vectorized probe scan. Both engines compute the identical filter, so
+  the hash check covers the FALSE POSITIVES too, not just the happy
+  path — the approximation itself is verified, and the output carries
+  ``exact_member`` alongside ``bloom_member`` to expose the FP rows.
+* q60 — Misra-Gries heavy hitters (mergeable frequency summaries,
+  Agarwal et al. 2012): per-block MG summaries of capacity k merge by
+  counter addition + (k+1)-th-count decrement; the exchange ships at
+  most k rows per block at ANY corpus size. The driver query runs at a
+  capacity above the stream's distinct count, where MG is provably
+  exact (no decrements fire) and the SQL oracle is a plain GROUP BY;
+  the under-capacity guarantees (every item with freq > N/(k+1)
+  retained; 0 <= true - estimate <= N/(k+1)) are pytest-gated across
+  random streams and random merge orders, where hash determinism is
+  impossible by construction (decrements depend on block boundaries).
+
+Scale notes: q56's model is 2xB ints (broadcast, never reshipped);
+q57's only corpus-sized exchanges are the distinct-edge reduce, the
+wedge bucket shuffle, and the closure join — wedge volume is bounded by
+sum(out_deg^2) <= m^1.5 under degree orientation; q58's exchange is
+(groups x 3) pre-reduced rows per block; q59's register exchange is
+<= M/32 rows per block and the probe pass is shuffle-free; q60 ships
+<= k rows per block. The q57 degree/rank table and q59 member list are
+broadcast here (vocabulary-sized at sandbox scale) with the documented
+join fallback at web scale — the same size-gate precedent as the
+PageRank and KB-index paths.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from ..state.broadcast import get_broadcast
+
+_KNUTH = 2654435761  # Knuth multiplicative hash constant (public)
+_M32 = 4294967296
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Q56 — DSIR-shaped hashed-feature importance resampling
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 64
+_DSIR_SCALE = 1 << 20
+_DSIR_TOP_N = 200
+
+
+def _word_buckets(words: np.ndarray) -> np.ndarray:
+    """Deterministic per-word feature bucket, computed over the UNIQUE
+    words of a batch only (vocabulary-sized loop; the per-token path is
+    fancy-indexed). The hash — length*131 + first-codepoint*31 +
+    last-codepoint, mod B — is chosen to be exactly expressible in SQL
+    (length / ascii / ascii(reverse)); a production DSIR run swaps in a
+    murmur-style n-gram hash behind the same passes."""
+    out = np.empty(len(words), dtype=np.int64)
+    for i, w in enumerate(words):
+        out[i] = (len(w) * 131 + ord(w[0]) * 31 + ord(w[-1])) % _DSIR_BUCKETS
+    return out
+
+
+def _tokens_with_buckets(t: pa.Table):
+    """text column -> (parent doc index per token, bucket per token)."""
+    words = pc.split_pattern(t["text"], " ")
+    flat = pc.list_flatten(words)
+    par = pc.list_parent_indices(words)
+    keep = pc.not_equal(flat, pa.scalar(""))
+    flat = flat.filter(keep).to_numpy(zero_copy_only=False)
+    par = par.filter(keep).to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq, inv = np.unique(flat, return_inverse=True)
+    return par, _word_buckets(uniq)[inv]
+
+
+def dsir_model(ds, target_mask_col: str = "__is_target") -> np.ndarray:
+    """Per-bucket (target_count, raw_count) over the corpus: per-batch
+    bincount combiner -> <=B rows per block -> driver sum. Returns the
+    integer weight vector w[b] = ((ct+1) * SCALE) // (cr+1)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        par, bk = _tokens_with_buckets(t)
+        is_t = t[target_mask_col].to_numpy(zero_copy_only=False)[par]
+        cr = np.bincount(bk, minlength=_DSIR_BUCKETS)
+        ct = np.bincount(bk[is_t], minlength=_DSIR_BUCKETS)
+        b = np.arange(_DSIR_BUCKETS, dtype=np.int64)
+        return pa.table({"b": pa.array(b),
+                         "ct": pa.array(ct.astype(np.int64)),
+                         "cr": pa.array(cr.astype(np.int64))})
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("b").aggregate(Sum("ct"), Sum("cr")).to_pandas())
+    ct = np.zeros(_DSIR_BUCKETS, dtype=np.int64)
+    cr = np.zeros(_DSIR_BUCKETS, dtype=np.int64)
+    ct[hist["b"].to_numpy()] = hist["sum(ct)"].to_numpy()
+    cr[hist["b"].to_numpy()] = hist["sum(cr)"].to_numpy()
+    return (ct + 1) * _DSIR_SCALE // (cr + 1)
+
+
+def dsir_select(ds, weights: np.ndarray, id_col: str = "doc_id",
+                top_n: int = _DSIR_TOP_N) -> pd.DataFrame:
+    """Score every document against the broadcast weight vector and
+    keep the global top-N by (score desc, id asc): per-batch partial
+    top-N (N rows leave each block), driver final — no global sort."""
+    w_ref = ray.put(weights)
+
+    def score(t: pa.Table) -> pa.Table:
+        w = get_broadcast(w_ref)
+        par, bk = _tokens_with_buckets(t)
+        s = np.zeros(t.num_rows, dtype=np.int64)
+        np.add.at(s, par, w[bk])  # int64-exact segment sum
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        has = np.zeros(t.num_rows, dtype=bool)
+        has[par] = True  # docs with zero tokens get no score row (SQL parity)
+        order = np.lexsort((ids[has], -s[has]))[:top_n]
+        return pa.table({id_col: pa.array(ids[has][order]),
+                         "dsir_score": pa.array(s[has][order])})
+
+    parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["dsir_score", id_col],
+                              ascending=[False, True], kind="stable")
+    return parts.head(top_n).reset_index(drop=True)
+
+
+def q56_dsir_sample(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def mark(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__is_target", pc.equal(t["lang"], pa.scalar("en")))
+
+    marked = ds.map_batches(mark, batch_format="pyarrow")
+    w = dsir_model(marked)
+    return dsir_select(marked, w)
+
+
+Q56_SQL = f"""
+WITH w AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents
+), wf AS (
+  SELECT doc_id, lang,
+         (length(word) * 131 + ascii(word) * 31 + ascii(reverse(word)))
+           % {_DSIR_BUCKETS} AS b
+  FROM w WHERE word <> ''
+), model AS (
+  SELECT b, SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct,
+         COUNT(*) AS cr
+  FROM wf GROUP BY b
+), scored AS (
+  SELECT wf.doc_id,
+         SUM(((m.ct + 1) * {_DSIR_SCALE}) // (m.cr + 1)) AS dsir_score
+  FROM wf JOIN model m USING (b) GROUP BY wf.doc_id
+), ranked AS (
+  SELECT doc_id, dsir_score,
+         ROW_NUMBER() OVER (ORDER BY dsir_score DESC, doc_id) AS rn
+  FROM scored
+)
+SELECT doc_id, CAST(dsir_score AS BIGINT) AS dsir_score
+FROM ranked WHERE rn <= {_DSIR_TOP_N}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q57 — triangle counting over the host link graph
+# ---------------------------------------------------------------------------
+
+_TRI_BUCKETS = 32
+
+
+def undirected_distinct_edges(edges_ds, src_col: str = "src_host",
+                              dst_col: str = "dst_host"):
+    """Weighted directed edge list -> canonical undirected distinct
+    (u < v) pairs: per-block distinct combiner, then dedup inside ONE
+    u-keyed bucket exchange (duplicate pairs share u, so co-location
+    by u makes the in-bucket drop_duplicates global)."""
+    from ..stages.windows import grouped_by_key_buckets
+
+    def canon(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t[src_col], t[dst_col])
+        s, d = t[src_col].filter(keep), t[dst_col].filter(keep)
+        lo = pc.min_element_wise(s, d)
+        hi = pc.max_element_wise(s, d)
+        return (pa.table({"u": lo, "v": hi})
+                .group_by(["u", "v"]).aggregate([]))
+
+    pairs = edges_ds.map_batches(canon, batch_format="pyarrow")
+    return grouped_by_key_buckets(
+        pairs, "u", lambda df: df.drop_duplicates(["u", "v"]),
+        num_buckets=_TRI_BUCKETS)
+
+
+def triangle_counts(edges_ds, src_col: str = "src_host",
+                    dst_col: str = "dst_host") -> pd.DataFrame:
+    """Per-host triangle counts by degree-oriented wedge closure.
+
+    The rank table (one int per host) is broadcast — vocabulary-sized;
+    at web scale (~10^8 hosts) it becomes two hash-join attaches on the
+    edge endpoints, same algebra. Everything corpus-sized stays on the
+    Dataset plane: the distinct-edge reduce, the src-bucketed wedge
+    self-merge, and the union-tagged closure join."""
+    from ..functions.bucket import add_bucket
+
+    und = undirected_distinct_edges(edges_ds, src_col, dst_col)
+
+    # degree per node over the distinct undirected pairs (tiny: one row
+    # per host after the per-block combiner)
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = pd.concat([df["u"], df["v"]]).value_counts()
+        return pd.DataFrame({"node": c.index, "d": c.to_numpy()})
+
+    deg = (und.map_batches(deg_partial, batch_format="pandas")
+           .groupby("node").aggregate(Sum("d", alias_name="deg"))
+           .to_pandas())
+    deg = deg.sort_values(["deg", "node"], kind="stable")
+    rank = {n: i for i, n in enumerate(deg["node"])}
+    rank_ref = ray.put(rank)
+
+    # orient each edge low-rank -> high-rank; out-degree then O(sqrt m)
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        rk = get_broadcast(rank_ref)
+        ru = df["u"].map(rk).to_numpy()
+        rv = df["v"].map(rk).to_numpy()
+        fwd = ru < rv
+        return pd.DataFrame({
+            "src": np.where(fwd, df["u"], df["v"]),
+            "dst": np.where(fwd, df["v"], df["u"]),
+            "sr": np.where(fwd, ru, rv).astype(np.int64),
+            "dr": np.where(fwd, rv, ru).astype(np.int64)})
+
+    oriented = und.map_batches(orient, batch_format="pandas")
+
+    # wedges: vectorized self-merge within src-bucketed groups (all
+    # out-edges of a src are co-located by the bucket exchange)
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns="__bucket")
+        m = df.merge(df, on=["src", "sr"], suffixes=("_1", "_2"))
+        m = m[m["dr_1"] < m["dr_2"]]
+        return pd.DataFrame({"b": m["dst_1"], "c": m["dst_2"],
+                             "apex": m["src"]})
+
+    wedge_ds = (oriented.map_batches(
+        lambda t: add_bucket(t, "src", _TRI_BUCKETS), batch_format="pyarrow")
+        .groupby("__bucket").map_groups(wedges, batch_format="pandas"))
+
+    # closure: union-tag wedges and oriented edges, co-locate by b, and
+    # match (b, c) inside each bucket (the q43 snapshot-diff idiom)
+    def tag_edge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"b": df["src"], "c": df["dst"],
+                             "apex": "", "__kind": "edge"})
+
+    def tag_wedge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["b", "c", "apex"]].copy()
+        out["__kind"] = "wedge"
+        return out
+
+    tagged = (oriented.map_batches(tag_edge, batch_format="pandas")
+              .union(wedge_ds.map_batches(tag_wedge, batch_format="pandas"))
+              .map_batches(lambda t: add_bucket(t, "b", _TRI_BUCKETS),
+                           batch_format="pyarrow"))
+
+    def close(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[df["__kind"] == "edge"][["b", "c"]]
+        wdg = df[df["__kind"] == "wedge"][["b", "c", "apex"]]
+        tri = wdg.merge(e, on=["b", "c"])
+        hosts = pd.concat([tri["apex"], tri["b"], tri["c"]])
+        c = hosts.value_counts()
+        return pd.DataFrame({"host": c.index,
+                             "n_part": c.to_numpy().astype(np.int64)})
+
+    per_host = (tagged.groupby("__bucket")
+                .map_groups(lambda df: close(df.drop(columns="__bucket")),
+                            batch_format="pandas")
+                .groupby("host")
+                .aggregate(Sum("n_part", alias_name="n_triangles")))
+    out = per_host.to_pandas()
+    out["n_triangles"] = out["n_triangles"].astype("int64")
+    return out
+
+
+def q57_triangle_counts(sf_dir: str) -> pd.DataFrame:
+    from .webops import host_link_edges, linked_pages_from_documents
+
+    return triangle_counts(
+        host_link_edges(linked_pages_from_documents(sf_dir)))
+
+
+def _q57_sql() -> str:
+    from .webops import _Q42_EDGES_CTE
+
+    return f"""
+WITH {_Q42_EDGES_CTE},
+und AS (
+  SELECT DISTINCT LEAST(src_host, dst_host) AS u,
+         GREATEST(src_host, dst_host) AS v
+  FROM edges WHERE src_host <> dst_host
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+), hosts AS (
+  SELECT a AS host FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM hosts GROUP BY host
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q58 — single-pass ROLLUP / grouping sets
+# ---------------------------------------------------------------------------
+
+
+def rollup_events(ds) -> pd.DataFrame:
+    """ONE scan emits partials for all three grouping sets of
+    ROLLUP(month, event_type); sentinels month=-1 / event_type='' mark
+    rolled-up levels and gid is DuckDB's GROUPING id (0 detail, 1
+    month-level, 3 grand total). The exchange ships pre-reduced rows
+    only (<= 3x distinct groups per block)."""
+    from ..stages.windows import grouped_by_key_buckets
+
+    def partials(t: pa.Table) -> pa.Table:
+        month = pc.cast(pc.month(t["ts"]), pa.int64())
+        fv = pc.cast(pc.floor(t["value"]), pa.int64())
+        base = pa.table({"month": month, "event_type": t["event_type"],
+                         "fv": fv})
+        g = base.group_by(["month", "event_type"]).aggregate(
+            [("fv", "sum"), ("fv", "count")])
+        d = g.to_pandas()
+        d = d.rename(columns={"fv_sum": "sv", "fv_count": "nv"})
+        lv1 = d.groupby("month", as_index=False)[["sv", "nv"]].sum()
+        lv1["event_type"] = ""
+        lv3 = pd.DataFrame({"month": [-1], "event_type": [""],
+                            "sv": [d["sv"].sum()], "nv": [d["nv"].sum()]})
+        d["gid"], lv1["gid"], lv3["gid"] = 0, 1, 3
+        allp = pd.concat([d, lv1, lv3], ignore_index=True)
+        allp["gkey"] = (allp["gid"].astype(str) + "|"
+                        + allp["month"].astype(str) + "|"
+                        + allp["event_type"])
+        return pa.Table.from_pandas(
+            allp[["gkey", "gid", "month", "event_type", "sv", "nv"]],
+            preserve_index=False)
+
+    def reduce(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["gid", "month", "event_type"], as_index=False)[
+            ["sv", "nv"]].sum()
+        return pd.DataFrame({
+            "gid": g["gid"].astype("int64"),
+            "month": g["month"].astype("int64"),
+            "event_type": g["event_type"],
+            "n_events": g["nv"].astype("int64"),
+            "sum_floor_value": g["sv"].astype("int64")})
+
+    return grouped_by_key_buckets(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        "gkey", reduce, num_buckets=8).to_pandas()
+
+
+def q58_rollup(sf_dir: str) -> pd.DataFrame:
+    return rollup_events(_read(sf_dir, "events",
+                               ["ts", "event_type", "value"]))
+
+
+Q58_SQL = """
+WITH e AS (
+  SELECT month(ts) AS m, event_type, CAST(FLOOR(value) AS BIGINT) AS fv
+  FROM events
+)
+SELECT CAST(GROUPING(m) * 2 + GROUPING(event_type) AS BIGINT) AS gid,
+       CAST(COALESCE(m, -1) AS BIGINT) AS month,
+       COALESCE(event_type, '') AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(fv) AS BIGINT) AS sum_floor_value
+FROM e GROUP BY ROLLUP(m, event_type)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q59 — Bloom-filter membership (seen-set filter)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 4096          # bits
+_BLOOM_K = 3             # hash functions
+_BLOOM_STEP = 40503      # per-hash offset multiplier (public constant)
+_BLOOM_WORDS = _BLOOM_M // 32
+
+
+def _bloom_positions(keys: np.ndarray) -> np.ndarray:
+    """(n, K) int64 bit positions; int64-exact for keys < 2^31."""
+    k = np.arange(_BLOOM_K, dtype=np.int64)
+    return ((keys[:, None] * _KNUTH + k[None, :] * _BLOOM_STEP)
+            % _M32) % _BLOOM_M
+
+
+def bloom_registers(ds, key_col: str) -> np.ndarray:
+    """Build the M-bit filter as packed int64 words (32 bits used per
+    word so the SQL mirror stays in BIGINT): per-block OR partials ->
+    <= M/32 (word, register) rows per block -> driver OR. A
+    max/OR-semilattice, so the reduce is order-independent (q51)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.unique(_bloom_positions(keys))
+        word, bit = pos // 32, pos % 32
+        regs = np.zeros(_BLOOM_WORDS, dtype=np.int64)
+        np.bitwise_or.at(regs, word, np.int64(1) << bit)
+        nz = np.nonzero(regs)[0]
+        return pa.table({"word": pa.array(nz.astype(np.int64)),
+                         "reg": pa.array(regs[nz])})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    regs = np.zeros(_BLOOM_WORDS, dtype=np.int64)
+    np.bitwise_or.at(regs, parts["word"].to_numpy(),
+                     parts["reg"].to_numpy())
+    return regs
+
+
+def bloom_probe(ds, regs: np.ndarray, key_col: str,
+                out_col: str = "bloom_member"):
+    """Vectorized membership test against the broadcast registers —
+    zero shuffles; the filter is shipped once per worker."""
+    regs_ref = ray.put(regs)
+
+    def test(t: pa.Table) -> pa.Table:
+        r = get_broadcast(regs_ref)
+        keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = _bloom_positions(keys)
+        hit = ((r[pos // 32] >> (pos % 32)) & 1).all(axis=1)
+        return t.append_column(out_col,
+                               pa.array(hit.astype(np.int64), pa.int64()))
+
+    return ds.map_batches(test, batch_format="pyarrow")
+
+
+def q59_bloom_membership(sf_dir: str) -> pd.DataFrame:
+    """Seen-set demo over the documents table: the filter holds the
+    ``lang='en'`` doc ids; every doc probes a derived key
+    (doc_id*3 + 7) mod n. ``exact_member`` (a broadcast sorted-id
+    lookup here; the very set a Bloom filter replaces at scale — kept
+    only to expose the false-positive rows in the verified output)
+    rides along so bloom_member vs exact_member differences are the
+    hash-checked FP set."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    n = ds.count()
+    members = ds.filter(expr="lang == 'en'")
+    regs = bloom_registers(members, "doc_id")
+
+    mem_ids = np.sort(members.to_pandas()["doc_id"].to_numpy())
+    mem_ref = ray.put(mem_ids)
+
+    def probe_keys(t: pa.Table) -> pa.Table:
+        p = pc.add(pc.multiply(t["doc_id"], pa.scalar(3, pa.int64())),
+                   pa.scalar(7, pa.int64()))
+        p = pc.subtract(p, pc.multiply(pc.divide(p, n),
+                                       pa.scalar(n, pa.int64())))
+        return pa.table({"doc_id": t["doc_id"], "probe_key": p})
+
+    probes = ds.map_batches(probe_keys, batch_format="pyarrow")
+    tested = bloom_probe(probes, regs, "probe_key")
+
+    def exact(t: pa.Table) -> pa.Table:
+        mem = get_broadcast(mem_ref)
+        keys = t["probe_key"].to_numpy(zero_copy_only=False)
+        i = np.searchsorted(mem, keys)
+        ok = (i < len(mem)) & (mem[np.minimum(i, len(mem) - 1)] == keys)
+        return t.append_column(
+            "exact_member", pa.array(ok.astype(np.int64), pa.int64()))
+
+    return tested.map_batches(exact, batch_format="pyarrow").to_pandas()
+
+
+Q59_SQL = f"""
+WITH n AS (SELECT COUNT(*) AS n FROM documents),
+mem AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+ks(k) AS (VALUES (0), (1), (2)),
+bits AS (
+  SELECT DISTINCT
+    ((doc_id * {_KNUTH} + k * {_BLOOM_STEP}) % {_M32}) % {_BLOOM_M} AS pos
+  FROM mem CROSS JOIN ks
+), probe AS (
+  SELECT doc_id, (doc_id * 3 + 7) % (SELECT n FROM n) AS p FROM documents
+), pb AS (
+  SELECT doc_id, p,
+    ((p * {_KNUTH} + k * {_BLOOM_STEP}) % {_M32}) % {_BLOOM_M} AS pos
+  FROM probe CROSS JOIN ks
+), hits AS (
+  SELECT doc_id, COUNT(*) AS nhit FROM pb JOIN bits USING (pos)
+  GROUP BY doc_id
+)
+SELECT pr.doc_id, CAST(pr.p AS BIGINT) AS probe_key,
+       CAST(CASE WHEN COALESCE(h.nhit, 0) = {_BLOOM_K} THEN 1 ELSE 0 END
+            AS BIGINT) AS bloom_member,
+       CAST(CASE WHEN pr.p IN (SELECT doc_id FROM mem) THEN 1 ELSE 0 END
+            AS BIGINT) AS exact_member
+FROM probe pr LEFT JOIN hits h ON h.doc_id = pr.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q60 — Misra-Gries heavy hitters (mergeable frequency summaries)
+# ---------------------------------------------------------------------------
+
+_MG_CAPACITY = 32
+
+
+def mg_summarize(items: np.ndarray, counts: np.ndarray,
+                 capacity: int) -> tuple[np.ndarray, np.ndarray]:
+    """Misra-Gries reduce of a (item, count) multiset to <= capacity
+    counters: if more than ``capacity`` distinct items, subtract the
+    (capacity+1)-th largest count from all and drop the non-positive
+    (Agarwal et al. 2012 merge rule — associative error composition)."""
+    if len(items) > capacity:
+        order = np.argsort(counts, kind="stable")[::-1]
+        items, counts = items[order], counts[order]
+        dec = counts[capacity]
+        counts = counts - dec
+        keep = counts > 0
+        items, counts = items[keep], counts[keep]
+    return items, counts
+
+
+def heavy_hitters(ds, key_col: str, capacity: int = _MG_CAPACITY,
+                  num_buckets: int = 8) -> pd.DataFrame:
+    """Mergeable MG summary of the key stream: per-block value_counts
+    + MG truncation (<= capacity rows leave each block), one key-bucket
+    exchange with an in-bucket MG re-merge, and a driver-side final
+    merge over <= capacity*num_buckets rows. Estimates are exact
+    (no decrement fires anywhere) whenever the stream's distinct count
+    is <= capacity; otherwise they carry the standard one-sided
+    N/(capacity+1) error, pytest-gated."""
+    from ..stages.windows import grouped_by_key_buckets
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = t[key_col].value_counts()
+        it = vc.field("values").to_numpy(zero_copy_only=False)
+        ct = vc.field("counts").to_numpy().astype(np.int64)
+        it, ct = mg_summarize(it, ct, capacity)
+        return pa.table({key_col: pa.array(it),
+                         "mg_count": pa.array(ct, pa.int64())})
+
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key_col, as_index=False)["mg_count"].sum()
+        it, ct = mg_summarize(g[key_col].to_numpy(),
+                              g["mg_count"].to_numpy().astype(np.int64),
+                              capacity)
+        return pd.DataFrame({key_col: it, "mg_count": ct})
+
+    parts = grouped_by_key_buckets(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        key_col, merge_bucket, num_buckets=num_buckets).to_pandas()
+    g = parts.groupby(key_col, as_index=False)["mg_count"].sum()
+    it, ct = mg_summarize(g[key_col].to_numpy(),
+                          g["mg_count"].to_numpy().astype(np.int64),
+                          capacity)
+    out = pd.DataFrame({key_col: it, "mg_count": ct.astype("int64")})
+    return out.sort_values(key_col, kind="stable").reset_index(drop=True)
+
+
+def q60_heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """Host-frequency heavy hitters over the q33 derived host stream
+    (17 distinct hosts < capacity 32, so MG is provably exact here and
+    the oracle is a plain GROUP BY; under-capacity behavior is
+    pytest-gated where it belongs — the estimates are then block-
+    boundary-dependent by construction)."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def to_host(t: pa.Table) -> pa.Table:
+        hid = pc.subtract(t["doc_id"],
+                          pc.multiply(pc.divide(t["doc_id"], 17),
+                                      pa.scalar(17, pa.int64())))
+        host = pc.binary_join_element_wise(
+            "cdn", pc.cast(hid, pa.string()), ".example.org", "")
+        return pa.table({"host": host})
+
+    return heavy_hitters(ds.map_batches(to_host, batch_format="pyarrow"),
+                         "host")
+
+
+Q60_SQL = """
+SELECT 'cdn' || CAST(doc_id % 17 AS VARCHAR) || '.example.org' AS host,
+       CAST(COUNT(*) AS BIGINT) AS mg_count
+FROM documents GROUP BY 1
+"""

@@ -1,0 +1,253 @@
+"""Selection & sketch operator tests (q56-q60): DSIR importance
+resampling, triangle counting, single-pass ROLLUP, Bloom membership,
+Misra-Gries heavy hitters."""
+
+import random
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con():
+    con = duckdb.connect()
+    for t in ("documents", "events"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def _assert_matches_oracle(got: pd.DataFrame, sql: str):
+    con = _con()  # keep the connection referenced until .df() completes
+    want = con.sql(sql).df()
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+class TestDSIR:
+    def test_matches_oracle(self):
+        from reden_ray.pipelines.selection import Q56_SQL, q56_dsir_sample
+
+        _assert_matches_oracle(q56_dsir_sample(SF), Q56_SQL)
+
+    def test_model_counts_match_duckdb(self):
+        """The per-bucket (target, raw) counts — the distribution
+        estimate itself — agree with a relational recount."""
+        import pyarrow.compute as pc
+
+        from reden_ray.pipelines.selection import (_DSIR_BUCKETS,
+                                                   _DSIR_SCALE, dsir_model)
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text", "lang"])
+        marked = ds.map_batches(
+            lambda t: t.append_column(
+                "__is_target", pc.equal(t["lang"], pa.scalar("en"))),
+            batch_format="pyarrow")
+        w = dsir_model(marked)
+        con = _con()
+        m = con.sql(f"""
+            WITH wds AS (
+              SELECT lang, unnest(string_split(text, ' ')) AS word
+              FROM documents
+            ), wf AS (
+              SELECT lang,
+                (length(word)*131 + ascii(word)*31 + ascii(reverse(word)))
+                  % {_DSIR_BUCKETS} AS b
+              FROM wds WHERE word <> ''
+            )
+            SELECT b, SUM(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS ct,
+                   COUNT(*) AS cr
+            FROM wf GROUP BY b ORDER BY b""").df()
+        expect = np.ones(_DSIR_BUCKETS, dtype=np.int64) * _DSIR_SCALE
+        expect[m["b"].to_numpy()] = (
+            (m["ct"].to_numpy() + 1) * _DSIR_SCALE // (m["cr"].to_numpy() + 1))
+        np.testing.assert_array_equal(w, expect)
+
+    def test_selection_prefers_target_like_docs(self):
+        """Sanity: the mean score of selected docs exceeds the corpus
+        mean (resampling tilts toward the target distribution)."""
+        from reden_ray.pipelines.selection import (_DSIR_BUCKETS,
+                                                   _DSIR_SCALE,
+                                                   q56_dsir_sample)
+
+        sel = q56_dsir_sample(SF)
+        con = _con()
+        corpus_mean = con.sql(f"""
+            WITH w AS (
+              SELECT doc_id, lang, unnest(string_split(text,' ')) AS word
+              FROM documents
+            ), wf AS (
+              SELECT doc_id, lang,
+                (length(word)*131 + ascii(word)*31 + ascii(reverse(word)))
+                  % {_DSIR_BUCKETS} AS b
+              FROM w WHERE word <> ''
+            ), model AS (
+              SELECT b, SUM(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS ct,
+                     COUNT(*) AS cr
+              FROM wf GROUP BY b
+            ), scored AS (
+              SELECT wf.doc_id,
+                SUM(((m.ct+1) * {_DSIR_SCALE}) // (m.cr+1)) AS s
+              FROM wf JOIN model m USING (b) GROUP BY wf.doc_id
+            )
+            SELECT AVG(s) AS m FROM scored""").df()["m"][0]
+        assert sel["dsir_score"].mean() > corpus_mean
+
+
+class TestTriangles:
+    def test_matches_oracle(self):
+        from reden_ray.pipelines.selection import (_q57_sql,
+                                                   q57_triangle_counts)
+
+        _assert_matches_oracle(q57_triangle_counts(SF), _q57_sql())
+
+    def test_hand_built_graph(self):
+        """Two triangles sharing edge (a,b) plus a pendant edge; the
+        directed/weighted/duplicated input exercises canonicalization."""
+        from reden_ray.pipelines.selection import triangle_counts
+
+        edges = pd.DataFrame({
+            "src_host": ["a", "b", "c", "a", "d", "b", "a", "e", "a"],
+            "dst_host": ["b", "c", "a", "d", "b", "a", "b", "a", "a"],
+            "n_links": [1] * 9,
+        })
+        got = (triangle_counts(rd.from_pandas(edges))
+               .set_index("host")["n_triangles"].to_dict())
+        # triangles: (a,b,c) and (a,b,d); e-a is pendant; a-a self-loop
+        # dropped; duplicate/reversed a-b edges collapse
+        assert got == {"a": 2, "b": 2, "c": 1, "d": 1}
+
+    def test_random_graphs_match_duckdb(self):
+        from reden_ray.pipelines.selection import triangle_counts
+
+        rng = random.Random(7)
+        for trial in range(3):
+            n = rng.randint(6, 14)
+            rows = [(f"h{rng.randrange(n)}", f"h{rng.randrange(n)}")
+                    for _ in range(40)]
+            df = pd.DataFrame(rows, columns=["src_host", "dst_host"])
+            df["n_links"] = 1
+            got = triangle_counts(rd.from_pandas(df))
+            con = duckdb.connect()
+            con.register("edges", df)
+            want = con.sql("""
+                WITH und AS (
+                  SELECT DISTINCT LEAST(src_host, dst_host) AS u,
+                         GREATEST(src_host, dst_host) AS v
+                  FROM edges WHERE src_host <> dst_host
+                ), tri AS (
+                  SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM und e1
+                  JOIN und e2 ON e2.u = e1.v
+                  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+                ), hosts AS (
+                  SELECT a AS host FROM tri UNION ALL SELECT b FROM tri
+                  UNION ALL SELECT c FROM tri)
+                SELECT host, CAST(COUNT(*) AS BIGINT) AS n_triangles
+                FROM hosts GROUP BY host""").df()
+            g = got.sort_values("host").reset_index(drop=True)
+            w = want.sort_values("host").reset_index(drop=True)
+            pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+class TestRollup:
+    def test_matches_oracle(self):
+        from reden_ray.pipelines.selection import Q58_SQL, q58_rollup
+
+        _assert_matches_oracle(q58_rollup(SF), Q58_SQL)
+
+    def test_levels_are_consistent(self):
+        """Rolled-up levels must equal the sum of their children —
+        the invariant the single-pass derivation relies on."""
+        from reden_ray.pipelines.selection import q58_rollup
+
+        df = q58_rollup(SF)
+        detail = df[df["gid"] == 0]
+        by_month = df[df["gid"] == 1].set_index("month")
+        grand = df[df["gid"] == 3]
+        for m, g in detail.groupby("month"):
+            assert by_month.loc[m, "n_events"] == g["n_events"].sum()
+            assert (by_month.loc[m, "sum_floor_value"]
+                    == g["sum_floor_value"].sum())
+        assert grand["n_events"].iloc[0] == detail["n_events"].sum()
+
+
+class TestBloom:
+    def test_matches_oracle(self):
+        from reden_ray.pipelines.selection import (Q59_SQL,
+                                                   q59_bloom_membership)
+
+        _assert_matches_oracle(q59_bloom_membership(SF), Q59_SQL)
+
+    def test_no_false_negatives(self):
+        from reden_ray.pipelines.selection import q59_bloom_membership
+
+        df = q59_bloom_membership(SF)
+        exact = df["exact_member"].to_numpy().astype(bool)
+        bloom = df["bloom_member"].to_numpy().astype(bool)
+        assert bloom[exact].all()          # membership is never missed
+        # false positives exist in principle but must stay bounded:
+        # k=3, m=4096, n≈200 -> (1 - e^{-kn/m})^k ≈ 0.2% per probe
+        fp = (bloom & ~exact).mean()
+        assert fp < 0.05
+
+    def test_registers_match_single_threaded_reference(self):
+        from reden_ray.pipelines.selection import (_bloom_positions,
+                                                   _BLOOM_WORDS,
+                                                   bloom_registers)
+
+        keys = np.array([3, 17, 99, 1024, 77777], dtype=np.int64)
+        ds = rd.from_pandas(pd.DataFrame({"k": keys})).repartition(3)
+        got = bloom_registers(ds, "k")
+        ref = np.zeros(_BLOOM_WORDS, dtype=np.int64)
+        for pos in _bloom_positions(keys).ravel():
+            ref[pos // 32] |= np.int64(1) << (pos % 32)
+        np.testing.assert_array_equal(got, ref)
+
+
+class TestMisraGries:
+    def test_matches_oracle(self):
+        from reden_ray.pipelines.selection import Q60_SQL, q60_heavy_hitters
+
+        _assert_matches_oracle(q60_heavy_hitters(SF), Q60_SQL)
+
+    def test_guarantees_under_capacity(self):
+        """Random streams, random block boundaries, capacity 8:
+        (a) estimates never exceed truth, (b) undercount <= N/(cap+1),
+        (c) every item with freq > N/(cap+1) is retained."""
+        from reden_ray.pipelines.selection import heavy_hitters
+
+        rng = random.Random(23)
+        cap = 8
+        for trial in range(3):
+            # zipf-ish stream over 40 distinct items
+            items = [f"t{min(int(rng.paretovariate(1.2)), 40)}"
+                     for _ in range(5000)]
+            n = len(items)
+            true = pd.Series(items).value_counts()
+            ds = rd.from_pandas(pd.DataFrame({"k": items})).repartition(
+                rng.randint(2, 9))
+            got = heavy_hitters(ds, "k", capacity=cap).set_index("k")[
+                "mg_count"]
+            bound = n / (cap + 1)
+            for it, est in got.items():
+                assert est <= true[it]
+                assert true[it] - est <= bound + 1e-9
+            for it, cnt in true.items():
+                if cnt > bound:
+                    assert it in got.index, (it, cnt, bound)
+
+    def test_exact_when_capacity_covers_vocab(self):
+        from reden_ray.pipelines.selection import heavy_hitters
+
+        items = ["a"] * 10 + ["b"] * 5 + ["c"] * 2
+        ds = rd.from_pandas(pd.DataFrame({"k": items})).repartition(4)
+        got = heavy_hitters(ds, "k", capacity=16).set_index("k")["mg_count"]
+        assert got.to_dict() == {"a": 10, "b": 5, "c": 2}
