@@ -1503,6 +1503,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q58_rollup": SEL.q58_rollup,
         "q59_bloom_membership": SEL.q59_bloom_membership,
         "q60_heavy_hitters": SEL.q60_heavy_hitters,
+        "q61_bottomk_sample": SEL.q61_bottomk_sample,
+        "q62_kcore": SEL.q62_kcore,
         # flagship NEL / KG construction over derived pages (rows-only:
         # graph algorithm not SQL-expressible; parity is gated in pytest
         # against analytic gold fixtures instead).
@@ -1638,6 +1640,8 @@ def oracle_sql() -> dict[str, str]:
         "q58_rollup": SEL.Q58_SQL,
         "q59_bloom_membership": SEL.Q59_SQL,
         "q60_heavy_hitters": SEL.Q60_SQL,
+        "q61_bottomk_sample": SEL.Q61_SQL,
+        "q62_kcore": SEL._q62_sql(),
         "q27_tumbling_window": __import__(
             "reden_ray.stages.windows", fromlist=["TUMBLING_SQL"]
         ).TUMBLING_SQL.format(size_us=3_600_000_000),

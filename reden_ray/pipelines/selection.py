@@ -628,3 +628,172 @@ SELECT 'cdn' || CAST(doc_id % 17 AS VARCHAR) || '.example.org' AS host,
        CAST(COUNT(*) AS BIGINT) AS mg_count
 FROM documents GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Q61 — deterministic bottom-k sampling per group (KMV sketch)
+# ---------------------------------------------------------------------------
+
+_BOTTOMK_K = 5
+
+
+def bottom_k_per_group(ds, group_col: str, id_col: str,
+                       k: int = _BOTTOMK_K) -> pd.DataFrame:
+    """The mergeable uniform-sample sketch: per group, keep the k ids
+    with the smallest Knuth hash rank. Per-block partial bottom-k (at
+    most k rows per group leave each block), ONE group-keyed exchange,
+    in-bucket final bottom-k. bottom-k of a union == bottom-k of
+    bottom-k's, so the reduce is order-independent and the sample is
+    reproducible from the keys alone (resumable at 100 TB, no stored
+    sampler state) — and the k-th smallest hash doubles as the KMV
+    distinct-count estimator."""
+    from ..stages.windows import grouped_by_key_buckets
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select([group_col, id_col]).to_pandas()
+        ids = df[id_col].to_numpy().astype(np.int64)
+        df["hv"] = (ids * _KNUTH) % _M32
+        df = df.sort_values([group_col, "hv", id_col], kind="stable")
+        return pa.Table.from_pandas(df.groupby(group_col, sort=False).head(k),
+                                    preserve_index=False)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([group_col, "hv", id_col], kind="stable")
+        out = df.groupby(group_col, sort=False).head(k).copy()
+        out["smp_rank"] = out.groupby(group_col, sort=False).cumcount() + 1
+        out["smp_rank"] = out["smp_rank"].astype("int64")
+        return out[[group_col, "smp_rank", id_col]]
+
+    return grouped_by_key_buckets(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        group_col, final, num_buckets=8).to_pandas()
+
+
+def q61_bottomk_sample(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def to_host(t: pa.Table) -> pa.Table:
+        hid = pc.subtract(t["doc_id"],
+                          pc.multiply(pc.divide(t["doc_id"], 17),
+                                      pa.scalar(17, pa.int64())))
+        host = pc.binary_join_element_wise(
+            "cdn", pc.cast(hid, pa.string()), ".example.org", "")
+        return pa.table({"host": host, "doc_id": t["doc_id"]})
+
+    return bottom_k_per_group(
+        ds.map_batches(to_host, batch_format="pyarrow"), "host", "doc_id")
+
+
+Q61_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         'cdn' || CAST(doc_id % 17 AS VARCHAR) || '.example.org' AS host,
+         (doc_id * {_KNUTH}) % {_M32} AS hv
+  FROM documents
+), r AS (
+  SELECT host, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY hv, doc_id)
+           AS smp_rank
+  FROM d
+)
+SELECT host, CAST(smp_rank AS BIGINT) AS smp_rank, doc_id
+FROM r WHERE smp_rank <= {_BOTTOMK_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q62 — k-core decomposition (iterative peeling)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 18
+_KCORE_MIN_LINKS = 2   # sparsify the fixture host graph before peeling
+_KCORE_MAX_ROUNDS = 12
+
+
+def k_core(edges_ds, k: int = _KCORE_K, src_col: str = "src_host",
+           dst_col: str = "dst_host",
+           max_rounds: int = _KCORE_MAX_ROUNDS) -> pd.DataFrame:
+    """Maximal subgraph where every node has degree >= k, by iterative
+    peeling: each round drops nodes with current degree < k and the
+    edges touching them, until a fixpoint. Degrees reduce combiner-
+    first each round; the surviving-node set is broadcast (one row per
+    host — vocabulary-sized; at web scale the filter becomes a semi-
+    join on both endpoints, the incremental.py idiom). Extra rounds
+    after the fixpoint are no-ops, which is what lets the SQL oracle
+    unroll a FIXED number of rounds; raises if ``max_rounds`` did not
+    reach the fixpoint so the oracle can never silently diverge."""
+    und = undirected_distinct_edges(edges_ds, src_col, dst_col)
+    edges = und.materialize()
+
+    def degrees(es) -> pd.DataFrame:
+        def part(df: pd.DataFrame) -> pd.DataFrame:
+            c = pd.concat([df["u"], df["v"]]).value_counts()
+            return pd.DataFrame({"node": c.index, "d": c.to_numpy()})
+
+        return (es.map_batches(part, batch_format="pandas")
+                .groupby("node").aggregate(Sum("d", alias_name="deg"))
+                .to_pandas())
+
+    deg = degrees(edges)
+    for _ in range(max_rounds):
+        keep = set(deg[deg["deg"] >= k]["node"])
+        if len(keep) == len(deg):
+            out = deg[["node", "deg"]].rename(
+                columns={"node": "host", "deg": "core_degree"})
+            out = out.sort_values("host", kind="stable").reset_index(drop=True)
+            out["core_degree"] = out["core_degree"].astype("int64")
+            return out
+        keep_ref = ray.put(keep)
+
+        def flt(df: pd.DataFrame) -> pd.DataFrame:
+            kp = get_broadcast(keep_ref)
+            return df[df["u"].isin(kp) & df["v"].isin(kp)]
+
+        edges = edges.map_batches(flt, batch_format="pandas").materialize()
+        deg = degrees(edges)
+        if len(deg) == 0:
+            return pd.DataFrame({"host": pd.array([], dtype=object),
+                                 "core_degree": pd.array([], dtype="int64")})
+    raise RuntimeError(f"k_core did not converge in {max_rounds} rounds")
+
+
+def q62_kcore(sf_dir: str) -> pd.DataFrame:
+    from .webops import host_link_edges, linked_pages_from_documents
+
+    edges = host_link_edges(linked_pages_from_documents(sf_dir))
+    sparse = edges.filter(
+        expr=f"n_links >= {_KCORE_MIN_LINKS}")
+    return k_core(sparse)
+
+
+def _q62_sql() -> str:
+    from .webops import _Q42_EDGES_CTE
+
+    # each round references the previous edge set three times; without
+    # MATERIALIZED, DuckDB inlines CTEs and the plan (and the base
+    # parquet scan) blows up 3^rounds-fold
+    rounds = []
+    prev = "e0"
+    for i in range(1, _KCORE_MAX_ROUNDS + 1):
+        rounds.append(f"""
+d{i} AS MATERIALIZED (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev}
+  ) GROUP BY node
+), k{i} AS (SELECT node FROM d{i} WHERE deg >= {_KCORE_K}),
+e{i} AS MATERIALIZED (
+  SELECT u, v FROM {prev}
+  WHERE u IN (SELECT node FROM k{i}) AND v IN (SELECT node FROM k{i})
+)""")
+        prev = f"e{i}"
+    return f"""
+WITH {_Q42_EDGES_CTE},
+e0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src_host, dst_host) AS u,
+         GREATEST(src_host, dst_host) AS v
+  FROM edges WHERE src_host <> dst_host AND n_links >= {_KCORE_MIN_LINKS}
+),{",".join(rounds)}
+SELECT node AS host, CAST(COUNT(*) AS BIGINT) AS core_degree FROM (
+  SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev}
+) GROUP BY node
+"""

@@ -1,6 +1,6 @@
-"""Selection & sketch operator tests (q56-q60): DSIR importance
+"""Selection & sketch operator tests (q56-q62): DSIR importance
 resampling, triangle counting, single-pass ROLLUP, Bloom membership,
-Misra-Gries heavy hitters."""
+Misra-Gries heavy hitters, bottom-k sampling, k-core decomposition."""
 
 import random
 
@@ -251,3 +251,73 @@ class TestMisraGries:
         ds = rd.from_pandas(pd.DataFrame({"k": items})).repartition(4)
         got = heavy_hitters(ds, "k", capacity=16).set_index("k")["mg_count"]
         assert got.to_dict() == {"a": 10, "b": 5, "c": 2}
+
+
+class TestBottomK:
+    def test_matches_oracle(self):
+        from reden_ray.pipelines.selection import Q61_SQL, q61_bottomk_sample
+
+        _assert_matches_oracle(q61_bottomk_sample(SF), Q61_SQL)
+
+    def test_mergeable_and_block_invariant(self):
+        """bottom-k of a union == bottom-k of bottom-k's: the sample is
+        identical under any repartitioning of the input."""
+        from reden_ray.pipelines.selection import bottom_k_per_group
+
+        df = pd.DataFrame({
+            "g": [f"g{i % 4}" for i in range(400)],
+            "i": list(range(400)),
+        })
+        a = bottom_k_per_group(rd.from_pandas(df).repartition(2), "g", "i")
+        b = bottom_k_per_group(rd.from_pandas(df).repartition(17), "g", "i")
+        key = ["g", "smp_rank", "i"]
+        pd.testing.assert_frame_equal(
+            a.sort_values(key).reset_index(drop=True)[key],
+            b.sort_values(key).reset_index(drop=True)[key])
+        assert (a.groupby("g").size() == 5).all()
+
+
+class TestKCore:
+    def test_matches_oracle(self):
+        from reden_ray.pipelines.selection import _q62_sql, q62_kcore
+
+        _assert_matches_oracle(q62_kcore(SF), _q62_sql())
+
+    def test_peeling_actually_fires_on_fixture(self):
+        """The chosen k must exercise at least one peel round at the
+        fixture scale (guards against a degenerate always-converged
+        driver query)."""
+        from reden_ray.pipelines.selection import _q62_sql, q62_kcore
+
+        got = q62_kcore(SF)
+        con = _con()
+        n_hosts = 31
+        assert 0 < len(got) < n_hosts
+
+    def test_random_graphs_match_reference_peeler(self):
+        from reden_ray.pipelines.selection import k_core
+
+        rng = random.Random(31)
+        for trial in range(3):
+            n = rng.randint(8, 16)
+            rows = [(f"h{rng.randrange(n)}", f"h{rng.randrange(n)}")
+                    for _ in range(30)]
+            df = pd.DataFrame(rows, columns=["src_host", "dst_host"])
+            df["n_links"] = 9  # above any sparsify threshold
+            k = rng.randint(2, 4)
+            got = k_core(rd.from_pandas(df), k=k, max_rounds=40)
+
+            # pure-python reference peeler
+            e = {tuple(sorted(p)) for p in rows if p[0] != p[1]}
+            while True:
+                deg = {}
+                for u, v in e:
+                    deg[u] = deg.get(u, 0) + 1
+                    deg[v] = deg.get(v, 0) + 1
+                keep = {x for x, d in deg.items() if d >= k}
+                if len(keep) == len(deg):
+                    break
+                e = {(u, v) for u, v in e if u in keep and v in keep}
+            want = sorted(deg.items())
+            assert list(map(tuple, got.to_numpy())) == [
+                (h, d) for h, d in want], (trial, k)
