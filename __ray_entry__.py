@@ -1505,6 +1505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q60_heavy_hitters": SEL.q60_heavy_hitters,
         "q61_bottomk_sample": SEL.q61_bottomk_sample,
         "q62_kcore": SEL.q62_kcore,
+        "q63_funnel": SEL.q63_funnel,
         # flagship NEL / KG construction over derived pages (rows-only:
         # graph algorithm not SQL-expressible; parity is gated in pytest
         # against analytic gold fixtures instead).
@@ -1642,6 +1643,7 @@ def oracle_sql() -> dict[str, str]:
         "q60_heavy_hitters": SEL.Q60_SQL,
         "q61_bottomk_sample": SEL.Q61_SQL,
         "q62_kcore": SEL._q62_sql(),
+        "q63_funnel": SEL.Q63_SQL,
         "q27_tumbling_window": __import__(
             "reden_ray.stages.windows", fromlist=["TUMBLING_SQL"]
         ).TUMBLING_SQL.format(size_us=3_600_000_000),

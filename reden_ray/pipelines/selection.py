@@ -1,5 +1,5 @@
 """Data-selection & sketch operators for training-data pipelines
-(q56-q60).
+(q56-q63).
 
 Beyond-reference family (like q45-q55): the selection, membership and
 frequency machinery a 100 TB pretraining pipeline runs around its dedup
@@ -61,6 +61,14 @@ sum(out_deg^2) <= m^1.5 under degree orientation; q58's exchange is
 broadcast here (vocabulary-sized at sandbox scale) with the documented
 join fallback at web scale — the same size-gate precedent as the
 PageRank and KB-index paths.
+
+Later additions: q61 deterministic bottom-k per-group sampling (the
+mergeable KMV sketch — see ``bottom_k_per_group`` / ``kmv_estimate``),
+q62 k-core decomposition (iterative peeling; the oracle unrolls the
+rounds as MATERIALIZED CTEs), q63 funnel analysis (ordered
+sequence-prefix matching per user — a shape neither groupby nor join
+covers; the only lossless per-block reduction is DISTINCT
+(key, type, ts), which ``funnel_counts`` documents and applies).
 """
 
 from __future__ import annotations
@@ -757,6 +765,17 @@ def k_core(edges_ds, k: int = _KCORE_K, src_col: str = "src_host",
     raise RuntimeError(f"k_core did not converge in {max_rounds} rounds")
 
 
+def kmv_estimate(hashes_bottom_k: np.ndarray, k: int) -> float:
+    """KMV distinct-count estimate from a group's bottom-k hash ranks
+    (Bar-Yossef et al. 2002): (k-1) * 2^32 / h_(k), valid when the
+    group has >= k distinct keys. The q61 sample doubles as this
+    sketch — one pass buys both a uniform sample and a cardinality
+    estimate per group."""
+    if len(hashes_bottom_k) < k:
+        return float(len(hashes_bottom_k))  # exact below k
+    return (k - 1) * float(_M32) / float(np.sort(hashes_bottom_k)[k - 1])
+
+
 def q62_kcore(sf_dir: str) -> pd.DataFrame:
     from .webops import host_link_edges, linked_pages_from_documents
 
@@ -796,4 +815,91 @@ e0 AS MATERIALIZED (
 SELECT node AS host, CAST(COUNT(*) AS BIGINT) AS core_degree FROM (
   SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev}
 ) GROUP BY node
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q63 — funnel analysis (ordered sequence matching per key)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_counts(events_ds, steps=_FUNNEL_STEPS, key_col: str = "user_id",
+                  num_buckets: int = 16) -> pd.DataFrame:
+    """How many users complete each prefix of ``steps`` in strict
+    timestamp order (greedy earliest match: step i+1 must occur
+    STRICTLY after the chosen step-i event). A sequential-pattern
+    operator none of the groupby/join shapes cover.
+
+    Distribution: events are pre-filtered to the funnel types at the
+    read, pre-reduced per block to DISTINCT (key, type, ts) rows (equal
+    timestamps are interchangeable under strict-> matching, so the
+    dedup is lossless — the one reduction sequential semantics allow:
+    a later step's answer can be ANY of a user's timestamps depending
+    on the earlier match, so per-block mins don't compose), then ONE
+    key-bucketed exchange; the per-prefix match inside each bucket is
+    a chain of vectorized groupby-min merges, and only <=len(steps)
+    partial-count rows leave each bucket."""
+    from ..stages.windows import grouped_by_key_buckets
+
+    step_arr = pa.array(list(steps))
+
+    def pre(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"], value_set=step_arr)
+        f = t.filter(keep).select([key_col, "event_type", "ts"])
+        return f.group_by([key_col, "event_type", "ts"]).aggregate([])
+
+    def match_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # reached: per-user timestamp of the latest matched step so far
+        reached = (df[df["event_type"] == steps[0]]
+                   .groupby(key_col, as_index=False)["ts"].min()
+                   .rename(columns={"ts": "t"}))
+        out_stage = [1]
+        out_n = [len(reached)]
+        for s in steps[1:]:
+            nxt = df[df["event_type"] == s].merge(reached, on=key_col)
+            nxt = nxt[nxt["ts"] > nxt["t"]]
+            reached = (nxt.groupby(key_col, as_index=False)["ts"].min()
+                       .rename(columns={"ts": "t"}))
+            out_stage.append(out_stage[-1] + 1)
+            out_n.append(len(reached))
+        return pd.DataFrame({"stage": np.array(out_stage, dtype=np.int64),
+                             "n_part": np.array(out_n, dtype=np.int64)})
+
+    per_bucket = grouped_by_key_buckets(
+        events_ds.map_batches(pre, batch_format="pyarrow"),
+        key_col, match_bucket, num_buckets=num_buckets)
+    out = (per_bucket.groupby("stage")
+           .aggregate(Sum("n_part", alias_name="n_users")).to_pandas())
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("stage", kind="stable").reset_index(drop=True)
+
+
+def q63_funnel(sf_dir: str) -> pd.DataFrame:
+    return funnel_counts(_read(sf_dir, "events",
+                               ["user_id", "event_type", "ts"]))
+
+
+Q63_SQL = f"""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+  WHERE e.event_type = '{_FUNNEL_STEPS[1]}' GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+  WHERE e.event_type = '{_FUNNEL_STEPS[2]}' GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS stage, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM s1
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM s3
+)
 """

@@ -321,3 +321,79 @@ class TestKCore:
             want = sorted(deg.items())
             assert list(map(tuple, got.to_numpy())) == [
                 (h, d) for h, d in want], (trial, k)
+
+
+class TestKMVEstimate:
+    def test_tracks_exact_distinct(self):
+        """Group distinct-count estimates from the bottom-k hashes land
+        within KMV error (~1/sqrt(k-1)) of the truth."""
+        from reden_ray.pipelines.selection import (_KNUTH, _M32,
+                                                   bottom_k_per_group,
+                                                   kmv_estimate)
+
+        k = 64
+        rng = random.Random(5)
+        ids = [rng.randrange(10**9) for _ in range(4000)]
+        df = pd.DataFrame({"g": ["x"] * len(ids), "i": ids})
+        n_distinct = df["i"].nunique()
+        smp = bottom_k_per_group(rd.from_pandas(df).repartition(7),
+                                 "g", "i", k=k)
+        hv = (smp["i"].to_numpy().astype(np.int64) * _KNUTH) % _M32
+        est = kmv_estimate(hv, k)
+        assert abs(est / n_distinct - 1.0) < 0.5, (est, n_distinct)
+
+    def test_exact_below_k(self):
+        from reden_ray.pipelines.selection import kmv_estimate
+
+        assert kmv_estimate(np.array([5, 9, 2]), 10) == 3.0
+
+
+class TestFunnel:
+    def test_matches_oracle(self):
+        from reden_ray.pipelines.selection import Q63_SQL, q63_funnel
+
+        _assert_matches_oracle(q63_funnel(SF), Q63_SQL)
+
+    def test_hand_built_sequences(self):
+        """Strict-order semantics: same-timestamp later steps don't
+        count; out-of-order steps don't count; repeats are fine."""
+        from reden_ray.pipelines.selection import funnel_counts
+
+        t0 = pd.Timestamp("2024-01-01")
+
+        def ev(u, typ, minutes):
+            return {"user_id": u, "event_type": typ,
+                    "ts": t0 + pd.Timedelta(minutes=minutes)}
+
+        rows = [
+            # u1: full funnel in order
+            ev(1, "view", 0), ev(1, "click", 1), ev(1, "purchase", 2),
+            # u2: click at the SAME ts as view -> strict > rejects it
+            ev(2, "view", 0), ev(2, "click", 0),
+            # u3: purchase before click -> stops at click
+            ev(3, "view", 0), ev(3, "purchase", 1), ev(3, "click", 2),
+            # u4: never views (click/purchase only) -> stage 0
+            ev(4, "click", 0), ev(4, "purchase", 1),
+            # u5: view only
+            ev(5, "view", 3),
+        ]
+        got = funnel_counts(rd.from_pandas(pd.DataFrame(rows))
+                            ).set_index("stage")["n_users"].to_dict()
+        assert got == {1: 4, 2: 2, 3: 1}
+
+    def test_block_split_invariance(self):
+        """The DISTINCT (key,type,ts) pre-reduce must keep results
+        identical under any partitioning."""
+        from reden_ray.pipelines.selection import funnel_counts
+
+        rng = random.Random(77)
+        t0 = pd.Timestamp("2024-01-01")
+        rows = [{"user_id": rng.randrange(30),
+                 "event_type": rng.choice(["view", "click", "purchase",
+                                           "signup"]),
+                 "ts": t0 + pd.Timedelta(minutes=rng.randrange(50))}
+                for _ in range(600)]
+        df = pd.DataFrame(rows)
+        a = funnel_counts(rd.from_pandas(df).repartition(2))
+        b = funnel_counts(rd.from_pandas(df).repartition(23))
+        pd.testing.assert_frame_equal(a, b)
