@@ -253,7 +253,17 @@ def triangle_counts(edges_ds, src_col: str = "src_host",
     self-merge, and the union-tagged closure join."""
     from ..functions.bucket import add_bucket
 
-    und = undirected_distinct_edges(edges_ds, src_col, dst_col)
+    # distinct pairs are consumed by three downstream passes (degrees,
+    # orientation, and the closure union twice) — materialize once so
+    # the pages->edges chain doesn't re-execute per consumer; coalesce
+    # when blocks are tiny (the q43 snapshot-diff idiom: a small edge
+    # set left in O(read tasks) blocks pays ~5 exchanges of per-block
+    # dispatch for no actual data movement; at scale blocks arrive
+    # right-sized and the condition never fires)
+    und = undirected_distinct_edges(edges_ds, src_col, dst_col).materialize()
+    n_rows, n_blocks = und.count(), max(1, und.num_blocks())
+    if n_rows / n_blocks < 50_000:
+        und = und.repartition(max(1, n_rows // 250_000 + 1)).materialize()
 
     # degree per node over the distinct undirected pairs (tiny: one row
     # per host after the per-block combiner)
@@ -280,7 +290,8 @@ def triangle_counts(edges_ds, src_col: str = "src_host",
             "sr": np.where(fwd, ru, rv).astype(np.int64),
             "dr": np.where(fwd, rv, ru).astype(np.int64)})
 
-    oriented = und.map_batches(orient, batch_format="pandas")
+    # consumed twice (wedge generation + the closure union)
+    oriented = und.map_batches(orient, batch_format="pandas").materialize()
 
     # wedges: vectorized self-merge within src-bucketed groups (all
     # out-edges of a src are co-located by the bucket exchange)
@@ -730,8 +741,13 @@ def k_core(edges_ds, k: int = _KCORE_K, src_col: str = "src_host",
     after the fixpoint are no-ops, which is what lets the SQL oracle
     unroll a FIXED number of rounds; raises if ``max_rounds`` did not
     reach the fixpoint so the oracle can never silently diverge."""
-    und = undirected_distinct_edges(edges_ds, src_col, dst_col)
-    edges = und.materialize()
+    edges = undirected_distinct_edges(edges_ds, src_col, dst_col).materialize()
+    # coalesce tiny blocks before the peel rounds (each round re-scans
+    # the edge set; O(read tasks) near-empty blocks pay per-round
+    # dispatch for nothing — the q43/q57 idiom, never fires at scale)
+    n_rows, n_blocks = edges.count(), max(1, edges.num_blocks())
+    if n_rows / n_blocks < 50_000:
+        edges = edges.repartition(max(1, n_rows // 250_000 + 1)).materialize()
 
     def degrees(es) -> pd.DataFrame:
         def part(df: pd.DataFrame) -> pd.DataFrame:
