@@ -290,6 +290,8 @@ def run_bench() -> dict:
         "q43_snapshot_diff",         # crawl snapshot diff
         "q49_semantic_dedup",        # k-means cells + exact int L2
         "q50_bpe_merges",            # BPE training (word-freq pass)
+        "q56_dsir_sample",           # DSIR importance resampling
+        "q63_funnel",                # sequential-pattern funnel
     ]
     for name in component_names:
         t0 = time.perf_counter()
