@@ -767,13 +767,14 @@ def k_core(edges_ds, k: int = _KCORE_K, src_col: str = "src_host",
             out = out.sort_values("host", kind="stable").reset_index(drop=True)
             out["core_degree"] = out["core_degree"].astype("int64")
             return out
-        keep_ref = ray.put(keep)
+        keep_ref = ray.put(np.array(sorted(keep), dtype=object))
 
-        def flt(df: pd.DataFrame) -> pd.DataFrame:
-            kp = get_broadcast(keep_ref)
-            return df[df["u"].isin(kp) & df["v"].isin(kp)]
+        def flt(t: pa.Table) -> pa.Table:
+            kp = pa.array(get_broadcast(keep_ref), pa.string())
+            return t.filter(pc.and_(pc.is_in(t["u"], value_set=kp),
+                                    pc.is_in(t["v"], value_set=kp)))
 
-        edges = edges.map_batches(flt, batch_format="pandas").materialize()
+        edges = edges.map_batches(flt, batch_format="pyarrow").materialize()
         deg = degrees(edges)
         if len(deg) == 0:
             return pd.DataFrame({"host": pd.array([], dtype=object),
