@@ -220,6 +220,42 @@ FROM ranked WHERE rn <= {_DSIR_TOP_N}
 _TRI_BUCKETS = 32
 
 
+def _coalesce_if_tiny(ds):
+    """Repartition when blocks are tiny (the q43 snapshot-diff idiom):
+    a small materialized set left in O(read tasks) blocks pays chained
+    per-block dispatch for no actual data movement; at scale blocks
+    arrive right-sized and the condition never fires."""
+    n_rows, n_blocks = ds.count(), max(1, ds.num_blocks())
+    if n_rows / n_blocks < 50_000:
+        ds = ds.repartition(max(1, n_rows // 250_000 + 1)).materialize()
+    return ds
+
+
+def _degrees(und_ds) -> pd.DataFrame:
+    """Per-node degree over distinct undirected (u, v) pairs:
+    per-block value-count combiner, one node-keyed reduce (one row per
+    host leaves each block)."""
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        c = pd.concat([df["u"], df["v"]]).value_counts()
+        return pd.DataFrame({"node": c.index, "d": c.to_numpy()})
+
+    return (und_ds.map_batches(part, batch_format="pandas")
+            .groupby("node").aggregate(Sum("d", alias_name="deg"))
+            .to_pandas())
+
+
+def _derived_hosts(t: pa.Table) -> pa.Table:
+    """doc_id -> the q33-derived 'cdnN.example.org' host stream (17
+    distinct hosts; shared by q60/q61 and their SQL mirrors)."""
+    hid = pc.subtract(t["doc_id"],
+                      pc.multiply(pc.divide(t["doc_id"], 17),
+                                  pa.scalar(17, pa.int64())))
+    host = pc.binary_join_element_wise(
+        "cdn", pc.cast(hid, pa.string()), ".example.org", "")
+    return pa.table({"host": host, "doc_id": t["doc_id"]})
+
+
 def undirected_distinct_edges(edges_ds, src_col: str = "src_host",
                               dst_col: str = "dst_host"):
     """Weighted directed edge list -> canonical undirected distinct
@@ -260,21 +296,10 @@ def triangle_counts(edges_ds, src_col: str = "src_host",
     # set left in O(read tasks) blocks pays ~5 exchanges of per-block
     # dispatch for no actual data movement; at scale blocks arrive
     # right-sized and the condition never fires)
-    und = undirected_distinct_edges(edges_ds, src_col, dst_col).materialize()
-    n_rows, n_blocks = und.count(), max(1, und.num_blocks())
-    if n_rows / n_blocks < 50_000:
-        und = und.repartition(max(1, n_rows // 250_000 + 1)).materialize()
+    und = _coalesce_if_tiny(
+        undirected_distinct_edges(edges_ds, src_col, dst_col).materialize())
 
-    # degree per node over the distinct undirected pairs (tiny: one row
-    # per host after the per-block combiner)
-    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
-        c = pd.concat([df["u"], df["v"]]).value_counts()
-        return pd.DataFrame({"node": c.index, "d": c.to_numpy()})
-
-    deg = (und.map_batches(deg_partial, batch_format="pandas")
-           .groupby("node").aggregate(Sum("d", alias_name="deg"))
-           .to_pandas())
-    deg = deg.sort_values(["deg", "node"], kind="stable")
+    deg = _degrees(und).sort_values(["deg", "node"], kind="stable")
     rank = {n: i for i, n in enumerate(deg["node"])}
     rank_ref = ray.put(rank)
 
@@ -389,11 +414,17 @@ def rollup_events(ds) -> pd.DataFrame:
         month = pc.cast(pc.month(t["ts"]), pa.int64())
         fv = pc.cast(pc.floor(t["value"]), pa.int64())
         base = pa.table({"month": month, "event_type": t["event_type"],
-                         "fv": fv})
+                         "fv": fv,
+                         "one": pa.array(np.ones(t.num_rows, np.int64))})
+        # count rides a ones column (COUNT(*) semantics — a null value
+        # must still count the row); SUM skips nulls on both engines,
+        # and an all-null group's null sum becomes 0 to stay integer
+        # (the oracle COALESCEs identically)
         g = base.group_by(["month", "event_type"]).aggregate(
-            [("fv", "sum"), ("fv", "count")])
+            [("fv", "sum"), ("one", "sum")])
         d = g.to_pandas()
-        d = d.rename(columns={"fv_sum": "sv", "fv_count": "nv"})
+        d = d.rename(columns={"fv_sum": "sv", "one_sum": "nv"})
+        d["sv"] = d["sv"].fillna(0).astype("int64")
         lv1 = d.groupby("month", as_index=False)[["sv", "nv"]].sum()
         lv1["event_type"] = ""
         lv3 = pd.DataFrame({"month": [-1], "event_type": [""],
@@ -438,7 +469,8 @@ SELECT CAST(GROUPING(m) * 2 + GROUPING(event_type) AS BIGINT) AS gid,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(fv) AS BIGINT) AS sum_floor_value
 FROM e GROUP BY ROLLUP(m, event_type)
-"""
+""".replace("CAST(SUM(fv) AS BIGINT)",
+              "CAST(COALESCE(SUM(fv), 0) AS BIGINT)")
 
 
 # ---------------------------------------------------------------------------
@@ -476,8 +508,9 @@ def bloom_registers(ds, key_col: str) -> np.ndarray:
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     regs = np.zeros(_BLOOM_WORDS, dtype=np.int64)
-    np.bitwise_or.at(regs, parts["word"].to_numpy(),
-                     parts["reg"].to_numpy())
+    if len(parts):  # an empty member stream leaves an all-zero filter
+        np.bitwise_or.at(regs, parts["word"].to_numpy(),
+                         parts["reg"].to_numpy())
     return regs
 
 
@@ -527,8 +560,11 @@ def q59_bloom_membership(sf_dir: str) -> pd.DataFrame:
     def exact(t: pa.Table) -> pa.Table:
         mem = get_broadcast(mem_ref)
         keys = t["probe_key"].to_numpy(zero_copy_only=False)
-        i = np.searchsorted(mem, keys)
-        ok = (i < len(mem)) & (mem[np.minimum(i, len(mem) - 1)] == keys)
+        if len(mem) == 0:
+            ok = np.zeros(len(keys), dtype=bool)
+        else:
+            i = np.searchsorted(mem, keys)
+            ok = (i < len(mem)) & (mem[np.minimum(i, len(mem) - 1)] == keys)
         return t.append_column(
             "exact_member", pa.array(ok.astype(np.int64), pa.int64()))
 
@@ -629,17 +665,10 @@ def q60_heavy_hitters(sf_dir: str) -> pd.DataFrame:
     pytest-gated where it belongs — the estimates are then block-
     boundary-dependent by construction)."""
     ds = _read(sf_dir, "documents", ["doc_id"])
-
-    def to_host(t: pa.Table) -> pa.Table:
-        hid = pc.subtract(t["doc_id"],
-                          pc.multiply(pc.divide(t["doc_id"], 17),
-                                      pa.scalar(17, pa.int64())))
-        host = pc.binary_join_element_wise(
-            "cdn", pc.cast(hid, pa.string()), ".example.org", "")
-        return pa.table({"host": host})
-
-    return heavy_hitters(ds.map_batches(to_host, batch_format="pyarrow"),
-                         "host")
+    hosts = ds.map_batches(
+        lambda t: _derived_hosts(t).select(["host"]),
+        batch_format="pyarrow")
+    return heavy_hitters(hosts, "host")
 
 
 Q60_SQL = """
@@ -690,17 +719,9 @@ def bottom_k_per_group(ds, group_col: str, id_col: str,
 
 def q61_bottomk_sample(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", ["doc_id"])
-
-    def to_host(t: pa.Table) -> pa.Table:
-        hid = pc.subtract(t["doc_id"],
-                          pc.multiply(pc.divide(t["doc_id"], 17),
-                                      pa.scalar(17, pa.int64())))
-        host = pc.binary_join_element_wise(
-            "cdn", pc.cast(hid, pa.string()), ".example.org", "")
-        return pa.table({"host": host, "doc_id": t["doc_id"]})
-
     return bottom_k_per_group(
-        ds.map_batches(to_host, batch_format="pyarrow"), "host", "doc_id")
+        ds.map_batches(_derived_hosts, batch_format="pyarrow"),
+        "host", "doc_id")
 
 
 Q61_SQL = f"""
@@ -745,21 +766,11 @@ def k_core(edges_ds, k: int = _KCORE_K, src_col: str = "src_host",
     # coalesce tiny blocks before the peel rounds (each round re-scans
     # the edge set; O(read tasks) near-empty blocks pay per-round
     # dispatch for nothing — the q43/q57 idiom, never fires at scale)
-    n_rows, n_blocks = edges.count(), max(1, edges.num_blocks())
-    if n_rows / n_blocks < 50_000:
-        edges = edges.repartition(max(1, n_rows // 250_000 + 1)).materialize()
+    edges = _coalesce_if_tiny(edges)
 
-    def degrees(es) -> pd.DataFrame:
-        def part(df: pd.DataFrame) -> pd.DataFrame:
-            c = pd.concat([df["u"], df["v"]]).value_counts()
-            return pd.DataFrame({"node": c.index, "d": c.to_numpy()})
-
-        return (es.map_batches(part, batch_format="pandas")
-                .groupby("node").aggregate(Sum("d", alias_name="deg"))
-                .to_pandas())
-
-    deg = degrees(edges)
-    for _ in range(max_rounds):
+    deg = _degrees(edges)
+    peels = 0
+    while True:  # max_rounds PEELS need max_rounds+1 fixpoint checks
         keep = set(deg[deg["deg"] >= k]["node"])
         if len(keep) == len(deg):
             out = deg[["node", "deg"]].rename(
@@ -767,6 +778,9 @@ def k_core(edges_ds, k: int = _KCORE_K, src_col: str = "src_host",
             out = out.sort_values("host", kind="stable").reset_index(drop=True)
             out["core_degree"] = out["core_degree"].astype("int64")
             return out
+        if peels >= max_rounds:
+            raise RuntimeError(
+                f"k_core did not converge in {max_rounds} rounds")
         keep_ref = ray.put(np.array(sorted(keep), dtype=object))
 
         def flt(t: pa.Table) -> pa.Table:
@@ -775,11 +789,11 @@ def k_core(edges_ds, k: int = _KCORE_K, src_col: str = "src_host",
                                     pc.is_in(t["v"], value_set=kp)))
 
         edges = edges.map_batches(flt, batch_format="pyarrow").materialize()
-        deg = degrees(edges)
+        peels += 1
+        deg = _degrees(edges)
         if len(deg) == 0:
             return pd.DataFrame({"host": pd.array([], dtype=object),
                                  "core_degree": pd.array([], dtype="int64")})
-    raise RuntimeError(f"k_core did not converge in {max_rounds} rounds")
 
 
 def kmv_estimate(hashes_bottom_k: np.ndarray, k: int) -> float:
@@ -887,10 +901,21 @@ def funnel_counts(events_ds, steps=_FUNNEL_STEPS, key_col: str = "user_id",
     per_bucket = grouped_by_key_buckets(
         events_ds.map_batches(pre, batch_format="pyarrow"),
         key_col, match_bucket, num_buckets=num_buckets)
-    out = (per_bucket.groupby("stage")
-           .aggregate(Sum("n_part", alias_name="n_users")).to_pandas())
-    out["n_users"] = out["n_users"].astype("int64")
-    return out.sort_values("stage", kind="stable").reset_index(drop=True)
+    # final reduce on the driver: at most len(steps) x num_buckets
+    # partial rows exist at ANY corpus size, and the oracle emits every
+    # stage (COUNT over an empty CTE is 0) — zero-fill covers buckets
+    # that never materialized, incl. the no-matching-events case
+    parts = per_bucket.to_pandas()
+    out = pd.DataFrame({"stage": np.arange(1, len(steps) + 1,
+                                           dtype=np.int64)})
+    if len(parts):
+        agg = parts.groupby("stage", as_index=False)["n_part"].sum()
+        out = out.merge(agg.rename(columns={"n_part": "n_users"}),
+                        on="stage", how="left")
+    else:
+        out["n_users"] = 0
+    out["n_users"] = out["n_users"].fillna(0).astype("int64")
+    return out.reset_index(drop=True)
 
 
 def q63_funnel(sf_dir: str) -> pd.DataFrame:

@@ -397,3 +397,67 @@ class TestFunnel:
         a = funnel_counts(rd.from_pandas(df).repartition(2))
         b = funnel_counts(rd.from_pandas(df).repartition(23))
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestReviewRegressions:
+    """Regression coverage for the round-5 code-review findings."""
+
+    def test_kcore_converging_in_exactly_max_rounds(self):
+        """Triangle + 2-pendant chain under k=2 needs exactly 2 peels;
+        max_rounds=2 must return the triangle, not raise."""
+        from reden_ray.pipelines.selection import k_core
+
+        rows = [("t1", "t2"), ("t2", "t3"), ("t3", "t1"),
+                ("t1", "c1"), ("c1", "c2")]
+        df = pd.DataFrame(rows, columns=["src_host", "dst_host"])
+        df["n_links"] = 1
+        got = k_core(rd.from_pandas(df), k=2, max_rounds=2)
+        assert got["host"].tolist() == ["t1", "t2", "t3"]
+        assert got["core_degree"].tolist() == [2, 2, 2]
+
+    def test_rollup_null_values_count_rows(self):
+        """COUNT(*) semantics: a null `value` still counts its row;
+        an all-null group sums to 0 (both mirror the oracle)."""
+        from reden_ray.pipelines.selection import Q58_SQL, rollup_events
+
+        t0 = pd.Timestamp("2024-03-01")
+        df = pd.DataFrame({
+            "ts": [t0, t0, t0 + pd.Timedelta(days=40)],
+            "event_type": ["view", "view", "error"],
+            "value": [2.5, None, None],   # error group is ALL null
+        })
+        got = rollup_events(rd.from_pandas(df))
+        con = duckdb.connect()
+        con.register("events", df)
+        want = con.sql(Q58_SQL).df()
+        cols = sorted(got.columns)
+        pd.testing.assert_frame_equal(
+            got[cols].sort_values(cols).reset_index(drop=True),
+            want[cols].sort_values(cols).reset_index(drop=True),
+            check_dtype=False)
+
+    def test_bloom_empty_member_set(self):
+        """Zero members: every probe is bloom- and exact-negative;
+        nothing crashes on the empty sorted-id array."""
+        from reden_ray.pipelines.selection import (bloom_probe,
+                                                   bloom_registers)
+
+        empty = rd.from_pandas(pd.DataFrame({"k": pd.array([],
+                                                           dtype="int64")}))
+        regs = bloom_registers(empty, "k")
+        assert (regs == 0).all()
+        probes = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3]}))
+        out = bloom_probe(probes, regs, "k").to_pandas()
+        assert (out["bloom_member"] == 0).all()
+
+    def test_funnel_no_matching_events_still_emits_stages(self):
+        """An event stream with none of the funnel types must yield
+        stages 1-3 with zero counts (oracle COUNT-over-empty parity)."""
+        from reden_ray.pipelines.selection import funnel_counts
+
+        t0 = pd.Timestamp("2024-01-01")
+        df = pd.DataFrame({"user_id": [1, 2], "event_type":
+                           ["signup", "error"], "ts": [t0, t0]})
+        got = funnel_counts(rd.from_pandas(df))
+        assert got["stage"].tolist() == [1, 2, 3]
+        assert got["n_users"].tolist() == [0, 0, 0]
