@@ -279,14 +279,18 @@ def undirected_distinct_edges(edges_ds, src_col: str = "src_host",
 
 
 def triangle_counts(edges_ds, src_col: str = "src_host",
-                    dst_col: str = "dst_host") -> pd.DataFrame:
+                    dst_col: str = "dst_host",
+                    node_broadcast_limit: int = 2_000_000) -> pd.DataFrame:
     """Per-host triangle counts by degree-oriented wedge closure.
 
-    The rank table (one int per host) is broadcast — vocabulary-sized;
-    at web scale (~10^8 hosts) it becomes two hash-join attaches on the
-    edge endpoints, same algebra. Everything corpus-sized stays on the
-    Dataset plane: the distinct-edge reduce, the src-bucketed wedge
-    self-merge, and the union-tagged closure join."""
+    Orientation compares (degree, node) tuples per edge, so the degree
+    attach is the only node-shaped state — size-gated on the MEASURED
+    node count (the KB-gate discipline): below ``node_broadcast_limit``
+    the degree table broadcasts once and the attach is a vectorized
+    map; above it the attach is two hash joins on the endpoints and
+    nothing node-shaped lands on the driver. Everything corpus-sized
+    stays on the Dataset plane: the distinct-edge reduce, the
+    src-bucketed wedge self-merge, and the union-tagged closure join."""
     from ..functions.bucket import add_bucket
 
     # distinct pairs are consumed by three downstream passes (degrees,
@@ -299,31 +303,64 @@ def triangle_counts(edges_ds, src_col: str = "src_host",
     und = _coalesce_if_tiny(
         undirected_distinct_edges(edges_ds, src_col, dst_col).materialize())
 
-    deg = _degrees(und).sort_values(["deg", "node"], kind="stable")
-    rank = {n: i for i, n in enumerate(deg["node"])}
-    rank_ref = ray.put(rank)
+    deg_ds = _degrees_ds(und).materialize()
+    n_nodes = deg_ds.count()
+    if n_nodes == 0:
+        return pd.DataFrame({"host": pd.array([], dtype=object),
+                             "n_triangles": pd.array([], dtype="int64")})
 
-    # orient each edge low-rank -> high-rank; out-degree then O(sqrt m)
-    def orient(df: pd.DataFrame) -> pd.DataFrame:
-        rk = get_broadcast(rank_ref)
-        ru = df["u"].map(rk).to_numpy()
-        rv = df["v"].map(rk).to_numpy()
-        fwd = ru < rv
+    # attach per-endpoint degrees, then orient low (deg, node) ->
+    # high (deg, node); out-degree is then O(sqrt m)
+    def orient_rows(df: pd.DataFrame) -> pd.DataFrame:
+        fwd = (df["deg_u"].to_numpy() < df["deg_v"].to_numpy()) | (
+            (df["deg_u"].to_numpy() == df["deg_v"].to_numpy())
+            & (df["u"].to_numpy() < df["v"].to_numpy()))
         return pd.DataFrame({
             "src": np.where(fwd, df["u"], df["v"]),
             "dst": np.where(fwd, df["v"], df["u"]),
-            "sr": np.where(fwd, ru, rv).astype(np.int64),
-            "dr": np.where(fwd, rv, ru).astype(np.int64)})
+            "ddeg": np.where(fwd, df["deg_v"], df["deg_u"]).astype(np.int64)})
+
+    if n_nodes <= node_broadcast_limit:
+        degs = deg_ds.to_pandas()
+        deg_ref = ray.put(dict(zip(degs["node"], degs["deg"].astype(int))))
+
+        def attach(df: pd.DataFrame) -> pd.DataFrame:
+            dk = get_broadcast(deg_ref)
+            df = df.assign(deg_u=df["u"].map(dk).astype(np.int64),
+                           deg_v=df["v"].map(dk).astype(np.int64))
+            return orient_rows(df)
+
+        oriented = und.map_batches(attach, batch_format="pandas")
+    else:  # web-scale route: two hash-join degree attaches
+        du = deg_ds.map_batches(
+            lambda t: pa.table({"u": t["node"],
+                                "deg_u": pc.cast(t["deg"], pa.int64())}),
+            batch_format="pyarrow")
+        dv = deg_ds.map_batches(
+            lambda t: pa.table({"v": t["node"],
+                                "deg_v": pc.cast(t["deg"], pa.int64())}),
+            batch_format="pyarrow")
+        np_ = max(8, und.num_blocks())
+        attached = (und.join(du, join_type="inner", on=("u",),
+                             num_partitions=np_)
+                    .join(dv, join_type="inner", on=("v",),
+                          num_partitions=np_))
+        oriented = attached.map_batches(orient_rows, batch_format="pandas")
 
     # consumed twice (wedge generation + the closure union)
-    oriented = und.map_batches(orient, batch_format="pandas").materialize()
+    oriented = oriented.materialize()
 
     # wedges: vectorized self-merge within src-bucketed groups (all
-    # out-edges of a src are co-located by the bucket exchange)
+    # out-edges of a src are co-located by the bucket exchange);
+    # neighbor order is the same (deg, node) total order, carried as
+    # the (ddeg, dst) tuple
     def wedges(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop(columns="__bucket")
-        m = df.merge(df, on=["src", "sr"], suffixes=("_1", "_2"))
-        m = m[m["dr_1"] < m["dr_2"]]
+        m = df.merge(df, on="src", suffixes=("_1", "_2"))
+        lt = (m["ddeg_1"].to_numpy() < m["ddeg_2"].to_numpy()) | (
+            (m["ddeg_1"].to_numpy() == m["ddeg_2"].to_numpy())
+            & (m["dst_1"].to_numpy() < m["dst_2"].to_numpy()))
+        m = m[lt]
         return pd.DataFrame({"b": m["dst_1"], "c": m["dst_2"],
                              "apex": m["src"]})
 
@@ -750,30 +787,61 @@ _KCORE_MIN_LINKS = 2   # sparsify the fixture host graph before peeling
 _KCORE_MAX_ROUNDS = 12
 
 
+_KCORE_NODE_BROADCAST_LIMIT = 2_000_000  # rows; above -> semi-join route
+
+
+def _degrees_ds(und_ds):
+    """Dataset-plane per-node degrees (the _degrees combiner without
+    the driver materialization — the peel loop's web-scale form)."""
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        c = pd.concat([df["u"], df["v"]]).value_counts()
+        return pd.DataFrame({"node": c.index, "d": c.to_numpy()})
+
+    return (und_ds.map_batches(part, batch_format="pandas")
+            .groupby("node").aggregate(Sum("d", alias_name="deg")))
+
+
 def k_core(edges_ds, k: int = _KCORE_K, src_col: str = "src_host",
            dst_col: str = "dst_host",
-           max_rounds: int = _KCORE_MAX_ROUNDS) -> pd.DataFrame:
+           max_rounds: int = _KCORE_MAX_ROUNDS,
+           node_broadcast_limit: int = _KCORE_NODE_BROADCAST_LIMIT
+           ) -> pd.DataFrame:
     """Maximal subgraph where every node has degree >= k, by iterative
     peeling: each round drops nodes with current degree < k and the
     edges touching them, until a fixpoint. Degrees reduce combiner-
-    first each round; the surviving-node set is broadcast (one row per
-    host — vocabulary-sized; at web scale the filter becomes a semi-
-    join on both endpoints, the incremental.py idiom). Extra rounds
-    after the fixpoint are no-ops, which is what lets the SQL oracle
-    unroll a FIXED number of rounds; raises if ``max_rounds`` did not
-    reach the fixpoint so the oracle can never silently diverge."""
+    first each round and STAY on the Dataset plane; the per-round node
+    filter is size-gated on the MEASURED surviving-node count (the
+    KB-gate discipline, pipelines/nel.py): below ``node_broadcast_
+    limit`` the keep-set broadcasts once and the filter is a vectorized
+    Arrow is_in; above it the filter is two left_semi Dataset joins on
+    the endpoints (the incremental.py idiom) and nothing node-shaped
+    ever lands on the driver. Extra rounds after the fixpoint are
+    no-ops, which is what lets the SQL oracle unroll a FIXED number of
+    rounds; raises if ``max_rounds`` did not reach the fixpoint so the
+    oracle can never silently diverge. (The returned node table is
+    driver-side — callers at web scale take ``_degrees_ds`` of the
+    final edge set instead.)"""
     edges = undirected_distinct_edges(edges_ds, src_col, dst_col).materialize()
     # coalesce tiny blocks before the peel rounds (each round re-scans
     # the edge set; O(read tasks) near-empty blocks pay per-round
     # dispatch for nothing — the q43/q57 idiom, never fires at scale)
     edges = _coalesce_if_tiny(edges)
 
-    deg = _degrees(edges)
     peels = 0
     while True:  # max_rounds PEELS need max_rounds+1 fixpoint checks
-        keep = set(deg[deg["deg"] >= k]["node"])
-        if len(keep) == len(deg):
-            out = deg[["node", "deg"]].rename(
+        deg_ds = _degrees_ds(edges).materialize()
+        n_nodes = deg_ds.count()
+        if n_nodes == 0:
+            return pd.DataFrame({"host": pd.array([], dtype=object),
+                                 "core_degree": pd.array([], dtype="int64")})
+        keep_ds = deg_ds.filter(expr=f"deg >= {k}").materialize()
+        n_keep = keep_ds.count()
+        if n_keep == 0:  # nothing survives this round -> empty core
+            return pd.DataFrame({"host": pd.array([], dtype=object),
+                                 "core_degree": pd.array([], dtype="int64")})
+        if n_keep == n_nodes:
+            out = deg_ds.to_pandas().rename(
                 columns={"node": "host", "deg": "core_degree"})
             out = out.sort_values("host", kind="stable").reset_index(drop=True)
             out["core_degree"] = out["core_degree"].astype("int64")
@@ -781,19 +849,30 @@ def k_core(edges_ds, k: int = _KCORE_K, src_col: str = "src_host",
         if peels >= max_rounds:
             raise RuntimeError(
                 f"k_core did not converge in {max_rounds} rounds")
-        keep_ref = ray.put(np.array(sorted(keep), dtype=object))
 
-        def flt(t: pa.Table) -> pa.Table:
-            kp = pa.array(get_broadcast(keep_ref), pa.string())
-            return t.filter(pc.and_(pc.is_in(t["u"], value_set=kp),
-                                    pc.is_in(t["v"], value_set=kp)))
+        if n_keep <= node_broadcast_limit:
+            keep = keep_ds.to_pandas()["node"].to_numpy()
+            keep_ref = ray.put(np.sort(keep))
 
-        edges = edges.map_batches(flt, batch_format="pyarrow").materialize()
+            def flt(t: pa.Table) -> pa.Table:
+                kp = pa.array(get_broadcast(keep_ref), pa.string())
+                return t.filter(pc.and_(pc.is_in(t["u"], value_set=kp),
+                                        pc.is_in(t["v"], value_set=kp)))
+
+            edges = edges.map_batches(flt, batch_format="pyarrow")
+        else:  # web-scale route: nothing node-shaped on the driver
+            keep_u = keep_ds.map_batches(
+                lambda t: pa.table({"u": t["node"]}),
+                batch_format="pyarrow")
+            keep_v = keep_ds.map_batches(
+                lambda t: pa.table({"v": t["node"]}),
+                batch_format="pyarrow")
+            edges = (edges.join(keep_u, join_type="left_semi", on=("u",),
+                                num_partitions=max(8, edges.num_blocks()))
+                     .join(keep_v, join_type="left_semi", on=("v",),
+                           num_partitions=max(8, edges.num_blocks())))
+        edges = edges.materialize()
         peels += 1
-        deg = _degrees(edges)
-        if len(deg) == 0:
-            return pd.DataFrame({"host": pd.array([], dtype=object),
-                                 "core_degree": pd.array([], dtype="int64")})
 
 
 def kmv_estimate(hashes_bottom_k: np.ndarray, k: int) -> float:

@@ -461,3 +461,41 @@ class TestReviewRegressions:
         got = funnel_counts(rd.from_pandas(df))
         assert got["stage"].tolist() == [1, 2, 3]
         assert got["n_users"].tolist() == [0, 0, 0]
+
+    def test_kcore_join_route_equivalent(self):
+        """Forcing node_broadcast_limit=0 routes every peel round
+        through the left_semi Dataset joins; results must be identical
+        to the broadcast route on random graphs."""
+        from reden_ray.pipelines.selection import k_core
+
+        rng = random.Random(101)
+        for trial in range(2):
+            n = rng.randint(8, 14)
+            rows = [(f"h{rng.randrange(n)}", f"h{rng.randrange(n)}")
+                    for _ in range(28)]
+            df = pd.DataFrame(rows, columns=["src_host", "dst_host"])
+            df["n_links"] = 1
+            a = k_core(rd.from_pandas(df), k=2, max_rounds=40)
+            b = k_core(rd.from_pandas(df), k=2, max_rounds=40,
+                       node_broadcast_limit=0)
+            pd.testing.assert_frame_equal(a, b)
+
+    def test_triangles_join_route_equivalent(self):
+        """Forcing node_broadcast_limit=0 routes the degree attach
+        through hash joins; per-host counts must match the broadcast
+        route on random graphs."""
+        from reden_ray.pipelines.selection import triangle_counts
+
+        rng = random.Random(202)
+        for trial in range(2):
+            n = rng.randint(6, 12)
+            rows = [(f"h{rng.randrange(n)}", f"h{rng.randrange(n)}")
+                    for _ in range(35)]
+            df = pd.DataFrame(rows, columns=["src_host", "dst_host"])
+            df["n_links"] = 1
+            a = triangle_counts(rd.from_pandas(df))
+            b = triangle_counts(rd.from_pandas(df), node_broadcast_limit=0)
+            key = ["host", "n_triangles"]
+            pd.testing.assert_frame_equal(
+                a.sort_values("host").reset_index(drop=True)[key],
+                b.sort_values("host").reset_index(drop=True)[key])
