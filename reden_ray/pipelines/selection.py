@@ -86,6 +86,9 @@ from ..state.broadcast import get_broadcast
 
 _KNUTH = 2654435761  # Knuth multiplicative hash constant (public)
 _M32 = 4294967296
+# node-shaped state above this many rows routes through Dataset joins
+# instead of a driver broadcast (shared by the graph operators)
+_NODE_BROADCAST_LIMIT = 2_000_000
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -226,23 +229,10 @@ def _coalesce_if_tiny(ds):
     per-block dispatch for no actual data movement; at scale blocks
     arrive right-sized and the condition never fires."""
     n_rows, n_blocks = ds.count(), max(1, ds.num_blocks())
-    if n_rows / n_blocks < 50_000:
-        ds = ds.repartition(max(1, n_rows // 250_000 + 1)).materialize()
+    target = max(1, n_rows // 250_000 + 1)
+    if n_rows / n_blocks < 50_000 and n_blocks > target:
+        ds = ds.repartition(target).materialize()
     return ds
-
-
-def _degrees(und_ds) -> pd.DataFrame:
-    """Per-node degree over distinct undirected (u, v) pairs:
-    per-block value-count combiner, one node-keyed reduce (one row per
-    host leaves each block)."""
-
-    def part(df: pd.DataFrame) -> pd.DataFrame:
-        c = pd.concat([df["u"], df["v"]]).value_counts()
-        return pd.DataFrame({"node": c.index, "d": c.to_numpy()})
-
-    return (und_ds.map_batches(part, batch_format="pandas")
-            .groupby("node").aggregate(Sum("d", alias_name="deg"))
-            .to_pandas())
 
 
 def _derived_hosts(t: pa.Table) -> pa.Table:
@@ -280,7 +270,8 @@ def undirected_distinct_edges(edges_ds, src_col: str = "src_host",
 
 def triangle_counts(edges_ds, src_col: str = "src_host",
                     dst_col: str = "dst_host",
-                    node_broadcast_limit: int = 2_000_000) -> pd.DataFrame:
+                    node_broadcast_limit: int = _NODE_BROADCAST_LIMIT
+                    ) -> pd.DataFrame:
     """Per-host triangle counts by degree-oriented wedge closure.
 
     Orientation compares (degree, node) tuples per edge, so the degree
@@ -787,12 +778,11 @@ _KCORE_MIN_LINKS = 2   # sparsify the fixture host graph before peeling
 _KCORE_MAX_ROUNDS = 12
 
 
-_KCORE_NODE_BROADCAST_LIMIT = 2_000_000  # rows; above -> semi-join route
-
-
 def _degrees_ds(und_ds):
-    """Dataset-plane per-node degrees (the _degrees combiner without
-    the driver materialization — the peel loop's web-scale form)."""
+    """Dataset-plane per-node degrees over distinct undirected (u, v)
+    pairs: per-block value-count combiner, one node-keyed reduce (one
+    row per host leaves each block). Stays a Dataset so node-shaped
+    state never has to land on the driver."""
 
     def part(df: pd.DataFrame) -> pd.DataFrame:
         c = pd.concat([df["u"], df["v"]]).value_counts()
@@ -805,7 +795,7 @@ def _degrees_ds(und_ds):
 def k_core(edges_ds, k: int = _KCORE_K, src_col: str = "src_host",
            dst_col: str = "dst_host",
            max_rounds: int = _KCORE_MAX_ROUNDS,
-           node_broadcast_limit: int = _KCORE_NODE_BROADCAST_LIMIT
+           node_broadcast_limit: int = _NODE_BROADCAST_LIMIT
            ) -> pd.DataFrame:
     """Maximal subgraph where every node has degree >= k, by iterative
     peeling: each round drops nodes with current degree < k and the
@@ -837,18 +827,18 @@ def k_core(edges_ds, k: int = _KCORE_K, src_col: str = "src_host",
                                  "core_degree": pd.array([], dtype="int64")})
         keep_ds = deg_ds.filter(expr=f"deg >= {k}").materialize()
         n_keep = keep_ds.count()
-        if n_keep == 0:  # nothing survives this round -> empty core
-            return pd.DataFrame({"host": pd.array([], dtype=object),
-                                 "core_degree": pd.array([], dtype="int64")})
         if n_keep == n_nodes:
             out = deg_ds.to_pandas().rename(
                 columns={"node": "host", "deg": "core_degree"})
             out = out.sort_values("host", kind="stable").reset_index(drop=True)
             out["core_degree"] = out["core_degree"].astype("int64")
             return out
-        if peels >= max_rounds:
-            raise RuntimeError(
+        if peels >= max_rounds:  # ANY further peel (incl. to-empty)
+            raise RuntimeError(  # would exceed the oracle's unroll
                 f"k_core did not converge in {max_rounds} rounds")
+        if n_keep == 0:  # one more peel empties the graph: fixpoint
+            return pd.DataFrame({"host": pd.array([], dtype=object),
+                                 "core_degree": pd.array([], dtype="int64")})
 
         if n_keep <= node_broadcast_limit:
             keep = keep_ds.to_pandas()["node"].to_numpy()
@@ -871,7 +861,9 @@ def k_core(edges_ds, k: int = _KCORE_K, src_col: str = "src_host",
                                 num_partitions=max(8, edges.num_blocks()))
                      .join(keep_v, join_type="left_semi", on=("v",),
                            num_partitions=max(8, edges.num_blocks())))
-        edges = edges.materialize()
+        # re-coalesce as the graph peels down (no-op when block count
+        # is already at target — only fires if blocks proliferated)
+        edges = _coalesce_if_tiny(edges.materialize())
         peels += 1
 
 

@@ -499,3 +499,20 @@ class TestReviewRegressions:
             pd.testing.assert_frame_equal(
                 a.sort_values("host").reset_index(drop=True)[key],
                 b.sort_values("host").reset_index(drop=True)[key])
+
+    def test_kcore_raises_when_empty_needs_extra_round(self):
+        """Peeling to empty BEYOND max_rounds must raise (the oracle's
+        unroll would still see live nodes), not silently return empty."""
+        import pytest
+
+        from reden_ray.pipelines.selection import k_core
+
+        # path a-b-c-d, k=2: round 1 peels a,d; round 2 peels b,c
+        rows = [("a", "b"), ("b", "c"), ("c", "d")]
+        df = pd.DataFrame(rows, columns=["src_host", "dst_host"])
+        df["n_links"] = 1
+        with pytest.raises(RuntimeError, match="did not converge"):
+            k_core(rd.from_pandas(df), k=2, max_rounds=1)
+        # with the bound high enough the empty core is legitimate
+        got = k_core(rd.from_pandas(df), k=2, max_rounds=3)
+        assert len(got) == 0
