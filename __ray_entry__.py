@@ -1506,6 +1506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q61_bottomk_sample": SEL.q61_bottomk_sample,
         "q62_kcore": SEL.q62_kcore,
         "q63_funnel": SEL.q63_funnel,
+        "q64_profile": SEL.q64_profile,
         # flagship NEL / KG construction over derived pages (rows-only:
         # graph algorithm not SQL-expressible; parity is gated in pytest
         # against analytic gold fixtures instead).
@@ -1644,6 +1645,7 @@ def oracle_sql() -> dict[str, str]:
         "q61_bottomk_sample": SEL.Q61_SQL,
         "q62_kcore": SEL._q62_sql(),
         "q63_funnel": SEL.Q63_SQL,
+        "q64_profile": SEL.Q64_SQL,
         "q27_tumbling_window": __import__(
             "reden_ray.stages.windows", fromlist=["TUMBLING_SQL"]
         ).TUMBLING_SQL.format(size_us=3_600_000_000),

@@ -1016,3 +1016,100 @@ SELECT * FROM (
   SELECT CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM s3
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Q64 — table profiler (per-column stats in one pass)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLUMNS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def profile_table(ds, columns) -> pd.DataFrame:
+    """Per-column (n_rows, n_null, n_distinct, min, max) — the
+    first-contact profiling pass over an unknown table. Counts and
+    min/max reduce per block to ONE partial row per column; exact
+    distinct ships per-block DISTINCT (column, value) pairs through one
+    exchange (combiner-first, so a head value contributes one row per
+    block). At 100 TB the exact-distinct plane swaps for the q51 HLL
+    registers behind the same output column; min/max compare in the
+    NATIVE type and stringify only for display, so integer columns
+    don't get lexicographic minima."""
+    from ..stages.windows import grouped_by_key_buckets
+
+    def stat_partials(t: pa.Table) -> pa.Table:
+        rows = []
+        for c in columns:
+            col = t[c]
+            valid = pc.drop_null(col)
+            mn = pc.min(valid).as_py() if len(valid) else None
+            mx = pc.max(valid).as_py() if len(valid) else None
+            rows.append({"column": c, "n_rows": t.num_rows,
+                         "n_null": t.num_rows - len(valid),
+                         "min_v": None if mn is None else str(mn),
+                         "max_v": None if mx is None else str(mx),
+                         # native-type ordering key: stringified value
+                         # ties are broken by re-parsing on the driver,
+                         # so keep the raw python value's repr kind
+                         "is_num": pa.types.is_integer(col.type)})
+        return pa.Table.from_pylist(rows)
+
+    def val_partials(t: pa.Table) -> pa.Table:
+        outs = []
+        for c in columns:
+            v = pc.drop_null(t[c]).unique()
+            outs.append(pa.table({
+                "column": pa.array([c] * len(v), pa.string()),
+                "value": pc.cast(v, pa.string()),
+            }))
+        return pa.concat_tables(outs)
+
+    stats = ds.map_batches(stat_partials, batch_format="pyarrow").to_pandas()
+
+    def count_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.drop_duplicates(["column", "value"])
+             .groupby("column", as_index=False).size()
+             .rename(columns={"size": "nd_part"}))
+        return g
+
+    nd = grouped_by_key_buckets(
+        ds.map_batches(val_partials, batch_format="pyarrow"),
+        "value", count_distinct, num_buckets=16).to_pandas()
+    nd = nd.groupby("column", as_index=False)["nd_part"].sum()
+
+    out = []
+    for c in columns:
+        sc = stats[stats["column"] == c]
+        is_num = bool(sc["is_num"].iloc[0]) if len(sc) else False
+        mns = [v for v in sc["min_v"] if v is not None]
+        mxs = [v for v in sc["max_v"] if v is not None]
+        key = (lambda x: int(x)) if is_num else (lambda x: x)
+        ndc = nd[nd["column"] == c]["nd_part"]
+        out.append({
+            "column": c,
+            "n_rows": int(sc["n_rows"].sum()),
+            "n_null": int(sc["n_null"].sum()),
+            "n_distinct": int(ndc.iloc[0]) if len(ndc) else 0,
+            "min_v": min(mns, key=key) if mns else None,
+            "max_v": max(mxs, key=key) if mxs else None,
+        })
+    df = pd.DataFrame(out)
+    for c in ("n_rows", "n_null", "n_distinct"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("column", kind="stable").reset_index(drop=True)
+
+
+def q64_profile(sf_dir: str) -> pd.DataFrame:
+    return profile_table(_read(sf_dir, "documents",
+                               list(_PROFILE_COLUMNS)),
+                         _PROFILE_COLUMNS)
+
+
+Q64_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_v,
+       CAST(MAX({c}) AS VARCHAR) AS max_v
+FROM documents"""
+    for c in _PROFILE_COLUMNS)

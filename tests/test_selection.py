@@ -516,3 +516,28 @@ class TestReviewRegressions:
         # with the bound high enough the empty core is legitimate
         got = k_core(rd.from_pandas(df), k=2, max_rounds=3)
         assert len(got) == 0
+
+
+class TestProfile:
+    def test_matches_oracle(self):
+        from reden_ray.pipelines.selection import Q64_SQL, q64_profile
+
+        _assert_matches_oracle(q64_profile(SF), Q64_SQL)
+
+    def test_nulls_and_numeric_minmax(self):
+        """Null accounting and NATIVE-type min/max: an int column whose
+        stringified min would sort lexicographically wrong ('10' < '9')
+        must still report the numeric min; nulls count per column."""
+        from reden_ray.pipelines.selection import profile_table
+
+        df = pd.DataFrame({
+            "a": [10, 9, 1000, None],
+            "b": ["x", None, None, "aa"],
+        }).astype({"a": "Int64"})
+        got = profile_table(rd.from_pandas(df).repartition(3), ("a", "b"))
+        ga = got.set_index("column")
+        assert ga.loc["a", "n_null"] == 1
+        assert ga.loc["a", "min_v"] == "9" and ga.loc["a", "max_v"] == "1000"
+        assert ga.loc["a", "n_distinct"] == 3
+        assert ga.loc["b", "n_null"] == 2
+        assert ga.loc["b", "min_v"] == "aa" and ga.loc["b", "max_v"] == "x"
