@@ -540,6 +540,45 @@ def _q_simhash_planted(sf_dir: str):
     return simhash_clusters(ds, max_hamming=0)
 
 
+def _q_dedup_keep_best(sf_dir: str):
+    """Quality-aware near-dup collapse (the FineWeb/Gopher rule: keep
+    the BEST member of each cluster, not the arbitrary min id).
+
+    MinHash clusters over the planted near-dup corpus, then
+    ``keep_best_per_cluster`` under quality = token count with the
+    deterministic (max quality, min id) tie-break. Gold is SQL-exact:
+    every cluster is an equal-original-text group whose planted copies
+    carry one extra token (" zq"), so the winner is MIN(doc_id)+100000
+    with n_tokens = 25 (the base texts are always 24 hash tokens —
+    see webdemo.planted_near_dup_documents)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from reden_ray.pipelines.webdemo import planted_near_dup_documents
+    from reden_ray.stages.dedup import keep_best_per_cluster, minhash_lsh_clusters
+
+    ds = planted_near_dup_documents(sf_dir, near=True)
+    quality = ds.map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tokens": pc.list_value_length(
+                pc.utf8_split_whitespace(t.column("text"))).cast(pa.int64()),
+        }),
+        batch_format="pyarrow")
+    clusters = minhash_lsh_clusters(ds, threshold=0.8)
+    return keep_best_per_cluster(clusters, quality, "n_tokens")
+
+
+_KEEP_BEST_SQL = """
+WITH o AS (SELECT doc_id, text FROM documents),
+g AS (SELECT text, MIN(doc_id) AS cluster FROM o GROUP BY text)
+SELECT cluster,
+       cluster + 100000 AS keep_id,
+       CAST(25 AS BIGINT) AS n_tokens
+FROM g
+"""
+
+
 def _q_ngram_planted(sf_dir: str):
     """n-gram Jaccard near-dup with a full DuckDB oracle (multi-min
     blocking guarantees the planted pair shares a bucket)."""
@@ -1507,6 +1546,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q62_kcore": SEL.q62_kcore,
         "q63_funnel": SEL.q63_funnel,
         "q64_profile": SEL.q64_profile,
+        # quality-aware near-dup collapse (keep best member per cluster)
+        "q65_dedup_keep_best": _q_dedup_keep_best,
         # flagship NEL / KG construction over derived pages (rows-only:
         # graph algorithm not SQL-expressible; parity is gated in pytest
         # against analytic gold fixtures instead).
@@ -1646,6 +1687,7 @@ def oracle_sql() -> dict[str, str]:
         "q62_kcore": SEL._q62_sql(),
         "q63_funnel": SEL.Q63_SQL,
         "q64_profile": SEL.Q64_SQL,
+        "q65_dedup_keep_best": _KEEP_BEST_SQL,
         "q27_tumbling_window": __import__(
             "reden_ray.stages.windows", fromlist=["TUMBLING_SQL"]
         ).TUMBLING_SQL.format(size_us=3_600_000_000),

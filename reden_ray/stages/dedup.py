@@ -744,3 +744,63 @@ def embedding_dedup_clusters(
     pairs = _strip_truncation_markers(
         grouped_pairs(rows, ["bucket"], "bucket", cosine_pairs), stats)
     return _clusters_from_pairs(pairs, id_col)
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware cluster collapse (keep the BEST member, not the min id)
+# ---------------------------------------------------------------------------
+
+
+def keep_best_per_cluster(clusters_ds, quality_ds, quality_col: str,
+                          id_col: str = "doc_id",
+                          num_buckets: int = 64,
+                          num_partitions: int = 8):
+    """Collapse near-dup clusters keeping the HIGHEST-quality member.
+
+    Production curation pipelines (FineWeb, Gopher) do not keep an
+    arbitrary representative of a near-dup cluster — they keep the
+    best one under a quality signal and drop the rest. This operator
+    takes any ``(id, cluster)`` Dataset from the ``*_clusters`` family
+    plus a ``(id, quality)`` Dataset and returns one row per cluster:
+    ``(cluster, keep_id, <quality_col>)`` where ``keep_id`` is the
+    member with the maximum quality, ties broken by MINIMUM id
+    (deterministic, matching the min-label convention of cc.py).
+
+    Scale shape (100 TB): the quality attach is a hash join on the id
+    (both sides project to 2-3 int64 columns first — no text moves);
+    the per-cluster argmax is COMBINER-FIRST — every block reduces to
+    at most one candidate row per cluster before the single bucketed
+    exchange, so a million-member boilerplate cluster ships one
+    3-int64 row per block, never its membership.
+    """
+    from ..functions.blocks import pin_nonempty
+
+    clusters2 = clusters_ds.map_batches(
+        lambda t: pa.table({id_col: t.column(id_col).cast(pa.int64()),
+                            "cluster": t.column("cluster").cast(pa.int64())}),
+        batch_format="pyarrow")
+    qual2 = quality_ds.map_batches(
+        lambda t: pa.table({id_col: t.column(id_col).cast(pa.int64()),
+                            quality_col: t.column(quality_col).cast(pa.int64())}),
+        batch_format="pyarrow")
+    joined = pin_nonempty(clusters2.join(
+        qual2, join_type="inner", num_partitions=num_partitions,
+        on=(id_col,)))
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cluster", quality_col, id_col],
+                            ascending=[True, False, True], kind="stable")
+        out = df.groupby("cluster", as_index=False).head(1)
+        return out[["cluster", id_col, quality_col]]
+
+    # per-block combiner: >=1 candidate per (cluster, block) survives
+    partials = joined.map_batches(best, batch_format="pandas")
+    bucketed = partials.map_batches(
+        lambda t: add_bucket_arrow(t, "cluster", num_buckets),
+        batch_format="pyarrow")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = best(df).rename(columns={id_col: "keep_id"})
+        return out[["cluster", "keep_id", quality_col]]
+
+    return bucketed.groupby("__bucket").map_groups(final, batch_format="pandas")

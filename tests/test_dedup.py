@@ -264,3 +264,41 @@ class TestDeterminism:
             return df.sort_values("doc_id").reset_index(drop=True)
 
         pd.testing.assert_frame_equal(run(), run())
+
+
+class TestKeepBestPerCluster:
+    """Quality-aware cluster collapse: max quality wins, ties -> min id."""
+
+    def _run(self, cluster_rows, quality_rows, *, blocks=1):
+        from reden_ray.stages.dedup import keep_best_per_cluster
+
+        cdf = pd.DataFrame(cluster_rows, columns=["doc_id", "cluster"])
+        qdf = pd.DataFrame(quality_rows, columns=["doc_id", "q"])
+        cds = rd.from_pandas(cdf).repartition(blocks)
+        qds = rd.from_pandas(qdf).repartition(blocks)
+        out = keep_best_per_cluster(cds, qds, "q").to_pandas()
+        return {int(r.cluster): (int(r.keep_id), int(r.q))
+                for r in out.itertuples()}
+
+    def test_argmax_and_tiebreak(self):
+        clusters = [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)]
+        quality = [(1, 5), (2, 9), (3, 9), (10, 4), (11, 4)]
+        got = self._run(clusters, quality)
+        # cluster 1: quality 9 tie between 2 and 3 -> min id 2
+        # cluster 10: quality tie -> min id 10
+        assert got == {1: (2, 9), 10: (10, 4)}
+
+    def test_block_split_invariance(self):
+        clusters = [(i, i % 7) for i in range(50)]
+        quality = [(i, (i * 13) % 11) for i in range(50)]
+        a = self._run(clusters, quality, blocks=1)
+        b = self._run(clusters, quality, blocks=8)
+        assert a == b
+
+    def test_member_missing_quality_dropped(self):
+        # inner-join semantics: a cluster member absent from the
+        # quality table cannot win
+        clusters = [(1, 1), (2, 1)]
+        quality = [(1, 3)]
+        got = self._run(clusters, quality)
+        assert got == {1: (1, 3)}
