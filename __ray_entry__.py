@@ -1446,6 +1446,7 @@ FROM y
 def queries() -> dict[str, Callable[[str], Any]]:
     from reden_ray.pipelines import curation as C
     from reden_ray.pipelines import relational as R
+    from reden_ray.pipelines import scaleops as SC
     from reden_ray.pipelines import selection as SEL
 
     return {
@@ -1548,6 +1549,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q64_profile": SEL.q64_profile,
         # quality-aware near-dup collapse (keep best member per cluster)
         "q65_dedup_keep_best": _q_dedup_keep_best,
+        # scale-mechanism family: skew-mitigated join, quantized-idf
+        # ranked retrieval, Count-Min sketch, deterministic split
+        # (pipelines/scaleops.py)
+        "q66_skew_join": SC.q66_skew_join_revenue,
+        "q67_ranked_retrieval": SC.q67_ranked_retrieval,
+        "q68_cms_frequency": SC.q68_cms_frequency,
+        "q69_dataset_split": SC.q69_dataset_split,
         # flagship NEL / KG construction over derived pages (rows-only:
         # graph algorithm not SQL-expressible; parity is gated in pytest
         # against analytic gold fixtures instead).
@@ -1602,6 +1610,7 @@ SELECT u.vec_id, g.cluster FROM u JOIN g USING (embedding) WHERE g.c > 1
 def oracle_sql() -> dict[str, str]:
     from reden_ray.pipelines import curation as C
     from reden_ray.pipelines import relational as R
+    from reden_ray.pipelines import scaleops as SC
     from reden_ray.pipelines import selection as SEL
     from reden_ray.pipelines.webdemo import GAZETTEER_WORDS, URL_PREFIX
 
@@ -1688,6 +1697,10 @@ def oracle_sql() -> dict[str, str]:
         "q63_funnel": SEL.Q63_SQL,
         "q64_profile": SEL.Q64_SQL,
         "q65_dedup_keep_best": _KEEP_BEST_SQL,
+        "q66_skew_join": SC.Q66_SQL,
+        "q67_ranked_retrieval": SC._q67_sql(),
+        "q68_cms_frequency": SC._q68_sql(),
+        "q69_dataset_split": SC.Q69_SQL,
         "q27_tumbling_window": __import__(
             "reden_ray.stages.windows", fromlist=["TUMBLING_SQL"]
         ).TUMBLING_SQL.format(size_us=3_600_000_000),

@@ -292,6 +292,8 @@ def run_bench() -> dict:
         "q50_bpe_merges",            # BPE training (word-freq pass)
         "q56_dsir_sample",           # DSIR importance resampling
         "q63_funnel",                # sequential-pattern funnel
+        "q66_skew_join",             # skew-mitigated hash join
+        "q67_ranked_retrieval",      # quantized-idf top-k retrieval
     ]
     for name in component_names:
         t0 = time.perf_counter()
