@@ -1556,6 +1556,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q67_ranked_retrieval": SC.q67_ranked_retrieval,
         "q68_cms_frequency": SC.q68_cms_frequency,
         "q69_dataset_split": SC.q69_dataset_split,
+        # corpus tokenization with the q50-trained BPE merges
+        "q70_bpe_tokenize": C.q70_bpe_tokenize,
         # flagship NEL / KG construction over derived pages (rows-only:
         # graph algorithm not SQL-expressible; parity is gated in pytest
         # against analytic gold fixtures instead).
@@ -1701,6 +1703,7 @@ def oracle_sql() -> dict[str, str]:
         "q67_ranked_retrieval": SC._q67_sql(),
         "q68_cms_frequency": SC._q68_sql(),
         "q69_dataset_split": SC.Q69_SQL,
+        "q70_bpe_tokenize": C.Q70_SQL,
         "q27_tumbling_window": __import__(
             "reden_ray.stages.windows", fromlist=["TUMBLING_SQL"]
         ).TUMBLING_SQL.format(size_us=3_600_000_000),

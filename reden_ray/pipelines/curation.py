@@ -574,13 +574,15 @@ def bpe_train(word_freq: pd.DataFrame, n_merges: int = _BPE_MERGES
                          "cnt": pd.array(out_c, dtype="int64")})
 
 
-def q50_bpe_merges(sf_dir: str) -> pd.DataFrame:
+def word_frequencies(ds, text_col: str = "text") -> pd.DataFrame:
+    """Distributed (word, f) table: per-batch value-count combiner +
+    one word-keyed exchange of pre-reduced rows. The only corpus-sized
+    step of BPE training (q50) and the vocabulary source for corpus
+    tokenization (q70)."""
     from ..stages.windows import grouped_by_key_buckets
 
-    ds = _read(sf_dir, "documents", ["text"])
-
     def wf_partial(t: pa.Table) -> pa.Table:
-        words = pc.list_flatten(pc.split_pattern(t["text"], " "))
+        words = pc.list_flatten(pc.split_pattern(t[text_col], " "))
         words = words.filter(pc.not_equal(words, pa.scalar("")))
         vc = words.value_counts()
         return pa.table({"word": vc.field("values"),
@@ -591,10 +593,13 @@ def q50_bpe_merges(sf_dir: str) -> pd.DataFrame:
         out["f"] = out["f"].astype("int64")
         return out
 
-    wf = grouped_by_key_buckets(
+    return grouped_by_key_buckets(
         ds.map_batches(wf_partial, batch_format="pyarrow"),
         "word", wf_final).to_pandas()
-    return bpe_train(wf)
+
+
+def q50_bpe_merges(sf_dir: str) -> pd.DataFrame:
+    return bpe_train(word_frequencies(_read(sf_dir, "documents", ["text"])))
 
 
 def _q50_sql(n_merges: int = _BPE_MERGES) -> str:
@@ -643,6 +648,135 @@ def _q50_sql(n_merges: int = _BPE_MERGES) -> str:
 
 
 Q50_SQL = _q50_sql()
+
+
+# ---------------------------------------------------------------------------
+# Q70 — corpus tokenization with the trained BPE (apply q50's merges)
+# ---------------------------------------------------------------------------
+
+# The missing half of the tokenizer story: q50 TRAINS the merges, q70
+# APPLIES them across the corpus — the pass that feeds q39's
+# token-budget sharding with real (not whitespace) token counts. The
+# merge applications run ONCE over the vocabulary-sized word table on
+# the driver (the same greedy-left wrapped-symbol replace the trainer
+# used, so train/apply can never disagree on segmentation); the
+# resulting word -> token-count model is broadcast once and the corpus
+# pass is a ZERO-SHUFFLE vectorized searchsorted scan (the q48 shape).
+# At 100 TB the vocabulary table rides the documented size-gate
+# precedent (hash join on word above the byte gate).
+
+
+def bpe_apply(word_freq: pd.DataFrame, merges: pd.DataFrame) -> dict[str, str]:
+    """Final wrapped-symbol sequence per vocabulary word after applying
+    the merge list in training order."""
+    seqs = {w: _bpe_seq(w) for w in word_freq["word"]}
+    for l, r in zip(merges["l"], merges["r"]):
+        pat = _BPE_W0 + l + _BPE_W1 + " " + _BPE_W0 + r + _BPE_W1
+        rep = _BPE_W0 + l + r + _BPE_W1
+        seqs = {w: s.replace(pat, rep) for w, s in seqs.items()}
+    return seqs
+
+
+def bpe_token_counts(ds, id_col: str, text_col: str,
+                     word_freq: pd.DataFrame, merges: pd.DataFrame):
+    """Per-document BPE token counts. Words outside the training
+    vocabulary fall back to character count (the no-merge encoding);
+    documents with no words emit no row (inner-join semantics)."""
+    seqs = bpe_apply(word_freq, merges)
+    vocab = np.array(sorted(seqs), dtype=object)
+    lens = np.array([seqs[w].count(" ") + 1 for w in vocab], np.int64)
+    ref = ray.put((vocab, lens))
+
+    def count(t: pa.Table) -> pa.Table:
+        v, ln = get_broadcast(ref)
+        words = pc.split_pattern(t[text_col], " ")
+        flat = pc.list_flatten(words)
+        par = pc.list_parent_indices(words)
+        keep = pc.not_equal(flat, pa.scalar(""))
+        flat, par = flat.filter(keep), par.filter(keep)
+        warr = flat.to_numpy(zero_copy_only=False)
+        parr = par.to_numpy(zero_copy_only=False)
+        if len(v) and len(warr):
+            pos = np.clip(np.searchsorted(v, warr), 0, len(v) - 1)
+            known = v[pos] == warr
+            n = np.where(known, ln[pos],
+                         np.fromiter((len(w) for w in warr), np.int64,
+                                     len(warr)))
+        else:
+            n = np.fromiter((len(w) for w in warr), np.int64, len(warr))
+        n_rows = t.num_rows
+        tot = np.bincount(parr, weights=n.astype(np.float64),
+                          minlength=n_rows).astype(np.int64)
+        hit = np.bincount(parr, minlength=n_rows)
+        keep_rows = pa.array(hit > 0)
+        return pa.table({id_col: t[id_col].filter(keep_rows),
+                         "n_bpe": pa.array(tot[hit > 0], pa.int64())})
+
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
+def q70_bpe_tokenize(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    wf = word_frequencies(ds)
+    merges = bpe_train(wf)
+    return bpe_token_counts(ds, "doc_id", "text", wf, merges).to_pandas()
+
+
+def _q70_sql(n_merges: int = _BPE_MERGES) -> str:
+    """q50's unrolled merge CTEs carried to the FINAL sequence table,
+    then token counts joined back onto the document word stream."""
+    w0, w1 = "chr(1)", "chr(2)"
+    parts = [f"""wf AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS f FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+)""", f"""s0 AS (
+  SELECT word, f,
+         array_to_string(list_transform(generate_series(1, length(word)),
+                                        i -> {w0} || word[i] || {w1}),
+                         ' ') AS seq
+  FROM wf
+)"""]
+    for i in range(1, n_merges + 1):
+        prev = f"s{i - 1}"
+        parts.append(f"""t{i} AS (
+  SELECT word, f, unnest(string_split(seq, ' ')) AS sym,
+         generate_subscripts(string_split(seq, ' '), 1) AS idx
+  FROM {prev}
+)""")
+        parts.append(f"""c{i} AS (
+  SELECT substr(sym, 2, length(sym) - 2) AS l,
+         substr(nxt, 2, length(nxt) - 2) AS r,
+         CAST(SUM(f) AS BIGINT) AS cnt
+  FROM (SELECT f, sym, LEAD(sym) OVER (PARTITION BY word ORDER BY idx) AS nxt
+        FROM t{i})
+  WHERE nxt IS NOT NULL GROUP BY 1, 2
+)""")
+        parts.append(
+            f"b{i} AS (SELECT l, r, cnt FROM c{i} "
+            f"ORDER BY cnt DESC, l, r LIMIT 1)")
+        parts.append(f"""s{i} AS (
+  SELECT word, f,
+         replace(seq,
+                 (SELECT {w0} || l || {w1} || ' ' || {w0} || r || {w1} FROM b{i}),
+                 (SELECT {w0} || l || r || {w1} FROM b{i})) AS seq
+  FROM {prev}
+)""")
+    parts.append(f"""wl AS (
+  SELECT word, CAST(len(string_split(seq, ' ')) AS BIGINT) AS n
+  FROM s{n_merges}
+)""")
+    parts.append("""tok AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> ''
+)""")
+    return ("WITH " + ",\n".join(parts) + "\n"
+            "SELECT tok.doc_id, CAST(SUM(wl.n) AS BIGINT) AS n_bpe\n"
+            "FROM tok JOIN wl USING (word) GROUP BY tok.doc_id")
+
+
+Q70_SQL = _q70_sql()
 
 
 # ---------------------------------------------------------------------------

@@ -169,6 +169,39 @@ class TestBPE:
         out = bpe_train(self._wf([("ab", 2), ("cd", 2)]), n_merges=1)
         assert out.iloc[0][["l", "r", "cnt"]].tolist() == ["a", "b", 2]
 
+    def test_tokenize_applies_merges_and_falls_back(self):
+        """q70 plumbing: trained merges shrink token counts; words
+        outside the training vocabulary fall back to char count."""
+        import ray.data as rd
+
+        from reden_ray.pipelines.curation import (bpe_apply,
+                                                  bpe_token_counts,
+                                                  bpe_train)
+
+        wf = self._wf([("abab", 4), ("ab", 2)])
+        merges = bpe_train(wf, n_merges=2)  # (a,b) -> ab; (ab,ab) -> abab
+        seqs = bpe_apply(wf, merges)
+        assert seqs["abab"].count(" ") + 1 == 1
+        assert seqs["ab"].count(" ") + 1 == 1
+        docs = pd.DataFrame({"doc_id": [1, 2, 3],
+                             "text": ["abab ab", "ab", "zzz"]})
+        out = bpe_token_counts(rd.from_pandas(docs).repartition(2),
+                               "doc_id", "text", wf, merges) \
+            .to_pandas().set_index("doc_id")["n_bpe"]
+        assert out[1] == 2 and out[2] == 1
+        assert out[3] == 3  # unseen word: char-count fallback
+
+    def test_q70_matches_oracle(self):
+        from reden_ray.pipelines.curation import Q70_SQL, q70_bpe_tokenize
+
+        got = q70_bpe_tokenize(SF).sort_values("doc_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+        want = con.sql(Q70_SQL).df().sort_values("doc_id") \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
     def test_distributed_word_freq_matches_duckdb(self):
         from reden_ray.pipelines.curation import q50_bpe_merges
 
