@@ -89,11 +89,16 @@ _HOT_CAPACITY = 32           # MG sketch capacity for head detection
 _HOT_MIN_FRAC = 1.0 / 64.0   # a key is "hot" above this stream fraction
 
 
+_COLD_BROADCAST_LIMIT = 64 << 20  # measured bytes under which the cold
+                                  # dimension side is broadcast too
+
+
 def skew_join(big_ds, small_ds, key: str, *,
               hot_capacity: int = _HOT_CAPACITY,
               hot_min_frac: float = _HOT_MIN_FRAC,
               num_partitions: int = 16,
-              force_hot=None):
+              force_hot=None,
+              cold_broadcast_limit: int = _COLD_BROADCAST_LIMIT):
     """Inner equi-join of a skewed big side against a dimension, with
     the key-frequency head routed around the shuffle.
 
@@ -104,7 +109,13 @@ def skew_join(big_ds, small_ds, key: str, *,
     ``force_hot``: explicit hot-key list (skips the sketch pass) —
     used by the driver query so routing is deterministic, and by tests
     to force all-hot / all-cold extremes. ``force_hot=[]`` degenerates
-    to the plain distributed hash join.
+    to the plain (gated) hash join.
+
+    The cold route itself is size-gated on the MEASURED pinned bytes
+    of the cold dimension side: under ``cold_broadcast_limit`` it is a
+    broadcast map-side Arrow join (the whole operator is then
+    shuffle-free); above it, the distributed hash join. Tests force
+    the gate to 0 to pin the distributed route's algebra.
 
     Losslessness: every big row has key in H or not; every small row
     likewise; inner join distributes over that disjoint partition, so
@@ -112,6 +123,29 @@ def skew_join(big_ds, small_ds, key: str, *,
     decides placement.
     """
     from .selection import heavy_hitters
+
+    big_cols = list(big_ds.schema().names)
+    small_cols = [c for c in small_ds.schema().names if c != key]
+    out_cols = big_cols + small_cols
+
+    # pin the dimension side ONCE (materialize + metadata-only size)
+    small_pinned = pin_nonempty(small_ds)
+    under_gate = small_pinned.size_bytes() <= cold_broadcast_limit
+
+    def _bcast_join(ref, route=None):
+        def fn(t: pa.Table) -> pa.Table:
+            probe = t if route is None else route(t)
+            return probe.join(get_broadcast(ref), keys=[key],
+                              join_type="inner").select(out_cols)
+        return fn
+
+    if force_hot is None and under_gate:
+        # the whole dimension fits under the broadcast gate: routing is
+        # pointless — ONE map-side join, zero shuffles, zero filters
+        tbl = pa.concat_tables(
+            ray.get(small_pinned.to_arrow_refs())).combine_chunks()
+        ref = put_broadcast(tbl.select([key] + small_cols))
+        return big_ds.map_batches(_bcast_join(ref), batch_format="pyarrow")
 
     if force_hot is not None:
         hot_keys = sorted(set(force_hot))
@@ -126,47 +160,55 @@ def skew_join(big_ds, small_ds, key: str, *,
         thresh = hot_min_frac * n_big
         hot_keys = sorted(hh.loc[hh["mg_count"] >= thresh, key].tolist())
 
-    big_cols = list(big_ds.schema().names)
-    small_cols = [c for c in small_ds.schema().names if c != key]
-    out_cols = big_cols + small_cols
-
     def _route(t: pa.Table, keep_hot: bool) -> pa.Table:
         vals = pa.array(hot_keys, type=t.schema.field(key).type)
         m = pc.is_in(t[key], value_set=vals)
         return t.filter(m if keep_hot else pc.invert(m))
 
     parts = []
+    small_all = None
+    if under_gate:  # one collect serves the hot AND cold dimension rows
+        small_all = pa.concat_tables(
+            ray.get(small_pinned.to_arrow_refs())).combine_chunks()
 
     if hot_keys:
         # dimension rows of hot keys: bounded by |hot_keys| (sketch
         # capacity), never by data size -> one ray.put, read everywhere
-        small_hot = pa.concat_tables(
-            ray.get(small_ds.map_batches(
-                lambda t: _route(t, True), batch_format="pyarrow",
-            ).to_arrow_refs()))
+        if small_all is not None:
+            small_hot = _route(small_all, True)
+        else:
+            small_hot = pa.concat_tables(
+                ray.get(small_pinned.map_batches(
+                    lambda t: _route(t, True), batch_format="pyarrow",
+                ).to_arrow_refs()))
         if small_hot.num_rows:
-            ref = put_broadcast(small_hot.select([key] + small_cols))
+            href = put_broadcast(small_hot.select([key] + small_cols))
+            parts.append(big_ds.map_batches(
+                _bcast_join(href, route=lambda t: _route(t, True)),
+                batch_format="pyarrow"))
 
-            def hot_join(t: pa.Table) -> pa.Table:
-                probe = _route(t, True)
-                j = probe.join(get_broadcast(ref), keys=[key],
-                               join_type="inner")
-                return j.select(out_cols)
-
-            parts.append(big_ds.map_batches(hot_join, batch_format="pyarrow"))
-
-    small_cold = small_ds.map_batches(
-        lambda t: _route(t, False), batch_format="pyarrow")
-    # a fully empty join side dies in Ray 2.49 (functions/blocks.py);
-    # the small side is dimension-sized, so pin + metadata count is cheap
-    small_cold = pin_nonempty(small_cold)
-    if small_cold.count() > 0:
-        big_cold = big_ds.map_batches(
-            lambda t: _route(t, False), batch_format="pyarrow")
-        cold = big_cold.join(small_cold, join_type="inner",
-                             num_partitions=num_partitions, on=(key,))
-        parts.append(cold.map_batches(
-            lambda t: t.select(out_cols), batch_format="pyarrow"))
+    # cold tail: size gate on the MEASURED pinned bytes (the J1/J3
+    # precedent) — under it the cold dimension broadcasts too (the
+    # whole operator is shuffle-free); above it, the distributed hash
+    # join engages. A fully empty join side dies in Ray 2.49
+    # (functions/blocks.py), hence the emptiness guards.
+    if small_all is not None:
+        small_cold_tbl = _route(small_all, False) if hot_keys else small_all
+        if small_cold_tbl.num_rows:
+            cref = put_broadcast(small_cold_tbl.select([key] + small_cols))
+            route = (lambda t: _route(t, False)) if hot_keys else None
+            parts.append(big_ds.map_batches(_bcast_join(cref, route=route),
+                                            batch_format="pyarrow"))
+    else:
+        small_cold = pin_nonempty(small_pinned.map_batches(
+            lambda t: _route(t, False), batch_format="pyarrow"))
+        if small_cold.count() > 0:
+            big_cold = big_ds.map_batches(
+                lambda t: _route(t, False), batch_format="pyarrow")
+            cold = big_cold.join(small_cold, join_type="inner",
+                                 num_partitions=num_partitions, on=(key,))
+            parts.append(cold.map_batches(
+                lambda t: t.select(out_cols), batch_format="pyarrow"))
 
     if not parts:
         return big_ds.limit(0).map_batches(
@@ -188,7 +230,9 @@ _Q66_FORCE_HOT = tuple(range(10))
 def q66_skew_join_revenue(sf_dir: str) -> pd.DataFrame:
     from ..stages.windows import grouped_by_key_buckets
 
-    events = _read(sf_dir, "events", ["event_id", "user_id"])
+    # the probe side carries ONLY the key: the downstream rollup needs
+    # row counts, not event ids, so nothing else should ride the join
+    events = _read(sf_dir, "events", ["user_id"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
         .map_batches(lambda t: t.rename_columns(["user_id", "c_mktsegment"]),
                      batch_format="pyarrow")
@@ -198,16 +242,17 @@ def q66_skew_join_revenue(sf_dir: str) -> pd.DataFrame:
     # combiner-first per-segment rollup: per-block (segment, user)
     # partials, one segment-keyed exchange of pre-reduced rows
     def partial(t: pa.Table) -> pa.Table:
-        return t.group_by(["c_mktsegment", "user_id"]).aggregate(
-            [("event_id", "count")])
+        g = t.group_by(["c_mktsegment", "user_id"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["c_mktsegment", "user_id", "n_part"])
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         per_user = df.groupby(["c_mktsegment", "user_id"], as_index=False)[
-            "event_id_count"].sum()
+            "n_part"].sum()
         g = per_user.groupby("c_mktsegment")
         out = pd.DataFrame({
             "mktsegment": list(g.groups),
-            "n_events": g["event_id_count"].sum().astype("int64").values,
+            "n_events": g["n_part"].sum().astype("int64").values,
             "n_users": g["user_id"].nunique().astype("int64").values,
         })
         return out

@@ -52,7 +52,9 @@ class TestSkewJoin:
         all_cold = self._run(big, dim, force_hot=[])
         all_hot = self._run(big, dim, force_hot=list(range(64)))
         mixed = self._run(big, dim, force_hot=[0, 1, 2])
-        for got in (auto, all_cold, all_hot, mixed):
+        # gate forced to 0: the distributed hash join route
+        dist = self._run(big, dim, force_hot=[0, 1], cold_broadcast_limit=0)
+        for got in (auto, all_cold, all_hot, mixed, dist):
             pd.testing.assert_frame_equal(got, gold)
 
     def test_detector_finds_planted_head(self):
