@@ -375,6 +375,12 @@ def _q_snapshot_diff(sf_dir: str):
     return q43_snapshot_diff(sf_dir)
 
 
+def _q_anchor_text(sf_dir: str):
+    from reden_ray.pipelines.webops import q71_anchor_text
+
+    return q71_anchor_text(sf_dir)
+
+
 # Context-window width shared by the ctx driver query and its oracle.
 _CTX_WORDS_Q = 16
 
@@ -1558,6 +1564,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q69_dataset_split": SC.q69_dataset_split,
         # corpus tokenization with the q50-trained BPE merges
         "q70_bpe_tokenize": C.q70_bpe_tokenize,
+        # anchor-text aggregation per target host (web-search signal)
+        "q71_anchor_text": _q_anchor_text,
+        # long->wide count pivot (feature-table construction)
+        "q72_event_pivot": SC.q72_event_pivot,
         # flagship NEL / KG construction over derived pages (rows-only:
         # graph algorithm not SQL-expressible; parity is gated in pytest
         # against analytic gold fixtures instead).
@@ -1704,6 +1714,9 @@ def oracle_sql() -> dict[str, str]:
         "q68_cms_frequency": SC._q68_sql(),
         "q69_dataset_split": SC.Q69_SQL,
         "q70_bpe_tokenize": C.Q70_SQL,
+        "q71_anchor_text": __import__(
+            "reden_ray.pipelines.webops", fromlist=["Q71_SQL"]).Q71_SQL,
+        "q72_event_pivot": SC._q72_sql(),
         "q27_tumbling_window": __import__(
             "reden_ray.stages.windows", fromlist=["TUMBLING_SQL"]
         ).TUMBLING_SQL.format(size_us=3_600_000_000),

@@ -462,6 +462,59 @@ FROM probes p
 
 
 # ---------------------------------------------------------------------------
+# Q72 — pivot (long -> wide feature-table construction)
+# ---------------------------------------------------------------------------
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_counts(ds, row_key: str, col_key: str, categories) -> pd.DataFrame:
+    """Long-to-wide count pivot: one row per ``row_key``, one int64
+    column ``n_<category>`` per listed category — the feature-matrix
+    step of classifier training over event logs. Categories must be
+    declared (a distributed output schema cannot be data-dependent);
+    values outside the list are dropped. Per-block (row, col) partial
+    counts combine BEFORE the single row-keyed exchange — a user with
+    a million events ships at most |categories| rows per block — and
+    the wide reshape happens inside the bucket."""
+    from ..stages.windows import grouped_by_key_buckets
+
+    cats = list(categories)
+    out_names = [f"n_{c}" for c in cats]
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t[col_key], value_set=pa.array(cats))
+        g = t.filter(keep).group_by([row_key, col_key]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns([row_key, col_key, "n_part"])
+
+    def widen(df: pd.DataFrame) -> pd.DataFrame:
+        per = df.groupby([row_key, col_key])["n_part"].sum().unstack(
+            col_key, fill_value=0)
+        per = per.reindex(columns=cats, fill_value=0).astype("int64")
+        per.columns = out_names
+        return per.reset_index()
+
+    out = grouped_by_key_buckets(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        row_key, widen).to_pandas()
+    return (out.sort_values(row_key, kind="stable").reset_index(drop=True)
+            [[row_key] + out_names])
+
+
+def q72_event_pivot(sf_dir: str) -> pd.DataFrame:
+    return pivot_counts(_read(sf_dir, "events", ["user_id", "event_type"]),
+                        "user_id", "event_type", _PIVOT_TYPES)
+
+
+def _q72_sql() -> str:
+    cols = ",\n       ".join(
+        f"CAST(COUNT(*) FILTER (WHERE event_type = '{c}') AS BIGINT)"
+        f" AS n_{c}" for c in _PIVOT_TYPES)
+    return f"SELECT user_id,\n       {cols}\nFROM events GROUP BY user_id"
+
+
+# ---------------------------------------------------------------------------
 # Q69 — deterministic train/valid/test split
 # ---------------------------------------------------------------------------
 

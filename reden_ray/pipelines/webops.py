@@ -308,6 +308,80 @@ edges AS (
 Q42_SQL = f"WITH {_Q42_EDGES_CTE}\nSELECT src_host, dst_host, n_links FROM edges"
 
 
+# ---------------------------------------------------------------------------
+# Q71 — anchor-text aggregation per target host
+# ---------------------------------------------------------------------------
+
+# The classic web-search relevance signal: what OTHER pages call a
+# target ("anchor text"), aggregated per destination. Unlike q42 this
+# must parse the anchor's inner text, not just the href — the full
+# <a ...>text</a> tag is extracted (vectorized polars extract_all over
+# the html bytes), then href-host and inner text pulled from each tag.
+# Per-block (dst_host, anchor_text) partials combine BEFORE the single
+# groupby exchange, so a head target (every page linking "home" to the
+# front page) contributes one row per block, never one per anchor —
+# the same head-key bound as q42's edge partials. The oracle recomputes
+# the synthetic nav arithmetically (the q42 precedent), so the check
+# verifies the parse, not a copy of it.
+_ANCHOR_RE = r'<a href="([^"]+)"[^>]*>([^<]*)</a>'
+
+
+def anchor_text_counts(pages_ds):
+    """pages(url, html) -> (dst_host, anchor_text, n_refs)."""
+    import polars as pl
+
+    def partials(t: pa.Table) -> pa.Table:
+        html = pc.cast(t["html"], pa.string())
+        pf = pl.DataFrame({"html": pl.from_arrow(html)})
+        ex = (
+            pf.with_columns(pl.col("html").str.extract_all(_ANCHOR_RE)
+                            .alias("tag"))
+            .drop("html")
+            .explode("tag")
+            .drop_nulls("tag")
+            .with_columns(
+                pl.col("tag").str.extract(_ANCHOR_RE, 1)
+                .str.extract(_HOST_RE, 1).alias("dst_host"),
+                pl.col("tag").str.extract(_ANCHOR_RE, 2)
+                .alias("anchor_text"))
+            .drop_nulls("dst_host")
+            .group_by(["dst_host", "anchor_text"])
+            .agg(pl.len().alias("n_part"))
+        )
+        out = ex.to_arrow()
+        return pa.table({
+            "dst_host": out["dst_host"].cast(pa.string()),
+            "anchor_text": out["anchor_text"].cast(pa.string()),
+            "n_part": out["n_part"].cast(pa.int64()),
+        })
+
+    return (
+        pages_ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["dst_host", "anchor_text"])
+        .aggregate(Sum("n_part", alias_name="n_refs"))
+    )
+
+
+def q71_anchor_text(sf_dir: str) -> pd.DataFrame:
+    return anchor_text_counts(linked_pages_from_documents(sf_dir)).to_pandas()
+
+
+Q71_SQL = f"""
+WITH n AS (SELECT COUNT(*) AS n FROM documents),
+ks(k) AS (VALUES (0), (1), (2)),
+tgt AS (
+  SELECT d.doc_id, ks.k,
+         (d.doc_id * {_LINK_MULT} + ks.k * {_LINK_STEP} + {_LINK_OFF})
+           % (SELECT n FROM n) AS t
+  FROM documents d CROSS JOIN ks
+)
+SELECT 'site' || CAST(t % {N_HOSTS} AS VARCHAR) || '.example' AS dst_host,
+       'ref' || CAST(k AS VARCHAR) AS anchor_text,
+       CAST(COUNT(*) AS BIGINT) AS n_refs
+FROM tgt GROUP BY 1, 2
+"""
+
+
 PAGERANK_ITERS = 4
 PAGERANK_ALPHA = 0.85
 

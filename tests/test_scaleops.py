@@ -136,6 +136,55 @@ class TestCMS:
         assert est[0] >= 0
 
 
+class TestPivot:
+    def test_q72_matches_oracle(self):
+        got = _norm(S.q72_event_pivot(SF))
+        gold = _norm(_con().execute(S._q72_sql()).df())
+        pd.testing.assert_frame_equal(got, gold, check_dtype=False)
+
+    def test_missing_categories_fill_zero_and_extras_drop(self):
+        df = pd.DataFrame({"u": [1, 1, 2], "t": ["a", "a", "zzz"]})
+        out = S.pivot_counts(rd.from_pandas(df).repartition(2),
+                             "u", "t", ["a", "b"])
+        out = out.set_index("u")
+        assert out.loc[1, "n_a"] == 2 and out.loc[1, "n_b"] == 0
+        # user 2's only event type is unlisted -> row absent entirely
+        assert 2 not in out.index
+
+    def test_block_split_invariance(self):
+        rng = np.random.default_rng(5)
+        df = pd.DataFrame({"u": rng.integers(0, 50, 3000),
+                           "t": rng.choice(list("abc"), 3000)})
+        a = S.pivot_counts(rd.from_pandas(df).repartition(1), "u", "t", "abc")
+        b = S.pivot_counts(rd.from_pandas(df).repartition(9), "u", "t", "abc")
+        pd.testing.assert_frame_equal(_norm(a), _norm(b))
+
+
+class TestAnchorText:
+    def test_q71_matches_oracle(self):
+        from reden_ray.pipelines.webops import Q71_SQL, q71_anchor_text
+
+        got = _norm(q71_anchor_text(SF))
+        gold = _norm(_con().execute(Q71_SQL).df())
+        pd.testing.assert_frame_equal(got, gold, check_dtype=False)
+
+    def test_parses_text_not_just_href(self):
+        from reden_ray.pipelines.webops import anchor_text_counts
+
+        pages = pd.DataFrame({
+            "url": ["https://a.example/p/1"],
+            "html": [(b'<html><body>'
+                      b'<a href="https://b.example/x" class="z">hello</a>'
+                      b'<a href="https://b.example/y">hello</a>'
+                      b'<a href="https://c.example/">bye</a>'
+                      b'</body></html>')],
+        })
+        out = anchor_text_counts(rd.from_pandas(pages)).to_pandas()
+        out = out.set_index(["dst_host", "anchor_text"])["n_refs"]
+        assert out[("b.example", "hello")] == 2
+        assert out[("c.example", "bye")] == 1
+
+
 class TestSplit:
     def test_q69_matches_oracle(self):
         got = _norm(S.q69_dataset_split(SF))
