@@ -1568,6 +1568,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q71_anchor_text": _q_anchor_text,
         # long->wide count pivot (feature-table construction)
         "q72_event_pivot": SC.q72_event_pivot,
+        # per-key time-series resample + gap-fill (hourly grid)
+        "q73_activity_resample": SC.q73_activity_resample,
         # flagship NEL / KG construction over derived pages (rows-only:
         # graph algorithm not SQL-expressible; parity is gated in pytest
         # against analytic gold fixtures instead).
@@ -1717,6 +1719,7 @@ def oracle_sql() -> dict[str, str]:
         "q71_anchor_text": __import__(
             "reden_ray.pipelines.webops", fromlist=["Q71_SQL"]).Q71_SQL,
         "q72_event_pivot": SC._q72_sql(),
+        "q73_activity_resample": SC.Q73_SQL,
         "q27_tumbling_window": __import__(
             "reden_ray.stages.windows", fromlist=["TUMBLING_SQL"]
         ).TUMBLING_SQL.format(size_us=3_600_000_000),

@@ -515,6 +515,79 @@ def _q72_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Q73 — per-key time-series resample + gap-fill (hourly activity curve)
+# ---------------------------------------------------------------------------
+
+
+def resample_cumulative(ds, key_col: str, ts_col: str,
+                        freq: str = "h") -> pd.DataFrame:
+    """Regular-grid resampling of an irregular event stream: for every
+    key, one row per ``freq`` bucket between the key's first and last
+    event, carrying the CUMULATIVE event count at that bucket's close —
+    gap buckets are emitted with the carried value (forward fill). The
+    alignment step every time-series feature pipeline needs before
+    windowed models.
+
+    Distribution: per-block (key, bucket) partial counts (an event-heavy
+    key ships <= its active buckets per block, never per event), ONE
+    key-bucketed exchange, and the grid mint + cumsum run vectorized
+    inside the bucket. Grid length is bounded by the key's own span —
+    nothing global materializes."""
+    from ..stages.windows import grouped_by_key_buckets
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            key_col: t[key_col],
+            "bucket_ts": pc.floor_temporal(t[ts_col], unit="hour"),
+        }).group_by([key_col, "bucket_ts"]).aggregate([([], "count_all")])
+        return g.rename_columns([key_col, "bucket_ts", "n_part"])
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        per = df.groupby([key_col, "bucket_ts"], as_index=False)[
+            "n_part"].sum()
+        outs = []
+        for k, grp in per.groupby(key_col, sort=False):
+            s = grp.set_index("bucket_ts")["n_part"].sort_index()
+            grid = pd.date_range(s.index.min(), s.index.max(), freq=freq)
+            cum = s.reindex(grid, fill_value=0).cumsum()
+            outs.append(pd.DataFrame({key_col: k, "bucket_ts": grid,
+                                      "n_cum": cum.to_numpy()}))
+        out = pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+            columns=[key_col, "bucket_ts", "n_cum"])
+        out["n_cum"] = out["n_cum"].astype("int64")
+        return out
+
+    return (grouped_by_key_buckets(
+        ds.map_batches(partial, batch_format="pyarrow"), key_col, fill)
+        .to_pandas())
+
+
+def q73_activity_resample(sf_dir: str) -> pd.DataFrame:
+    return resample_cumulative(
+        _read(sf_dir, "events", ["user_id", "ts"]), "user_id", "ts")
+
+
+Q73_SQL = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS h,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1
+), grid AS (
+  SELECT user_id,
+         unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS bucket_ts
+  FROM span
+)
+SELECT g.user_id, g.bucket_ts,
+       CAST(SUM(COALESCE(hh.n, 0)) OVER (
+            PARTITION BY g.user_id ORDER BY g.bucket_ts) AS BIGINT) AS n_cum
+FROM grid g LEFT JOIN hourly hh
+  ON hh.user_id = g.user_id AND hh.h = g.bucket_ts
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q69 — deterministic train/valid/test split
 # ---------------------------------------------------------------------------
 

@@ -185,6 +185,33 @@ class TestAnchorText:
         assert out[("c.example", "bye")] == 1
 
 
+class TestResample:
+    def test_q73_matches_oracle(self):
+        got = _norm(S.q73_activity_resample(SF))
+        gold = _norm(_con().execute(S.Q73_SQL).df())
+        pd.testing.assert_frame_equal(got, gold, check_dtype=False)
+
+    def test_gap_fill_carries_cumulative(self):
+        ts = pd.to_datetime(["2024-01-01 00:10", "2024-01-01 00:50",
+                             "2024-01-01 03:05"])
+        df = pd.DataFrame({"k": [7, 7, 7], "ts": ts})
+        out = S.resample_cumulative(rd.from_pandas(df).repartition(2),
+                                    "k", "ts")
+        out = out.sort_values("bucket_ts").reset_index(drop=True)
+        # hours 00,01,02,03 — gap hours 01/02 carry the running total 2
+        assert list(out["n_cum"]) == [2, 2, 2, 3]
+        assert len(out) == 4
+
+    def test_block_split_invariance(self):
+        rng = np.random.default_rng(3)
+        ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+            rng.integers(0, 86400 * 5, 2000), unit="s")
+        df = pd.DataFrame({"k": rng.integers(0, 20, 2000), "ts": ts})
+        a = S.resample_cumulative(rd.from_pandas(df).repartition(1), "k", "ts")
+        b = S.resample_cumulative(rd.from_pandas(df).repartition(7), "k", "ts")
+        pd.testing.assert_frame_equal(_norm(a), _norm(b))
+
+
 class TestSplit:
     def test_q69_matches_oracle(self):
         got = _norm(S.q69_dataset_split(SF))
