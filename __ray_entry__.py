@@ -1570,6 +1570,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q72_event_pivot": SC.q72_event_pivot,
         # per-key time-series resample + gap-fill (hourly grid)
         "q73_activity_resample": SC.q73_activity_resample,
+        # per-host boilerplate line removal (CCNet/RefinedWeb rule)
+        "q74_boilerplate_removal": R.q74_boilerplate_removal,
         # flagship NEL / KG construction over derived pages (rows-only:
         # graph algorithm not SQL-expressible; parity is gated in pytest
         # against analytic gold fixtures instead).
@@ -1720,6 +1722,7 @@ def oracle_sql() -> dict[str, str]:
             "reden_ray.pipelines.webops", fromlist=["Q71_SQL"]).Q71_SQL,
         "q72_event_pivot": SC._q72_sql(),
         "q73_activity_resample": SC.Q73_SQL,
+        "q74_boilerplate_removal": R.Q74_SQL,
         "q27_tumbling_window": __import__(
             "reden_ray.stages.windows", fromlist=["TUMBLING_SQL"]
         ).TUMBLING_SQL.format(size_us=3_600_000_000),

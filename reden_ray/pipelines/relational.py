@@ -755,36 +755,40 @@ GROUP BY d.doc_id
 _LINE_WORDS = 10
 
 
-def q36_line_dedup(sf_dir: str) -> pd.DataFrame:
+def _line_rows(t: pa.Table) -> pa.Table:
+    """Arrow-vectorized 10-word "line" mint shared by q36 and q74:
+    (doc_id, ln, line) — split_pattern + list_slice + binary_join per
+    chunk index, no Python loop over rows."""
     import numpy as np
 
+    words = pc.split_pattern(t["text"], " ")
+    wc = pc.list_value_length(words)
+    base = pa.table({"doc_id": t["doc_id"], "w": words})
+    n_chunks = -(-(pc.max(wc).as_py() or 0) // _LINE_WORDS)
+    pieces = []
+    for k in range(n_chunks):
+        sub = base.filter(pc.greater(wc, k * _LINE_WORDS))
+        line = pc.binary_join(
+            pc.list_slice(sub["w"], k * _LINE_WORDS,
+                          (k + 1) * _LINE_WORDS), " ")
+        pieces.append(pa.table({
+            "doc_id": sub["doc_id"],
+            "ln": pa.array(np.full(sub.num_rows, k, np.int64)),
+            "line": line,
+        }))
+    if not pieces:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "ln": pa.array([], pa.int64()),
+                         "line": pa.array([], pa.string())})
+    return pa.concat_tables(pieces)
+
+
+def q36_line_dedup(sf_dir: str) -> pd.DataFrame:
     from ..stages.windows import grouped_by_key_buckets
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def line_rows(t: pa.Table) -> pa.Table:
-        words = pc.split_pattern(t["text"], " ")
-        wc = pc.list_value_length(words)
-        base = pa.table({"doc_id": t["doc_id"], "w": words})
-        n_chunks = -(-(pc.max(wc).as_py() or 0) // _LINE_WORDS)
-        pieces = []
-        for k in range(n_chunks):
-            sub = base.filter(pc.greater(wc, k * _LINE_WORDS))
-            line = pc.binary_join(
-                pc.list_slice(sub["w"], k * _LINE_WORDS,
-                              (k + 1) * _LINE_WORDS), " ")
-            pieces.append(pa.table({
-                "doc_id": sub["doc_id"],
-                "ln": pa.array(np.full(sub.num_rows, k, np.int64)),
-                "line": line,
-            }))
-        if not pieces:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "ln": pa.array([], pa.int64()),
-                             "line": pa.array([], pa.string())})
-        return pa.concat_tables(pieces)
-
-    rows = ds.map_batches(line_rows, batch_format="pyarrow")
+    rows = ds.map_batches(_line_rows, batch_format="pyarrow")
 
     def keep_owner_rows(df: pd.DataFrame) -> pd.DataFrame:
         owner = df.groupby("line", sort=False)["doc_id"].transform("min")
@@ -1142,4 +1146,84 @@ WITH w AS (
 )
 SELECT user_id, SUM(new_s)::BIGINT AS n_sessions, COUNT(*) AS n_events
 FROM w GROUP BY user_id
+"""
+
+
+# Q74 — per-host boilerplate line removal (the CCNet / RefinedWeb
+# nav-footer rule): a "line" that recurs across >= _BP_MIN_DOCS
+# DISTINCT documents of the SAME host is boilerplate (site chrome —
+# navigation, footers, cookie banners) and is stripped from EVERY
+# document on that host. Distinct semantics from q36 (corpus-level C4
+# rule keeps one owner copy; here recurring lines vanish everywhere,
+# and only within their host). Lines are the shared 10-word chunks
+# (_line_rows); host is the deterministic doc_id % 17 mint (q34
+# precedent). Two exchanges, both necessary: co-locate equal line
+# texts (hash-bucket on line — equal lines land together regardless of
+# host, so the per-(host, line) distinct-doc count is exact
+# in-bucket), then regroup per document to rebuild. Output: only
+# AFFECTED documents — (doc_id, n_removed, clean_text); clean_text is
+# '' when every line was chrome. At 100 TB you'd ship (hid,
+# line_hash, doc_id, ln) through the first exchange and re-derive
+# surviving text by re-scanning the corpus against the boilerplate key
+# set; the exact-text form keeps the oracle byte-exact (q36 note).
+_BP_MIN_DOCS = 2
+
+
+def q74_boilerplate_removal(sf_dir: str) -> pd.DataFrame:
+    from ..stages.windows import grouped_by_key_buckets
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    rows = ds.map_batches(_line_rows, batch_format="pyarrow")
+
+    def mark_bp(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df.assign(is_bp=pd.Series([], dtype=bool))
+        df = df.assign(__hid=df["doc_id"] % 17)
+        nd = df.groupby(["__hid", "line"], sort=False)["doc_id"].transform(
+            "nunique")
+        return df.assign(is_bp=nd >= _BP_MIN_DOCS).drop(columns="__hid")
+
+    marked = grouped_by_key_buckets(rows, "line", mark_bp)
+
+    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "ln"], kind="stable")
+        n_removed = (df.groupby("doc_id", sort=False)["is_bp"].sum()
+                     .astype("int64"))
+        clean = (df[~df["is_bp"]]
+                 .groupby("doc_id", sort=False)["line"].agg(" ".join))
+        out = n_removed.to_frame("n_removed")
+        out["clean_text"] = clean.reindex(out.index).fillna("")
+        return out.reset_index()[["doc_id", "n_removed", "clean_text"]]
+
+    # rebuild emits every doc (always non-empty per bucket — Ray's
+    # pandas size estimator can't size 0-row object columns); the
+    # affected-docs filter runs Arrow-side where empty blocks are fine
+    rebuilt = grouped_by_key_buckets(marked, "doc_id", rebuild)
+    return rebuilt.map_batches(
+        lambda t: t.filter(pc.greater(t["n_removed"], 0)),
+        batch_format="pyarrow").to_pandas()
+
+
+Q74_SQL = f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS idx
+  FROM documents
+), l AS (
+  SELECT doc_id, doc_id % 17 AS hid, (idx - 1) // {_LINE_WORDS} AS ln,
+         string_agg(word, ' ' ORDER BY idx) AS line
+  FROM w GROUP BY doc_id, (idx - 1) // {_LINE_WORDS}
+), bp AS (
+  SELECT hid, line FROM l
+  GROUP BY hid, line HAVING COUNT(DISTINCT doc_id) >= {_BP_MIN_DOCS}
+), c AS (
+  SELECT l.doc_id, l.ln, l.line, (b.line IS NOT NULL) AS is_bp
+  FROM l LEFT JOIN bp b ON b.hid = l.hid AND b.line = l.line
+)
+SELECT doc_id,
+       CAST(COUNT(*) FILTER (WHERE is_bp) AS BIGINT) AS n_removed,
+       COALESCE(string_agg(line, ' ' ORDER BY ln) FILTER (WHERE NOT is_bp),
+                '') AS clean_text
+FROM c GROUP BY doc_id
+HAVING COUNT(*) FILTER (WHERE is_bp) > 0
 """

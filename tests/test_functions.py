@@ -376,6 +376,40 @@ class TestLineDedup:
         assert out.loc[11, "clean_text"] == "short tail words"
 
 
+class TestBoilerplateRemoval:
+    def test_host_scoped_removal(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from reden_ray.pipelines.relational import q74_boilerplate_removal
+
+        nav = " ".join(f"nav{i}" for i in range(10))     # one full line
+        uniq = lambda tag: " ".join(f"{tag}{i}" for i in range(10))
+        rows = {
+            # host 0 (doc_id % 17): nav recurs in docs 0 and 17 -> chrome
+            0: f"{nav} {uniq('a')}",      # loses nav, keeps a-line
+            17: nav,                      # loses everything -> clean ''
+            34: uniq("b"),                # host 0 but untouched: absent
+            # host 1: the SAME nav line, but only one doc -> kept (the
+            # rule is host-scoped), absent from output
+            1: nav,
+            # host 0: a line repeated within ONE doc is not chrome
+            # (distinct-doc count is 1), absent from output
+            51: f"{uniq('r')} {uniq('r')}",
+        }
+        ids = sorted(rows)
+        pq.write_table(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([rows[i] for i in ids], pa.string()),
+        }), tmp_path / "documents.parquet")
+        out = q74_boilerplate_removal(str(tmp_path)).set_index("doc_id")
+        assert sorted(out.index) == [0, 17]
+        assert out.loc[0, "n_removed"] == 1
+        assert out.loc[0, "clean_text"] == uniq("a")
+        assert out.loc[17, "n_removed"] == 1
+        assert out.loc[17, "clean_text"] == ""
+
+
 class TestRepetitionStats:
     def test_dup_2gram_fraction(self, tmp_path):
         import pyarrow as pa
