@@ -142,6 +142,28 @@ def _q_nel_triples(sf_dir: str):
     return p.triples(p.links(mentions_ds=mentions))
 
 
+def _q_nel_cooccurrence(sf_dir: str):
+    """Entity co-occurrence network over the link winners (undirected
+    url-count-weighted edges). Hash-verified against the SQL linking
+    algebra's linkrow self-joined per url."""
+    from reden_ray.stages.reports import cooccurrence_edges
+
+    p, mentions = _nel_mentions(sf_dir)
+    return cooccurrence_edges(p.links(mentions_ds=mentions))
+
+
+def _nel_cooccurrence_sql() -> str:
+    return (
+        _nel_algebra_ctes()
+        + """
+, lr AS (SELECT DISTINCT url, uri FROM linkrow)
+SELECT a.uri AS uri_a, b.uri AS uri_b, CAST(COUNT(*) AS BIGINT) AS n_urls
+FROM lr a JOIN lr b ON a.url = b.url AND a.uri < b.uri
+GROUP BY a.uri, b.uri
+"""
+    )
+
+
 def _q_nel_triples_incremental(sf_dir: str):
     """Incremental crawl -> incremental KG: snapshot A's links are the
     checkpoint; snapshot B (deleted %11 / revised %7 / added %13 pages,
@@ -1589,6 +1611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nel_links_regate": _q_nel_links_regate,
         "nel_links_ctx": _q_nel_links_ctx,
         "nel_triples": _q_nel_triples,
+        "nel_cooccurrence": _q_nel_cooccurrence,
         "nel_triples_incremental": _q_nel_triples_incremental,
         "nel_mention_triples_unambiguous": _q_nel_mention_triples_unambiguous,
         "nel_mention_triple_count": _q_nel_mention_triple_count,
@@ -1742,6 +1765,7 @@ def oracle_sql() -> dict[str, str]:
         "nel_links_ctx": _nel_links_ctx_sql(),
         "q29b_embedding_planted": _q29_planted_sql(),
         "nel_triples": _nel_triples_sql(),
+        "nel_cooccurrence": _nel_cooccurrence_sql(),
         # full linking algebra over the MUTATED snapshot-B corpus: the
         # incremental path must equal a from-scratch run on B
         "nel_triples_incremental": _nel_triples_sql(src_sql=(

@@ -58,6 +58,45 @@ def uri_occurrences(links_ds):
     return links_ds.groupby("uri").aggregate(Count(alias_name="occurrences"))
 
 
+def cooccurrence_edges(links_ds, num_buckets: int | None = None):
+    """Entity co-occurrence network over the link decisions: one
+    undirected edge (uri_a < uri_b) per pair of DISTINCT entities
+    linked within the same url, weighted by the number of urls where
+    they co-occur — the canonical KG-construction output downstream of
+    disambiguation (co-mention graphs for entity relatedness; the
+    corpus-level sibling of the reference's per-context fusion graph,
+    GraphHandlerNEL.java:78-103, which never leaves one document).
+
+    Scale shape: per-block DISTINCT (url, uri) combiner (duplicate
+    mentions of an entity in one doc collapse before anything moves),
+    ONE url-keyed bucketed exchange, in-bucket vectorized pair mint
+    (each url's pairs are quadratic in its DISTINCT entity count —
+    naturally bounded by document length, the standard co-occurrence
+    semantics), per-bucket (pair, n) partial counts, and a final
+    pre-reduced groupby sum. No text or list columns ever move."""
+    from ..stages.windows import DEFAULT_KEY_BUCKETS, grouped_by_key_buckets
+
+    def distinct_rows(t: pa.Table) -> pa.Table:
+        return (t.select(["url", "uri"])
+                .group_by(["url", "uri"]).aggregate([]))
+
+    distinct = links_ds.map_batches(distinct_rows, batch_format="pyarrow")
+
+    def mint_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["url", "uri"])   # cross-block repeats
+        m = df.merge(df, on="url")
+        m = m[m["uri_x"] < m["uri_y"]]
+        out = (m.groupby(["uri_x", "uri_y"], sort=False).size()
+               .rename("n").reset_index())
+        out.columns = ["uri_a", "uri_b", "n"]
+        return out
+
+    partials = grouped_by_key_buckets(
+        distinct, "url", mint_pairs, num_buckets or DEFAULT_KEY_BUCKETS)
+    return (partials.groupby(["uri_a", "uri_b"])
+            .aggregate(Sum("n", alias_name="n_urls")))
+
+
 def correct_mention_counts(links_ds, gold_df: pd.DataFrame):
     """A8 per-surface correct counts, derived from the EvalInfo records
     (ResultsAndEvaluationNEL.java:295-301). Links are pre-filtered to

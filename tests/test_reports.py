@@ -43,6 +43,25 @@ class TestReports:
         out = uri_occurrences(rd.from_arrow(pa.Table.from_pylist(rows))).to_pandas()
         assert dict(zip(out.uri, out.occurrences)) == {"a": 2, "b": 1}
 
+    def test_cooccurrence_edges(self):
+        from reden_ray.stages.reports import cooccurrence_edges
+
+        rows = [
+            # u1: entities a, b (b mentioned TWICE -> collapses), c
+            {"url": "u1", "uri": "a"}, {"url": "u1", "uri": "b"},
+            {"url": "u1", "uri": "b"}, {"url": "u1", "uri": "c"},
+            # u2: a, b again -> (a,b) weight 2
+            {"url": "u2", "uri": "b"}, {"url": "u2", "uri": "a"},
+            # u3: single entity -> no pairs
+            {"url": "u3", "uri": "a"},
+        ]
+        # 1-row blocks: per-url rows span blocks, so the in-bucket
+        # drop_duplicates + pair mint must reassemble them correctly
+        ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(7)
+        out = cooccurrence_edges(ds).to_pandas()
+        got = {(r.uri_a, r.uri_b): r.n_urls for r in out.itertuples()}
+        assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
     def test_correct_mention_counts(self):
         links = rd.from_arrow(pa.Table.from_pylist([
             {"url": "u1", "mention_id": 0, "surface": "X", "all_uris": ["http://kb/x"]},
