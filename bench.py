@@ -294,6 +294,7 @@ def run_bench() -> dict:
         "q63_funnel",                # sequential-pattern funnel
         "q66_skew_join",             # skew-mitigated hash join
         "q67_ranked_retrieval",      # quantized-idf top-k retrieval
+        "q74_boilerplate_removal",   # per-host boilerplate line strip
     ]
     for name in component_names:
         t0 = time.perf_counter()
