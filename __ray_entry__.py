@@ -152,6 +152,39 @@ def _q_nel_cooccurrence(sf_dir: str):
     return cooccurrence_edges(p.links(mentions_ds=mentions))
 
 
+def _q_nel_entity_spans(sf_dir: str):
+    """Per-entity temporal extent (first/last warc_ts + distinct-url
+    support) over the link winners. The operator does a REAL keys-only
+    url join against the pages table; the oracle recomputes warc_ts
+    arithmetically from the deterministic page mint (q42 precedent)."""
+    from reden_ray.pipelines.webdemo import pages_from_documents
+    from reden_ray.stages.reports import entity_temporal_extent
+
+    p, mentions = _nel_mentions(sf_dir)
+    return entity_temporal_extent(p.links(mentions_ds=mentions),
+                                  pages_from_documents(sf_dir))
+
+
+def _nel_entity_spans_sql() -> str:
+    from reden_ray.pipelines.webdemo import EPOCH_MS, URL_PREFIX
+
+    n = len(URL_PREFIX)
+    return (
+        _nel_algebra_ctes()
+        + f"""
+, lr AS (SELECT DISTINCT url, uri FROM linkrow)
+, lt AS (
+    SELECT uri,
+           {EPOCH_MS} + CAST(substr(url, {n + 1}) AS BIGINT) * 1000 AS ts_ms
+    FROM lr
+)
+SELECT uri, MIN(ts_ms) AS first_seen_ms, MAX(ts_ms) AS last_seen_ms,
+       CAST(COUNT(*) AS BIGINT) AS n_urls
+FROM lt GROUP BY uri
+"""
+    )
+
+
 def _nel_cooccurrence_sql() -> str:
     return (
         _nel_algebra_ctes()
@@ -1612,6 +1645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nel_links_ctx": _q_nel_links_ctx,
         "nel_triples": _q_nel_triples,
         "nel_cooccurrence": _q_nel_cooccurrence,
+        "nel_entity_spans": _q_nel_entity_spans,
         "nel_triples_incremental": _q_nel_triples_incremental,
         "nel_mention_triples_unambiguous": _q_nel_mention_triples_unambiguous,
         "nel_mention_triple_count": _q_nel_mention_triple_count,
@@ -1766,6 +1800,7 @@ def oracle_sql() -> dict[str, str]:
         "q29b_embedding_planted": _q29_planted_sql(),
         "nel_triples": _nel_triples_sql(),
         "nel_cooccurrence": _nel_cooccurrence_sql(),
+        "nel_entity_spans": _nel_entity_spans_sql(),
         # full linking algebra over the MUTATED snapshot-B corpus: the
         # incremental path must equal a from-scratch run on B
         "nel_triples_incremental": _nel_triples_sql(src_sql=(

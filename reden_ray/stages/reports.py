@@ -24,7 +24,7 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..functions.text import (
     count_tokens_bpe,
@@ -56,6 +56,60 @@ def predicate_frequency(edges_ds):
 
 def uri_occurrences(links_ds):
     return links_ds.groupby("uri").aggregate(Count(alias_name="occurrences"))
+
+
+def entity_temporal_extent(links_ds, pages_ds, num_buckets: int | None = None):
+    """Per-entity temporal extent over the crawl: for every linked
+    entity, the first / last ``warc_ts`` of the pages it appears on and
+    its distinct-url support — the KG-temporal sibling of the
+    reference's TemporalExtent (date-bounded dictionary build;
+    ldextractor/TemporalExtent.java) applied to the OUTPUT graph
+    instead of the input KB.
+
+    Scale shape: both sides reduce keys-only per block (links to
+    DISTINCT (url, uri); pages to (url, ts_ms) int64 — html never
+    moves), union-tagged through ONE url-keyed exchange (the
+    snapshot-diff idiom); in-bucket the ts attaches by url and partial
+    rows pre-combine per uri (min/max ts + distinct-url count — EXACT
+    across buckets because the partition key IS url); the final
+    groupby sums/mins/maxes vocabulary-sized partials."""
+    import pyarrow.compute as pc
+
+    from ..stages.windows import DEFAULT_KEY_BUCKETS, grouped_by_key_buckets
+
+    def link_rows(t: pa.Table) -> pa.Table:
+        d = (t.select(["url", "uri"])
+             .group_by(["url", "uri"]).aggregate([]))
+        return d.append_column(
+            "ts_ms", pa.array([None] * d.num_rows, pa.int64()))
+
+    def page_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": t["url"],
+            "uri": pa.array([None] * t.num_rows, pa.string()),
+            "ts_ms": pc.cast(t["warc_ts"], pa.int64()),
+        })
+
+    tagged = links_ds.map_batches(link_rows, batch_format="pyarrow").union(
+        pages_ds.map_batches(page_rows, batch_format="pyarrow"))
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        ts = (df.loc[df["uri"].isna()].drop_duplicates("url")
+              .set_index("url")["ts_ms"])
+        l = df.loc[df["uri"].notna(), ["url", "uri"]].drop_duplicates()
+        # fail loudly (int cast raises on NaN) if a linked url has no
+        # page row — links derive from pages, so that is corruption
+        l = l.assign(ts_ms=l["url"].map(ts).astype("int64"))
+        out = l.groupby("uri", as_index=False).agg(
+            fs=("ts_ms", "min"), ls=("ts_ms", "max"), nu=("url", "nunique"))
+        return out.astype({"fs": "int64", "ls": "int64", "nu": "int64"})
+
+    partials = grouped_by_key_buckets(
+        tagged, "url", attach, num_buckets or DEFAULT_KEY_BUCKETS)
+    return (partials.groupby("uri")
+            .aggregate(Min("fs", alias_name="first_seen_ms"),
+                       Max("ls", alias_name="last_seen_ms"),
+                       Sum("nu", alias_name="n_urls")))
 
 
 def cooccurrence_edges(links_ds, num_buckets: int | None = None):

@@ -62,6 +62,29 @@ class TestReports:
         got = {(r.uri_a, r.uri_b): r.n_urls for r in out.itertuples()}
         assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
 
+    def test_entity_temporal_extent(self):
+        import pyarrow as pa
+
+        from reden_ray.stages.reports import entity_temporal_extent
+
+        links = rd.from_arrow(pa.Table.from_pylist([
+            {"url": "u1", "uri": "a"}, {"url": "u1", "uri": "a"},  # dup mention
+            {"url": "u3", "uri": "a"},
+            {"url": "u2", "uri": "b"},
+        ])).repartition(4)
+        pages = rd.from_arrow(pa.table({
+            "url": pa.array(["u1", "u2", "u3", "u9"]),   # u9: no links
+            "warc_ts": pa.array([1000, 2000, 3000, 9000],
+                                pa.timestamp("ms")),
+        })).repartition(2)
+        out = entity_temporal_extent(links, pages).to_pandas().set_index("uri")
+        assert out.loc["a", "first_seen_ms"] == 1000
+        assert out.loc["a", "last_seen_ms"] == 3000
+        assert out.loc["a", "n_urls"] == 2
+        assert out.loc["b", "first_seen_ms"] == 2000
+        assert out.loc["b", "n_urls"] == 1
+        assert sorted(out.index) == ["a", "b"]
+
     def test_correct_mention_counts(self):
         links = rd.from_arrow(pa.Table.from_pylist([
             {"url": "u1", "mention_id": 0, "surface": "X", "all_uris": ["http://kb/x"]},
