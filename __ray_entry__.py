@@ -152,6 +152,38 @@ def _q_nel_cooccurrence(sf_dir: str):
     return cooccurrence_edges(p.links(mentions_ds=mentions))
 
 
+def _q_nel_cooccurrence_lift(sf_dir: str):
+    """Lift-weighted (quantized-PMI-ratio) co-occurrence edges."""
+    from reden_ray.stages.reports import cooccurrence_lift
+
+    p, mentions = _nel_mentions(sf_dir)
+    return cooccurrence_lift(p.links(mentions_ds=mentions))
+
+
+def _nel_cooccurrence_lift_sql() -> str:
+    from reden_ray.stages.reports import _LIFT_SCALE
+
+    return (
+        _nel_algebra_ctes()
+        + f"""
+, lr AS (SELECT DISTINCT url, uri FROM linkrow)
+, marg AS (SELECT uri, COUNT(*) AS m FROM lr GROUP BY uri)
+, nn AS (SELECT COUNT(DISTINCT url) AS n FROM lr)
+, e AS (
+    SELECT a.uri AS uri_a, b.uri AS uri_b, CAST(COUNT(*) AS BIGINT) AS n_urls
+    FROM lr a JOIN lr b ON a.url = b.url AND a.uri < b.uri
+    GROUP BY a.uri, b.uri
+)
+SELECT e.uri_a, e.uri_b, e.n_urls,
+       CAST((e.n_urls * nn.n * {_LIFT_SCALE}) // (ma.m * mb.m) AS BIGINT)
+           AS lift_e6
+FROM e CROSS JOIN nn
+JOIN marg ma ON ma.uri = e.uri_a
+JOIN marg mb ON mb.uri = e.uri_b
+"""
+    )
+
+
 def _q_nel_entity_spans(sf_dir: str):
     """Per-entity temporal extent (first/last warc_ts + distinct-url
     support) over the link winners. The operator does a REAL keys-only
@@ -1646,6 +1678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nel_triples": _q_nel_triples,
         "nel_cooccurrence": _q_nel_cooccurrence,
         "nel_entity_spans": _q_nel_entity_spans,
+        "nel_cooccurrence_lift": _q_nel_cooccurrence_lift,
         "nel_triples_incremental": _q_nel_triples_incremental,
         "nel_mention_triples_unambiguous": _q_nel_mention_triples_unambiguous,
         "nel_mention_triple_count": _q_nel_mention_triple_count,
@@ -1801,6 +1834,7 @@ def oracle_sql() -> dict[str, str]:
         "nel_triples": _nel_triples_sql(),
         "nel_cooccurrence": _nel_cooccurrence_sql(),
         "nel_entity_spans": _nel_entity_spans_sql(),
+        "nel_cooccurrence_lift": _nel_cooccurrence_lift_sql(),
         # full linking algebra over the MUTATED snapshot-B corpus: the
         # incremental path must equal a from-scratch run on B
         "nel_triples_incremental": _nel_triples_sql(src_sql=(

@@ -112,6 +112,70 @@ def entity_temporal_extent(links_ds, pages_ds, num_buckets: int | None = None):
                        Sum("nu", alias_name="n_urls")))
 
 
+_LIFT_SCALE = 1_000_000
+
+
+def cooccurrence_lift(links_ds, num_buckets: int | None = None):
+    """Co-occurrence edges weighted by quantized lift (the PMI ratio
+    before the log): lift_e6 = floor(n_ab * N * 1e6 / (n_a * n_b)),
+    where n_x = distinct urls containing entity x and N = distinct urls
+    with >=1 link. Lift > 1e6 means the pair co-occurs more than
+    independence predicts — the standard relatedness weight for
+    co-mention KG edges. Integer arithmetic end-to-end so the score
+    itself hash-verifies (the q47/q48 quantization idiom).
+
+    Scale shape: edges stay distributed (cooccurrence_edges); the
+    marginals are vocabulary-sized — computed with ONE url-keyed
+    exchange (distinct-url counts per uri are exact per bucket because
+    the partition key is url, plus a sentinel row per bucket carrying
+    the bucket's distinct-url total), broadcast once, attached
+    map-side. NOTE: the int64 product n_ab*N*1e6 is exact at any
+    corpus this sandbox can hold; at 10^12-url scale switch the lift
+    to float128/log space (the counts themselves stay exact)."""
+    import numpy as np
+
+    import ray
+
+    from ..state.broadcast import get_broadcast
+    from ..stages.windows import DEFAULT_KEY_BUCKETS, grouped_by_key_buckets
+
+    nb = num_buckets or DEFAULT_KEY_BUCKETS
+
+    def distinct_rows(t: pa.Table) -> pa.Table:
+        return (t.select(["url", "uri"])
+                .group_by(["url", "uri"]).aggregate([]))
+
+    distinct = links_ds.map_batches(distinct_rows, batch_format="pyarrow")
+
+    _N_SENTINEL = "\x00N"   # impossible as a URI; carries the url total
+
+    def marginal_partials(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["url", "uri"])
+        out = df.groupby("uri", as_index=False).agg(m=("url", "nunique"))
+        total = pd.DataFrame({"uri": [_N_SENTINEL],
+                              "m": [df["url"].nunique()]})
+        return pd.concat([out, total], ignore_index=True).astype({"m": "int64"})
+
+    marg = (grouped_by_key_buckets(distinct, "url", marginal_partials, nb)
+            .groupby("uri").aggregate(Sum("m", alias_name="m"))
+            .to_pandas())
+    n_total = int(marg.loc[marg["uri"] == _N_SENTINEL, "m"].iloc[0])
+    m_map = dict(zip(marg["uri"], marg["m"].astype(int)))
+    m_map.pop(_N_SENTINEL)
+    m_ref = ray.put(m_map)
+
+    def attach_lift(t: pa.Table) -> pa.Table:
+        mm = get_broadcast(m_ref)
+        ma = np.array([mm[u] for u in t["uri_a"].to_pylist()], np.int64)
+        mb = np.array([mm[u] for u in t["uri_b"].to_pylist()], np.int64)
+        nab = t["n_urls"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lift = nab * n_total * _LIFT_SCALE // (ma * mb)
+        return t.append_column("lift_e6", pa.array(lift, pa.int64()))
+
+    return (cooccurrence_edges(links_ds, nb)
+            .map_batches(attach_lift, batch_format="pyarrow"))
+
+
 def cooccurrence_edges(links_ds, num_buckets: int | None = None):
     """Entity co-occurrence network over the link decisions: one
     undirected edge (uri_a < uri_b) per pair of DISTINCT entities

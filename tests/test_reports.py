@@ -62,6 +62,23 @@ class TestReports:
         got = {(r.uri_a, r.uri_b): r.n_urls for r in out.itertuples()}
         assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
 
+    def test_cooccurrence_lift(self):
+        from reden_ray.stages.reports import cooccurrence_lift
+
+        rows = [
+            {"url": "u1", "uri": "a"}, {"url": "u1", "uri": "b"},
+            {"url": "u2", "uri": "a"}, {"url": "u2", "uri": "b"},
+            {"url": "u3", "uri": "b"},
+            {"url": "u4", "uri": "a"}, {"url": "u4", "uri": "c"},
+        ]
+        # n_a=3, n_b=3, n_c=1, N=4
+        ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(5)
+        out = cooccurrence_lift(ds).to_pandas()
+        got = {(r.uri_a, r.uri_b): (r.n_urls, r.lift_e6)
+               for r in out.itertuples()}
+        assert got == {("a", "b"): (2, 2 * 4 * 1_000_000 // 9),
+                       ("a", "c"): (1, 1 * 4 * 1_000_000 // 3)}
+
     def test_entity_temporal_extent(self):
         import pyarrow as pa
 
