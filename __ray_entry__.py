@@ -1618,6 +1618,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # domain-mixture sampling, distributed k-means over embeddings,
         # bigram-LM coverage scoring (pipelines/curation.py)
         "q45_length_quantiles": C.q45_length_quantiles,
+        # approx percentiles via mergeable fixed-grid histogram (q45's
+        # scale path for continuous metrics; registers hash-verify)
+        "q75_approx_length_quantiles": C.q75_approx_length_quantiles,
         "q46_domain_mixture_sample": C.q46_domain_mixture_sample,
         "q47_kmeans_clusters": C.q47_kmeans_clusters,
         "q48_bigram_lm_score": C.q48_bigram_lm_score,
@@ -1783,6 +1786,7 @@ def oracle_sql() -> dict[str, str]:
             "reden_ray.pipelines.webops", fromlist=["Q43_SQL"]).Q43_SQL,
         "q44_duplicate_ngram_spans": R.Q44_SQL,
         "q45_length_quantiles": C.Q45_SQL,
+        "q75_approx_length_quantiles": C.Q75_SQL,
         "q46_domain_mixture_sample": C.Q46_SQL,
         "q47_kmeans_clusters": C.Q47_SQL,
         "q48_bigram_lm_score": C.Q48_SQL,

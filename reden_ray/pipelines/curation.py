@@ -115,6 +115,78 @@ def q45_length_quantiles(sf_dir: str) -> pd.DataFrame:
     return exact_quantiles(ds, "n_chars")
 
 
+# --- q75: approximate percentiles via a mergeable fixed-grid histogram
+# (the approx_percentile operator class of Spark/Presto/DuckDB). q45's
+# exact path ships one register per DISTINCT VALUE — unbounded for
+# continuous metrics; this sketch bins values into a FIXED grid
+# (bin = min(v // W, B-1)), so at ANY corpus size each block emits
+# <= B pre-reduced (bin, cnt) rows and the estimate's error is bounded
+# a priori by W-1 (the chosen bin's upper edge is returned; the true
+# percentile_disc value lies in the same bin — pytest-gated against
+# exact_quantiles). Registers are SUMS, so the sketch AND its
+# quantized answer are block-split invariant and hash-verify exactly
+# (the q68 CMS idiom); the position formula is the q45-verified
+# ceil(pm*n/1000), in pure integer arithmetic on both engines.
+HIST_BIN_WIDTH = 16
+HIST_N_BINS = 4096
+
+
+def approx_quantiles_histogram(ds, value_col: str,
+                               permille=QUANTILES_PERMILLE,
+                               bin_width: int = HIST_BIN_WIDTH,
+                               n_bins: int = HIST_N_BINS) -> pd.DataFrame:
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        bins = np.minimum(v // bin_width, n_bins - 1).astype(np.int64)
+        cnt = np.bincount(bins, minlength=0)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"bin": pa.array(nz, pa.int64()),
+                         "cnt": pa.array(cnt[nz], pa.int64())})
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bin").aggregate(Sum("cnt")).to_pandas())
+    if len(hist) == 0:
+        return pd.DataFrame({"q_permille": pd.array([], dtype="int64"),
+                             "est_value": pd.array([], dtype="int64")})
+    bins = hist["bin"].to_numpy()
+    cnts = hist["sum(cnt)"].to_numpy()
+    order = np.argsort(bins, kind="stable")
+    bins, cnts = bins[order], cnts[order]
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+    out_q, out_v = [], []
+    for pm in permille:
+        pos = max((pm * n + 999) // 1000, 1)   # integer ceil(pm*n/1000)
+        b = int(bins[int(np.searchsorted(cum, pos))])
+        out_q.append(pm)
+        out_v.append((b + 1) * bin_width - 1)  # bin upper edge
+    return pd.DataFrame({"q_permille": pd.array(out_q, dtype="int64"),
+                         "est_value": pd.array(out_v, dtype="int64")})
+
+
+def q75_approx_length_quantiles(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["n_chars"])
+    return approx_quantiles_histogram(ds, "n_chars")
+
+
+_Q75_PM_VALUES = ", ".join(f"({pm})" for pm in QUANTILES_PERMILLE)
+Q75_SQL = f"""
+WITH v AS (
+  SELECT LEAST(n_chars // {HIST_BIN_WIDTH}, {HIST_N_BINS - 1}) AS bin
+  FROM documents
+), h AS (
+  SELECT bin, COUNT(*) AS c FROM v GROUP BY bin
+), s AS (
+  SELECT bin, SUM(c) OVER (ORDER BY bin) AS cum FROM h
+), nn AS (SELECT COUNT(*) AS n FROM documents)
+SELECT CAST(q.pm AS BIGINT) AS q_permille,
+       CAST(MIN((s.bin + 1) * {HIST_BIN_WIDTH} - 1) AS BIGINT) AS est_value
+FROM (VALUES {_Q75_PM_VALUES}) q(pm) CROSS JOIN nn
+JOIN s ON s.cum >= GREATEST((q.pm * nn.n + 999) // 1000, 1)
+GROUP BY q.pm
+"""
+
+
 Q45_SQL = "\nUNION ALL\n".join(
     f"SELECT CAST({pm} AS BIGINT) AS q_permille, "
     f"percentile_disc({pm / 1000.0}) WITHIN GROUP (ORDER BY n_chars) AS value "

@@ -57,6 +57,36 @@ class TestQuantileFormula:
         ds = rd.from_arrow(pa.table({"x": pa.array([], pa.int64())}))
         assert len(exact_quantiles(ds, "x")) == 0
 
+    def test_approx_histogram_error_bound_and_split_invariance(self):
+        """The fixed-grid sketch's estimate is the upper edge of the
+        bin containing the exact percentile_disc value: exact <= est
+        <= exact + W-1, for every quantile, regardless of block
+        splits."""
+        from reden_ray.pipelines.curation import (HIST_BIN_WIDTH,
+                                                  approx_quantiles_histogram)
+
+        rng = random.Random(17)
+        vals = [rng.randint(0, 5000) for _ in range(1231)]
+        t = pa.table({"x": pa.array(vals, pa.int64())})
+        exact = exact_quantiles(rd.from_arrow(t), "x").set_index("q_permille")
+        for parts in (1, 13):
+            ds = rd.from_arrow(t).repartition(parts)
+            out = approx_quantiles_histogram(ds, "x").set_index("q_permille")
+            for pm in out.index:
+                e, a = int(exact.loc[pm, "value"]), int(out.loc[pm, "est_value"])
+                assert e <= a <= e + HIST_BIN_WIDTH - 1, (pm, e, a)
+
+    def test_approx_histogram_clamps_overflow_bin(self):
+        from reden_ray.pipelines.curation import (HIST_BIN_WIDTH, HIST_N_BINS,
+                                                  approx_quantiles_histogram)
+
+        top = HIST_BIN_WIDTH * HIST_N_BINS
+        ds = rd.from_arrow(pa.table({"x": pa.array(
+            [1, 2, top * 3, top * 9], pa.int64())}))
+        out = approx_quantiles_histogram(ds, "x").set_index("q_permille")
+        # overflow values land in (and report) the LAST bin's upper edge
+        assert int(out.loc[990, "est_value"]) == top - 1
+
 
 class TestMixtureSample:
     def test_rate_and_determinism(self):
