@@ -1621,6 +1621,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # approx percentiles via mergeable fixed-grid histogram (q45's
         # scale path for continuous metrics; registers hash-verify)
         "q75_approx_length_quantiles": C.q75_approx_length_quantiles,
+        # grouped variant: per-source percentile profile, one hash(key)
+        # bucket exchange of pre-reduced (key, bin, cnt) partials
+        "q76_source_length_quantiles": C.q76_source_length_quantiles,
         "q46_domain_mixture_sample": C.q46_domain_mixture_sample,
         "q47_kmeans_clusters": C.q47_kmeans_clusters,
         "q48_bigram_lm_score": C.q48_bigram_lm_score,
@@ -1640,6 +1643,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q59_bloom_membership": SEL.q59_bloom_membership,
         "q60_heavy_hitters": SEL.q60_heavy_hitters,
         "q61_bottomk_sample": SEL.q61_bottomk_sample,
+        # weighted bottom-k (Efraimidis-Spirakis integer rank): the
+        # quality-proportional data-selection sampler
+        "q77_weighted_sample": SEL.q77_weighted_sample,
         "q62_kcore": SEL.q62_kcore,
         "q63_funnel": SEL.q63_funnel,
         "q64_profile": SEL.q64_profile,
@@ -1787,6 +1793,7 @@ def oracle_sql() -> dict[str, str]:
         "q44_duplicate_ngram_spans": R.Q44_SQL,
         "q45_length_quantiles": C.Q45_SQL,
         "q75_approx_length_quantiles": C.Q75_SQL,
+        "q76_source_length_quantiles": C.Q76_SQL,
         "q46_domain_mixture_sample": C.Q46_SQL,
         "q47_kmeans_clusters": C.Q47_SQL,
         "q48_bigram_lm_score": C.Q48_SQL,
@@ -1803,6 +1810,7 @@ def oracle_sql() -> dict[str, str]:
         "q59_bloom_membership": SEL.Q59_SQL,
         "q60_heavy_hitters": SEL.Q60_SQL,
         "q61_bottomk_sample": SEL.Q61_SQL,
+        "q77_weighted_sample": SEL.Q77_SQL,
         "q62_kcore": SEL._q62_sql(),
         "q63_funnel": SEL.Q63_SQL,
         "q64_profile": SEL.Q64_SQL,

@@ -170,6 +170,94 @@ def q75_approx_length_quantiles(sf_dir: str) -> pd.DataFrame:
 
 
 _Q75_PM_VALUES = ", ".join(f"({pm})" for pm in QUANTILES_PERMILLE)
+
+
+# --- q76: GROUPED approx quantiles (per-domain percentile profile).
+# The per-host calibration pass every domain-aware quality filter
+# needs (CCNet buckets its perplexity thresholds per language/domain
+# the same way): p10..p99 of doc length PER source. Distribution: the
+# q75 fixed-grid sketch per (key, bin) — each block emits <= keys×B
+# pre-reduced rows — through ONE hash(key)-bucket exchange
+# (grouped_by_key_buckets: one dispatch per BUCKET, never per key, so
+# millions of hosts don't become millions of map_groups dispatches),
+# then a fully VECTORIZED in-bucket solve: per-key cumsum + 7
+# first-row-past-position selections via boolean idxmax — no Python
+# loop over keys anywhere. Same integer position/upper-edge arithmetic
+# as q75, so the grouped estimates hash-verify against a
+# PARTITION-BY-key windowed SQL oracle.
+def grouped_approx_quantiles(ds, key_col: str, value_col: str,
+                             permille=QUANTILES_PERMILLE,
+                             bin_width: int = HIST_BIN_WIDTH,
+                             n_bins: int = HIST_N_BINS) -> pd.DataFrame:
+    from ..stages.windows import grouped_by_key_buckets
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        bins = np.minimum(v // bin_width, n_bins - 1).astype(np.int64)
+        g = (pa.table({key_col: t[key_col],
+                       "bin": pa.array(bins, pa.int64())})
+             .group_by([key_col, "bin"]).aggregate([([], "count_all")]))
+        return g.rename_columns([key_col, "bin", "cnt"])
+
+    cols = [key_col, "q_permille", "est_value"]
+
+    def solve(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({key_col: pd.array([], dtype="str"),
+                                 "q_permille": pd.array([], dtype="int64"),
+                                 "est_value": pd.array([], dtype="int64")})
+        # combine same-(key, bin) partials from different blocks, then
+        # per-key CDF — all columnar, no per-key dispatch
+        h = (df.groupby([key_col, "bin"], as_index=False)["cnt"].sum()
+             .sort_values([key_col, "bin"], kind="stable",
+                          ignore_index=True))
+        cum = h.groupby(key_col, sort=False)["cnt"].cumsum().to_numpy()
+        n = h.groupby(key_col, sort=False)["cnt"].transform("sum").to_numpy()
+        outs = []
+        for pm in permille:
+            pos = np.maximum((pm * n + 999) // 1000, 1)
+            hit = pd.Series(cum >= pos)  # first True per key = the bin
+            idx = hit.groupby(h[key_col], sort=False).idxmax().to_numpy()
+            sel = h.iloc[idx]
+            outs.append(pd.DataFrame({
+                key_col: sel[key_col].to_numpy(),
+                "q_permille": np.full(len(sel), pm, dtype=np.int64),
+                "est_value": ((sel["bin"].to_numpy() + 1) * bin_width - 1
+                              ).astype(np.int64)}))
+        return pd.concat(outs, ignore_index=True)[cols]
+
+    out = grouped_by_key_buckets(
+        ds.map_batches(partial, batch_format="pyarrow"), key_col, solve
+    ).to_pandas()
+    return out.sort_values([key_col, "q_permille"],
+                           ignore_index=True)[cols]
+
+
+def q76_source_length_quantiles(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+    return grouped_approx_quantiles(ds, "source", "n_chars")
+
+
+Q76_SQL = f"""
+WITH v AS (
+  SELECT source, LEAST(n_chars // {HIST_BIN_WIDTH}, {HIST_N_BINS - 1}) AS bin
+  FROM documents
+), h AS (
+  SELECT source, bin, COUNT(*) AS c FROM v GROUP BY source, bin
+), s AS (
+  SELECT source, bin,
+         SUM(c) OVER (PARTITION BY source ORDER BY bin) AS cum,
+         SUM(c) OVER (PARTITION BY source) AS n
+  FROM h
+)
+SELECT s.source, CAST(q.pm AS BIGINT) AS q_permille,
+       CAST(MIN((s.bin + 1) * {HIST_BIN_WIDTH} - 1) AS BIGINT) AS est_value
+FROM (VALUES {_Q75_PM_VALUES}) q(pm)
+JOIN s ON s.cum >= GREATEST((q.pm * s.n + 999) // 1000, 1)
+GROUP BY s.source, q.pm
+"""
+
+
 Q75_SQL = f"""
 WITH v AS (
   SELECT LEAST(n_chars // {HIST_BIN_WIDTH}, {HIST_N_BINS - 1}) AS bin

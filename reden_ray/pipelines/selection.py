@@ -770,6 +770,89 @@ FROM r WHERE smp_rank <= {_BOTTOMK_K}
 
 
 # ---------------------------------------------------------------------------
+# Q77 — WEIGHTED bottom-k sample (quality-proportional data selection)
+# ---------------------------------------------------------------------------
+# The sampling step AFTER quality scoring: pick k docs per host with
+# inclusion probability increasing in an integer quality weight — the
+# Efraimidis–Spirakis weighted-reservoir idea with the float priority
+# u^(1/w) replaced by the integer rank hash(id) // w (w >= 1), which
+# keeps the whole sample reproducible from the keys alone AND
+# hash-verifiable (identical floor-div arithmetic in DuckDB). Same
+# mergeable-sketch property as q61: bottom-k by (rank, id) of a union
+# == bottom-k of per-block bottom-k's, so per-block partials bound the
+# exchange to k rows per (host, block) and the reduce is
+# order-independent. Weight here is the q8-style length proxy
+# 1 + n_chars // 64; a real pipeline plugs its quality score in.
+
+_WEIGHTED_K = 5
+_WEIGHT_CHARS_DIV = 64
+
+
+def weighted_bottom_k_per_group(ds, group_col: str, id_col: str,
+                                weight_col: str,
+                                k: int = _WEIGHTED_K) -> pd.DataFrame:
+    """Per group, the k ids with the smallest hash(id) // weight —
+    heavier rows get systematically smaller ranks, the integer analog
+    of weighted sampling without replacement. Per-block partial
+    bottom-k, ONE group-keyed exchange, in-bucket final bottom-k."""
+    from ..stages.windows import grouped_by_key_buckets
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select([group_col, id_col, weight_col]).to_pandas()
+        ids = df[id_col].to_numpy().astype(np.int64)
+        w = np.maximum(df[weight_col].to_numpy().astype(np.int64), 1)
+        df["rk"] = ((ids * _KNUTH) % _M32) // w
+        df = df.sort_values([group_col, "rk", id_col], kind="stable")
+        return pa.Table.from_pandas(
+            df.groupby(group_col, sort=False).head(k), preserve_index=False)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([group_col, "rk", id_col], kind="stable")
+        out = df.groupby(group_col, sort=False).head(k).copy()
+        out["smp_rank"] = out.groupby(group_col, sort=False).cumcount() + 1
+        out["smp_rank"] = out["smp_rank"].astype("int64")
+        out["rk"] = out["rk"].astype("int64")
+        return out[[group_col, "smp_rank", id_col, "rk"]]
+
+    return grouped_by_key_buckets(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        group_col, final, num_buckets=8).to_pandas()
+
+
+def q77_weighted_sample(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return _derived_hosts(t).append_column(
+            "w", pc.add(pc.divide(t["n_chars"],
+                                  pa.scalar(_WEIGHT_CHARS_DIV, pa.int64())),
+                        pa.scalar(1, pa.int64())))
+
+    return weighted_bottom_k_per_group(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "host", "doc_id", "w")
+
+
+Q77_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         'cdn' || CAST(doc_id % 17 AS VARCHAR) || '.example.org' AS host,
+         ((doc_id * {_KNUTH}) % {_M32})
+           // GREATEST(1 + n_chars // {_WEIGHT_CHARS_DIV}, 1) AS rk
+  FROM documents
+), r AS (
+  SELECT host, doc_id, rk,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY rk, doc_id)
+           AS smp_rank
+  FROM d
+)
+SELECT host, CAST(smp_rank AS BIGINT) AS smp_rank, doc_id,
+       CAST(rk AS BIGINT) AS rk
+FROM r WHERE smp_rank <= {_WEIGHTED_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q62 — k-core decomposition (iterative peeling)
 # ---------------------------------------------------------------------------
 

@@ -87,6 +87,31 @@ class TestQuantileFormula:
         # overflow values land in (and report) the LAST bin's upper edge
         assert int(out.loc[990, "est_value"]) == top - 1
 
+    def test_grouped_matches_per_key_ungrouped(self):
+        """The vectorized in-bucket solve equals running the plain q75
+        sketch on each key's rows separately, on every key, regardless
+        of block splits (incl. a 1-row key)."""
+        from reden_ray.pipelines.curation import (
+            approx_quantiles_histogram, grouped_approx_quantiles)
+
+        rng = random.Random(23)
+        keys, vals = [], []
+        for k, size in (("a", 811), ("b", 97), ("c", 1)):
+            keys += [k] * size
+            vals += [rng.randint(0, 3000) for _ in range(size)]
+        t = pa.table({"k": pa.array(keys), "x": pa.array(vals, pa.int64())})
+        for parts in (1, 11):
+            got = grouped_approx_quantiles(
+                rd.from_arrow(t).repartition(parts), "k", "x")
+            for k in ("a", "b", "c"):
+                mask = [kk == k for kk in keys]
+                sub = pa.table({"x": pa.array(
+                    [v for v, m in zip(vals, mask) if m], pa.int64())})
+                want = approx_quantiles_histogram(rd.from_arrow(sub), "x")
+                sel = (got[got["k"] == k]
+                       .drop(columns="k").reset_index(drop=True))
+                pd.testing.assert_frame_equal(sel, want)
+
 
 class TestMixtureSample:
     def test_rate_and_determinism(self):

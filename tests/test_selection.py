@@ -277,6 +277,60 @@ class TestBottomK:
         assert (a.groupby("g").size() == 5).all()
 
 
+class TestWeightedBottomK:
+    def test_matches_oracle(self):
+        from reden_ray.pipelines.selection import Q77_SQL, q77_weighted_sample
+
+        _assert_matches_oracle(q77_weighted_sample(SF), Q77_SQL)
+
+    def test_mergeable_and_block_invariant(self):
+        from reden_ray.pipelines.selection import weighted_bottom_k_per_group
+
+        rng = random.Random(7)
+        df = pd.DataFrame({
+            "g": [f"g{i % 4}" for i in range(400)],
+            "i": list(range(400)),
+            "w": [rng.randint(1, 40) for _ in range(400)],
+        })
+        a = weighted_bottom_k_per_group(
+            rd.from_pandas(df).repartition(2), "g", "i", "w")
+        b = weighted_bottom_k_per_group(
+            rd.from_pandas(df).repartition(17), "g", "i", "w")
+        key = ["g", "smp_rank", "i", "rk"]
+        pd.testing.assert_frame_equal(
+            a.sort_values(key).reset_index(drop=True)[key],
+            b.sort_values(key).reset_index(drop=True)[key])
+        assert (a.groupby("g").size() == 5).all()
+
+    def test_weight_biases_inclusion(self):
+        """Items with a much larger weight are sampled far more often
+        than uniform: the integer rank hv // w preserves the
+        Efraimidis-Spirakis property directionally."""
+        from reden_ray.pipelines.selection import weighted_bottom_k_per_group
+
+        n = 2000
+        heavy = set(range(0, n, 100))              # 20 of 2000 get w=1000
+        df = pd.DataFrame({
+            "g": ["x"] * n,
+            "i": list(range(n)),
+            "w": [1000 if i in heavy else 1 for i in range(n)],
+        })
+        smp = weighted_bottom_k_per_group(
+            rd.from_pandas(df).repartition(5), "g", "i", "w", k=10)
+        got_heavy = sum(1 for i in smp["i"] if i in heavy)
+        # uniform would give ~0.1 heavy picks in expectation; the
+        # weighted rank should make heavy items dominate the sample
+        assert got_heavy >= 8, smp
+
+    def test_weight_floor_guards_nonpositive(self):
+        from reden_ray.pipelines.selection import weighted_bottom_k_per_group
+
+        df = pd.DataFrame({"g": ["x"] * 3, "i": [1, 2, 3],
+                           "w": [0, -5, 1]})
+        out = weighted_bottom_k_per_group(rd.from_pandas(df), "g", "i", "w")
+        assert len(out) == 3  # no div-by-zero; all rows rank
+
+
 class TestKCore:
     def test_matches_oracle(self):
         from reden_ray.pipelines.selection import _q62_sql, q62_kcore
