@@ -238,6 +238,58 @@ def q76_source_length_quantiles(sf_dir: str) -> pd.DataFrame:
     return grouped_approx_quantiles(ds, "source", "n_chars")
 
 
+# --- q78: percentile-rank transform (CDF normalization) WITHOUT a
+# global sort. Quality scores from different featurizers are only
+# comparable after rank-normalizing each to its corpus CDF (the
+# quantile-transform step before mixing/filtering on a combined
+# score). The naive route is a global sort + window rank — an
+# all-to-all of every row. This one is two passes, no row ever
+# re-shuffled: (1) the q45 value-count histogram (pre-reduced
+# (value, cnt) rows, vocabulary-sized), (2) the sorted CDF broadcast
+# once via ray.put and every row's rank attached MAP-SIDE by
+# searchsorted. Rank = COUNT of strictly-smaller rows — an integer, so
+# the transform hash-verifies against the SQL window exactly. At
+# 100 TB with a continuous metric, swap pass 1 for the q75 fixed-grid
+# histogram (same plumbing, W-bounded rank error).
+def rank_transform(ds, value_col: str, out_col: str = "n_smaller"):
+    def partial(t: pa.Table) -> pa.Table:
+        vc = t.column(value_col).value_counts()
+        return pa.table({"v": vc.field("values"),
+                         "cnt": pc.cast(vc.field("counts"), pa.int64())})
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("v").aggregate(Sum("cnt")).to_pandas())
+    vals = hist["v"].to_numpy()
+    order = np.argsort(vals, kind="stable")
+    vals = vals[order]
+    below = np.concatenate(
+        ([0], np.cumsum(hist["sum(cnt)"].to_numpy()[order])[:-1]))
+    cdf_ref = ray.put((vals, below.astype(np.int64)))
+
+    def attach(t: pa.Table) -> pa.Table:
+        cvals, cbelow = get_broadcast(cdf_ref)
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(cvals, v, side="left")
+        return t.append_column(out_col, pa.array(cbelow[idx], pa.int64()))
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def q78_rank_transform(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return rank_transform(ds, "n_chars").to_pandas()
+
+
+Q78_SQL = """
+SELECT doc_id, n_chars,
+       CAST(COUNT(*) OVER (
+            ORDER BY n_chars
+            RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            AS BIGINT) AS n_smaller
+FROM documents
+"""
+
+
 Q76_SQL = f"""
 WITH v AS (
   SELECT source, LEAST(n_chars // {HIST_BIN_WIDTH}, {HIST_N_BINS - 1}) AS bin

@@ -113,6 +113,38 @@ class TestQuantileFormula:
                 pd.testing.assert_frame_equal(sel, want)
 
 
+class TestRankTransform:
+    def test_matches_strict_smaller_count(self):
+        """n_smaller equals the count of strictly-smaller values, with
+        ties sharing a rank, regardless of block splits."""
+        from reden_ray.pipelines.curation import rank_transform
+
+        rng = random.Random(29)
+        vals = [rng.randint(0, 40) for _ in range(503)]
+        t = pa.table({"doc_id": pa.array(range(len(vals)), pa.int64()),
+                      "x": pa.array(vals, pa.int64())})
+        s = sorted(vals)
+        for parts in (1, 9):
+            out = (rank_transform(rd.from_arrow(t).repartition(parts), "x")
+                   .to_pandas().sort_values("doc_id"))
+            for v, r in zip(out["x"], out["n_smaller"]):
+                import bisect
+                assert r == bisect.bisect_left(s, v)
+
+    def test_rank_is_sort_free_normalizer(self):
+        """Equal values share ranks; max rank + its multiplicity = n."""
+        from reden_ray.pipelines.curation import rank_transform
+
+        t = pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                      "x": pa.array([5, 5, 1, 9, 9, 9], pa.int64())})
+        out = rank_transform(rd.from_arrow(t), "x").to_pandas()
+        by_v = out.groupby("x")["n_smaller"].agg(["min", "max", "size"])
+        assert (by_v["min"] == by_v["max"]).all()
+        assert by_v.loc[1, "min"] == 0
+        assert by_v.loc[5, "min"] == 1
+        assert by_v.loc[9, "min"] == 3
+
+
 class TestMixtureSample:
     def test_rate_and_determinism(self):
         from reden_ray.pipelines.curation import q46_domain_mixture_sample
