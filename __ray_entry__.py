@@ -1538,6 +1538,7 @@ FROM y
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from reden_ray.pipelines import curation as C
+    from reden_ray.pipelines import fusion as FU
     from reden_ray.pipelines import relational as R
     from reden_ray.pipelines import scaleops as SC
     from reden_ray.pipelines import selection as SEL
@@ -1670,6 +1671,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q73_activity_resample": SC.q73_activity_resample,
         # per-host boilerplate line removal (CCNet/RefinedWeb rule)
         "q74_boilerplate_removal": R.q74_boilerplate_removal,
+        # entity-fusion family: majority-vote truth discovery, SCD2
+        # change intervals, deterministic KG negative sampling,
+        # blocked-Levenshtein fuzzy linkage (pipelines/fusion.py)
+        "q79_attribute_fusion": FU.q79_attribute_fusion,
+        "q80_change_intervals": FU.q80_change_intervals,
+        "q81_negative_samples": FU.q81_negative_samples,
+        "q82_fuzzy_name_links": FU.q82_fuzzy_name_links,
         # flagship NEL / KG construction over derived pages (rows-only:
         # graph algorithm not SQL-expressible; parity is gated in pytest
         # against analytic gold fixtures instead).
@@ -1726,6 +1734,7 @@ SELECT u.vec_id, g.cluster FROM u JOIN g USING (embedding) WHERE g.c > 1
 
 def oracle_sql() -> dict[str, str]:
     from reden_ray.pipelines import curation as C
+    from reden_ray.pipelines import fusion as FU
     from reden_ray.pipelines import relational as R
     from reden_ray.pipelines import scaleops as SC
     from reden_ray.pipelines import selection as SEL
@@ -1828,6 +1837,10 @@ def oracle_sql() -> dict[str, str]:
         "q72_event_pivot": SC._q72_sql(),
         "q73_activity_resample": SC.Q73_SQL,
         "q74_boilerplate_removal": R.Q74_SQL,
+        "q79_attribute_fusion": FU.Q79_SQL,
+        "q80_change_intervals": FU.Q80_SQL,
+        "q81_negative_samples": FU.Q81_SQL,
+        "q82_fuzzy_name_links": FU.Q82_SQL,
         "q27_tumbling_window": __import__(
             "reden_ray.stages.windows", fromlist=["TUMBLING_SQL"]
         ).TUMBLING_SQL.format(size_us=3_600_000_000),
