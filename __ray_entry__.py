@@ -1539,7 +1539,9 @@ FROM y
 def queries() -> dict[str, Callable[[str], Any]]:
     from reden_ray.pipelines import curation as C
     from reden_ray.pipelines import fusion as FU
+    from reden_ray.pipelines import graphprep as GP
     from reden_ray.pipelines import relational as R
+    from reden_ray.pipelines import streamops as ST
     from reden_ray.pipelines import scaleops as SC
     from reden_ray.pipelines import selection as SEL
 
@@ -1678,6 +1680,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q80_change_intervals": FU.q80_change_intervals,
         "q81_negative_samples": FU.q81_negative_samples,
         "q82_fuzzy_name_links": FU.q82_fuzzy_name_links,
+        # graph-embedding prep: deterministic DeepWalk corpus +
+        # GraphSAGE two-hop feature aggregation (pipelines/graphprep.py)
+        "q83_random_walks": GP.q83_random_walks,
+        "q84_two_hop_features": GP.q84_two_hop_features,
+        # event-stream modelling: Markov transition model + watermark
+        # late-event quarantine (pipelines/streamops.py)
+        "q85_transition_model": ST.q85_transition_model,
+        "q86_late_events": ST.q86_late_events,
         # flagship NEL / KG construction over derived pages (rows-only:
         # graph algorithm not SQL-expressible; parity is gated in pytest
         # against analytic gold fixtures instead).
@@ -1735,7 +1745,9 @@ SELECT u.vec_id, g.cluster FROM u JOIN g USING (embedding) WHERE g.c > 1
 def oracle_sql() -> dict[str, str]:
     from reden_ray.pipelines import curation as C
     from reden_ray.pipelines import fusion as FU
+    from reden_ray.pipelines import graphprep as GP
     from reden_ray.pipelines import relational as R
+    from reden_ray.pipelines import streamops as ST
     from reden_ray.pipelines import scaleops as SC
     from reden_ray.pipelines import selection as SEL
     from reden_ray.pipelines.webdemo import GAZETTEER_WORDS, URL_PREFIX
@@ -1841,6 +1853,10 @@ def oracle_sql() -> dict[str, str]:
         "q80_change_intervals": FU.Q80_SQL,
         "q81_negative_samples": FU.Q81_SQL,
         "q82_fuzzy_name_links": FU.Q82_SQL,
+        "q83_random_walks": GP.Q83_SQL,
+        "q84_two_hop_features": GP.Q84_SQL,
+        "q85_transition_model": ST.Q85_SQL,
+        "q86_late_events": ST.Q86_SQL,
         "q27_tumbling_window": __import__(
             "reden_ray.stages.windows", fromlist=["TUMBLING_SQL"]
         ).TUMBLING_SQL.format(size_us=3_600_000_000),

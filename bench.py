@@ -295,6 +295,8 @@ def run_bench() -> dict:
         "q66_skew_join",             # skew-mitigated hash join
         "q67_ranked_retrieval",      # quantized-idf top-k retrieval
         "q74_boilerplate_removal",   # per-host boilerplate line strip
+        "q79_attribute_fusion",      # majority-vote truth discovery
+        "q83_random_walks",          # DeepWalk corpus over doc links
     ]
     for name in component_names:
         t0 = time.perf_counter()

@@ -1,0 +1,189 @@
+"""Event-stream modelling operators (q85-q86).
+
+Two stream-shaped passes a behavioural / training-data pipeline runs
+over event logs, both expressed with the windows-family machinery
+(ONE hash-bucket exchange per key family, vectorized inside buckets)
+and hash-verified:
+
+* q85 — Markov transition model (the n-gram-over-actions analogue of
+  q48's bigram LM): per-user event sequences ordered by (ts,
+  event_id) yield (state → next-state) transition counts across the
+  corpus, plus an integer-quantized transition probability
+  (cnt·2^20 // row_total — the q42b/q48 float-free discipline so the
+  model itself hash-verifies). The bucket stage emits per-bucket
+  PARTIAL transition counts (≤ |states|² rows per bucket, not per
+  event), so the second exchange moves a vocabulary-sized table.
+* q86 — watermark late-event quarantine (the streaming
+  out-of-order-data rule made deterministic): events arrive in
+  event_id order; an event is LATE if its timestamp precedes the
+  running max timestamp of earlier arrivals for the same key by more
+  than ``allowed_lateness``. Per-key cummax + shift inside the one
+  bucket exchange; emits the quarantined rows with their lateness.
+  This is the data-quality gate in front of the q27/q28 event-time
+  windows — at 100 TB the same pass runs as the window family does,
+  ONE keyed exchange of narrow columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from ..stages.windows import grouped_by_key_buckets
+
+_PROB_SCALE = 1 << 20
+
+
+def _read_events(sf_dir: str, columns):
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def transition_counts(events_ds, key_col: str = "user_id",
+                      state_col: str = "event_type",
+                      ts_col: str = "ts",
+                      order_col: str = "event_id") -> pd.DataFrame:
+    """(state, next_state, cnt, p_q20) over per-key sequences.
+    p_q20 = cnt * 2^20 // total outgoing transitions of ``state``."""
+
+    def narrow(t: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: t[key_col],
+            "__ts_us": pc.cast(t[ts_col], pa.int64()),
+            state_col: t[state_col],
+            order_col: t[order_col],
+        })
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, "__ts_us", order_col],
+                            kind="stable")
+        nxt = df[state_col].shift(-1)
+        same = df[key_col].eq(df[key_col].shift(-1))
+        out = pd.DataFrame({"state": df[state_col], "next_state": nxt})[same]
+        return (out.groupby(["state", "next_state"], as_index=False)
+                .size().rename(columns={"size": "cnt"}))
+
+    pre = events_ds.map_batches(narrow, batch_format="pyarrow")
+    counts = (grouped_by_key_buckets(pre, key_col, pairs)
+              .groupby(["state", "next_state"])
+              .aggregate(Sum("cnt", alias_name="cnt")).to_pandas())
+    totals = counts.groupby("state")["cnt"].transform("sum")
+    counts["p_q20"] = (counts["cnt"] * _PROB_SCALE // totals).astype("int64")
+    counts["cnt"] = counts["cnt"].astype("int64")
+    return counts[["state", "next_state", "cnt", "p_q20"]]
+
+
+def q85_transition_model(sf_dir: str) -> pd.DataFrame:
+    ds = _read_events(sf_dir, ["user_id", "ts", "event_type", "event_id"])
+    return transition_counts(ds)
+
+
+Q85_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+  FROM events
+), s AS (
+  SELECT event_type AS state,
+         LEAD(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id) AS next_state
+  FROM e
+), c AS (
+  SELECT state, next_state, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM s WHERE next_state IS NOT NULL GROUP BY state, next_state
+)
+SELECT state, next_state, cnt,
+       CAST(cnt * {_PROB_SCALE} // SUM(cnt) OVER (PARTITION BY state)
+            AS BIGINT) AS p_q20
+FROM c
+"""
+
+
+def late_events(events_ds, key_col: str = "user_id",
+                ts_col: str = "ts", order_col: str = "event_id",
+                allowed_lateness_us: int = 0) -> "rd.Dataset":
+    """Quarantine out-of-order events: row i (in ``order_col`` arrival
+    order) is LATE when prior-arrival running-max ts for its key
+    exceeds its own ts by more than ``allowed_lateness_us``. Emits
+    (key, order, ts_us, lateness_us)."""
+
+    def narrow(t: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: t[key_col],
+            "__ts_us": pc.cast(t[ts_col], pa.int64()),
+            order_col: t[order_col],
+        })
+
+    def quarantine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, order_col], kind="stable")
+        # prior-arrival running max per key, fully vectorized: shift
+        # the per-key cummax by one row and blank each key's first row
+        wm = df.groupby(key_col, sort=False)["__ts_us"].cummax().shift()
+        wm[df[key_col].ne(df[key_col].shift())] = np.nan
+        lateness = wm - df["__ts_us"]
+        late = lateness > allowed_lateness_us
+        out = df[late]
+        return pd.DataFrame({
+            key_col: out[key_col].astype("int64"),
+            order_col: out[order_col].astype("int64"),
+            "ts_us": out["__ts_us"].astype("int64"),
+            "lateness_us": lateness[late].astype("int64"),
+        })
+
+    pre = events_ds.map_batches(narrow, batch_format="pyarrow")
+    return grouped_by_key_buckets(pre, key_col, quarantine)
+
+
+# The synthetic events are already time-ordered per key, which makes
+# the watermark rule vacuous; the driver query derives a DETERMINISTIC
+# arrival permutation (multiplicative hash of event_id — the q41
+# messy-mint discipline) so the quarantine has real work to find, and
+# the oracle mirrors the same arithmetic.
+_ARR_MULT = 2_654_435_761
+_ARR_MOD = 999_983
+
+
+def q86_late_events(sf_dir: str) -> pd.DataFrame:
+    ds = _read_events(sf_dir, ["user_id", "ts", "event_id"])
+
+    def with_arrival(t: pa.Table) -> pa.Table:
+        arr = pc.add(
+            pc.multiply(
+                pc.subtract(
+                    pc.multiply(t["event_id"], pa.scalar(_ARR_MULT,
+                                                         pa.int64())),
+                    pc.multiply(
+                        pc.divide(pc.multiply(t["event_id"],
+                                              pa.scalar(_ARR_MULT,
+                                                        pa.int64())),
+                                  pa.scalar(_ARR_MOD, pa.int64())),
+                        pa.scalar(_ARR_MOD, pa.int64()))),
+                pa.scalar(10_000_000, pa.int64())),
+            t["event_id"])
+        return t.append_column("arr_id", arr)
+
+    out = late_events(ds.map_batches(with_arrival,
+                                     batch_format="pyarrow"),
+                      order_col="arr_id").to_pandas()
+    return out
+
+
+Q86_SQL = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         ((event_id * {_ARR_MULT}) % {_ARR_MOD}) * 10000000 + event_id
+             AS arr_id
+  FROM events
+), w AS (
+  SELECT user_id, arr_id, ts_us,
+         MAX(ts_us) OVER (
+             PARTITION BY user_id ORDER BY arr_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM e
+)
+SELECT user_id, arr_id, ts_us, CAST(wm - ts_us AS BIGINT) AS lateness_us
+FROM w WHERE wm - ts_us > 0
+"""
