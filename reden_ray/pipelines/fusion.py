@@ -151,7 +151,8 @@ def change_intervals(events_ds, key_col: str = "user_id",
     def narrow(t: pa.Table) -> pa.Table:
         return pa.table({
             key_col: t[key_col],
-            "__ts_us": pc.cast(t[ts_col], pa.int64()),
+            "__ts_us": pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                               pa.int64()),
             value_col: t[value_col],
             order_col: t[order_col],
         })

@@ -99,7 +99,8 @@ def doc_link_edges(pages_ds) -> "rd.Dataset":
         })
 
     return (pages_ds.map_batches(edge_partials, batch_format="pyarrow")
-            .groupby(["src_id", "dst_id"]).aggregate(Sum("cnt")))
+            .groupby(["src_id", "dst_id"])
+            .aggregate(Sum("cnt", alias_name="cnt")))
 
 
 def _walk_mix(cur: np.ndarray, step: int) -> np.ndarray:
@@ -206,11 +207,15 @@ def random_walks(edges_ds, k_steps: int = WALK_STEPS,
                 w = grp[~grp["__is_adj"]]
                 if len(a) == 0 or len(w) == 0:
                     continue
-                cur = w["node"].to_numpy()
+                # the union's nullable columns surface as float64 in
+                # the bucket frame; cast back so the next round's
+                # bucket hash sees int64 (float-hashed keys would land
+                # in different buckets than the int adjacency)
+                cur = w["node"].to_numpy().astype(np.int64)
                 idx = (_walk_mix(cur, step) % len(a)).astype(np.int64)
                 frames.append(pd.DataFrame({
-                    "start_id": w["start_id"].to_numpy(),
-                    "node_id": a["dst_id"].to_numpy()[idx]}))
+                    "start_id": w["start_id"].to_numpy().astype(np.int64),
+                    "node_id": a["dst_id"].to_numpy().astype(np.int64)[idx]}))
             if not frames:
                 return pd.DataFrame({
                     "start_id": pd.array([], dtype="int64"),

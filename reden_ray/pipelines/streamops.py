@@ -53,7 +53,8 @@ def transition_counts(events_ds, key_col: str = "user_id",
     def narrow(t: pa.Table) -> pa.Table:
         return pa.table({
             key_col: t[key_col],
-            "__ts_us": pc.cast(t[ts_col], pa.int64()),
+            "__ts_us": pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                               pa.int64()),
             state_col: t[state_col],
             order_col: t[order_col],
         })
@@ -113,7 +114,8 @@ def late_events(events_ds, key_col: str = "user_id",
     def narrow(t: pa.Table) -> pa.Table:
         return pa.table({
             key_col: t[key_col],
-            "__ts_us": pc.cast(t[ts_col], pa.int64()),
+            "__ts_us": pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                               pa.int64()),
             order_col: t[order_col],
         })
 
