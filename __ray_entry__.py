@@ -1540,6 +1540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from reden_ray.pipelines import curation as C
     from reden_ray.pipelines import fusion as FU
     from reden_ray.pipelines import graphprep as GP
+    from reden_ray.pipelines import rankops as RK
     from reden_ray.pipelines import relational as R
     from reden_ray.pipelines import streamops as ST
     from reden_ray.pipelines import scaleops as SC
@@ -1688,6 +1689,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # late-event quarantine (pipelines/streamops.py)
         "q85_transition_model": ST.q85_transition_model,
         "q86_late_events": ST.q86_late_events,
+        # ranking & freshness family: grouped top-N, reciprocal-rank
+        # fusion, dyadic time-decay (pipelines/rankops.py)
+        "q87_latest_orders": RK.q87_latest_orders,
+        "q88_rank_fusion": RK.q88_rank_fusion,
+        "q89_decayed_activity": RK.q89_decayed_activity,
         # flagship NEL / KG construction over derived pages (rows-only:
         # graph algorithm not SQL-expressible; parity is gated in pytest
         # against analytic gold fixtures instead).
@@ -1746,6 +1752,7 @@ def oracle_sql() -> dict[str, str]:
     from reden_ray.pipelines import curation as C
     from reden_ray.pipelines import fusion as FU
     from reden_ray.pipelines import graphprep as GP
+    from reden_ray.pipelines import rankops as RK
     from reden_ray.pipelines import relational as R
     from reden_ray.pipelines import streamops as ST
     from reden_ray.pipelines import scaleops as SC
@@ -1857,6 +1864,9 @@ def oracle_sql() -> dict[str, str]:
         "q84_two_hop_features": GP.Q84_SQL,
         "q85_transition_model": ST.Q85_SQL,
         "q86_late_events": ST.Q86_SQL,
+        "q87_latest_orders": RK.Q87_SQL,
+        "q88_rank_fusion": RK.Q88_SQL,
+        "q89_decayed_activity": RK.Q89_SQL,
         "q27_tumbling_window": __import__(
             "reden_ray.stages.windows", fromlist=["TUMBLING_SQL"]
         ).TUMBLING_SQL.format(size_us=3_600_000_000),
