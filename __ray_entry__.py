@@ -1694,6 +1694,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q87_latest_orders": RK.q87_latest_orders,
         "q88_rank_fusion": RK.q88_rank_fusion,
         "q89_decayed_activity": RK.q89_decayed_activity,
+        # cross-document line containment (quote/superset detection;
+        # deterministic capped blocking so the WHOLE operator
+        # hash-verifies, unlike the LSH families)
+        "q90_line_containment": R.q90_line_containment,
+        # session-based conversion attribution (first/last touch)
+        "q91_attribution": ST.q91_attribution,
+        # per-key OLS trend from integer moment sums
+        "q92_value_trend": ST.q92_value_trend,
         # flagship NEL / KG construction over derived pages (rows-only:
         # graph algorithm not SQL-expressible; parity is gated in pytest
         # against analytic gold fixtures instead).
@@ -1867,6 +1875,9 @@ def oracle_sql() -> dict[str, str]:
         "q87_latest_orders": RK.Q87_SQL,
         "q88_rank_fusion": RK.Q88_SQL,
         "q89_decayed_activity": RK.Q89_SQL,
+        "q90_line_containment": R.Q90_SQL,
+        "q91_attribution": ST.Q91_SQL,
+        "q92_value_trend": ST.Q92_SQL,
         "q27_tumbling_window": __import__(
             "reden_ray.stages.windows", fromlist=["TUMBLING_SQL"]
         ).TUMBLING_SQL.format(size_us=3_600_000_000),

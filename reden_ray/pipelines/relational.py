@@ -20,6 +20,7 @@ DuckDB's accumulation order in the low bits.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -1226,4 +1227,129 @@ SELECT doc_id,
                 '') AS clean_text
 FROM c GROUP BY doc_id
 HAVING COUNT(*) FILTER (WHERE is_bp) > 0
+"""
+
+
+# Q90 — cross-document line containment (quote / superset detection:
+# the directional complement of q19's symmetric Jaccard resemblance —
+# a short doc fully quoted inside a long one scores low Jaccard but
+# containment ~1). Docs are DISTINCT sets of 10-word lines (the
+# q36/q74 mint); candidate pairs come from co-occurrence in a line's
+# per-line doc list, capped at _CONTAIN_CAP by smallest doc_id — the
+# cap is DETERMINISTIC and mirrored as a ROW_NUMBER in the oracle, so
+# unlike q17-q19's LSH blocking the whole operator hash-verifies
+# end-to-end. Combiner-first everywhere: distinct (doc, line) per
+# block (docs are row-atomic, so per-block distinct is global),
+# ONE line-bucket exchange emitting (a, b) pair rows, a pair-keyed
+# count reduce, and a size-gated broadcast attach of the node-shaped
+# per-doc line counts (found-mask searchsorted — the graphprep
+# discipline). Runs over the q17b duplicated corpus so exact twins
+# anchor the output at containment 1000 both ways.
+_CONTAIN_CAP = 50
+_CONTAIN_MIN_PM = 600
+
+
+def line_containment_pairs(docs_ds, cap: int = _CONTAIN_CAP,
+                           min_pm: int = _CONTAIN_MIN_PM) -> pd.DataFrame:
+    from ..stages.windows import grouped_by_key_buckets
+
+    def distinct_lines(t: pa.Table) -> pa.Table:
+        lines = _line_rows(t).select(["doc_id", "line"])
+        return lines.group_by(["doc_id", "line"]).aggregate([])
+
+    rows = docs_ds.map_batches(distinct_lines, batch_format="pyarrow")
+
+    sizes = (rows.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "one": pa.array(
+                                np.ones(len(t), np.int64))}),
+        batch_format="pyarrow")
+        .groupby("doc_id").aggregate(Sum("one", alias_name="n_lines"))
+        .to_pandas())
+    ids = sizes["doc_id"].to_numpy()
+    order = np.argsort(ids, kind="stable")
+    sz_ref = ray.put((ids[order],
+                      sizes["n_lines"].to_numpy()[order].astype(np.int64)))
+
+    def pair_rows(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, grp in df.groupby("line", sort=False):
+            d = np.sort(grp["doc_id"].to_numpy().astype(np.int64))[:cap]
+            if len(d) < 2:
+                continue
+            ii, jj = np.triu_indices(len(d), k=1)
+            frames.append(pd.DataFrame({"a": d[ii], "b": d[jj]}))
+        if not frames:
+            return pd.DataFrame({"a": pd.array([], dtype="int64"),
+                                 "b": pd.array([], dtype="int64")})
+        out = pd.concat(frames, ignore_index=True)
+        return out.groupby(["a", "b"], as_index=False).size().rename(
+            columns={"size": "shared"})
+
+    pairs = (grouped_by_key_buckets(rows, "line", pair_rows)
+             .groupby(["a", "b"])
+             .aggregate(Sum("shared", alias_name="shared")))
+
+    def score(t: pa.Table) -> pa.Table:
+        bids, bn = get_broadcast(sz_ref)
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        sh = t["shared"].to_numpy(zero_copy_only=False)
+        pa_ = np.searchsorted(bids, a)
+        pb_ = np.searchsorted(bids, b)
+        la, lb = bn[pa_], bn[pb_]
+        c_a = sh * 1000 // la
+        c_b = sh * 1000 // lb
+        keep = np.maximum(c_a, c_b) >= min_pm
+        return pa.table({
+            "a": pa.array(a[keep], pa.int64()),
+            "b": pa.array(b[keep], pa.int64()),
+            "shared": pa.array(sh[keep], pa.int64()),
+            "la": pa.array(la[keep], pa.int64()),
+            "lb": pa.array(lb[keep], pa.int64()),
+            "c_a_pm": pa.array(c_a[keep], pa.int64()),
+            "c_b_pm": pa.array(c_b[keep], pa.int64()),
+        })
+
+    return pairs.map_batches(score, batch_format="pyarrow").to_pandas()
+
+
+def q90_line_containment(sf_dir: str) -> pd.DataFrame:
+    from .webdemo import duplicated_documents
+
+    return line_containment_pairs(duplicated_documents(sf_dir))
+
+
+Q90_SQL = f"""
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents
+), w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS idx
+  FROM u
+), l AS (
+  SELECT doc_id, (idx - 1) // {_LINE_WORDS} AS ln,
+         string_agg(word, ' ' ORDER BY idx) AS line
+  FROM w GROUP BY doc_id, (idx - 1) // {_LINE_WORDS}
+), dl AS (SELECT DISTINCT doc_id, line FROM l),
+sz AS (SELECT doc_id, COUNT(*) AS n_lines FROM dl GROUP BY doc_id),
+cap AS (
+  SELECT doc_id, line FROM (
+    SELECT doc_id, line,
+           ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id) AS rn
+    FROM dl) WHERE rn <= {_CONTAIN_CAP}
+), p AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM cap x JOIN cap y ON x.line = y.line AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT p.a, p.b, p.shared,
+       CAST(sa.n_lines AS BIGINT) AS la, CAST(sb.n_lines AS BIGINT) AS lb,
+       CAST(p.shared * 1000 // sa.n_lines AS BIGINT) AS c_a_pm,
+       CAST(p.shared * 1000 // sb.n_lines AS BIGINT) AS c_b_pm
+FROM p JOIN sz sa ON sa.doc_id = p.a JOIN sz sb ON sb.doc_id = p.b
+WHERE GREATEST(p.shared * 1000 // sa.n_lines,
+               p.shared * 1000 // sb.n_lines) >= {_CONTAIN_MIN_PM}
 """

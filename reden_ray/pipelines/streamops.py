@@ -189,3 +189,185 @@ WITH e AS (
 SELECT user_id, arr_id, ts_us, CAST(wm - ts_us AS BIGINT) AS lateness_us
 FROM w WHERE wm - ts_us > 0
 """
+
+
+# ---------------------------------------------------------------------------
+# Q91 — session-based conversion attribution (first/last-touch)
+# ---------------------------------------------------------------------------
+
+# Marketing-attribution shape over the event log: sessions split on
+# >30-minute inactivity gaps per user (the q16 session-window rule);
+# every 'purchase' is attributed to its session's FIRST event type
+# (first touch) and to the type of the event immediately BEFORE it in
+# the session (last touch; the purchase itself if it opens a session).
+# One keyed exchange; session ids, first/last touch all vectorized
+# (cumsum of gap flags + groupby transforms) inside the bucket.
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def session_attribution(events_ds, key_col: str = "user_id",
+                        ts_col: str = "ts", type_col: str = "event_type",
+                        order_col: str = "event_id",
+                        convert_type: str = "purchase") -> "rd.Dataset":
+    def narrow(t: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: t[key_col],
+            "__ts_us": pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                               pa.int64()),
+            type_col: t[type_col],
+            order_col: t[order_col],
+        })
+
+    def attribute(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, "__ts_us", order_col],
+                            kind="stable")
+        new_sess = (df[key_col].ne(df[key_col].shift())
+                    | (df["__ts_us"] - df["__ts_us"].shift()
+                       > _SESSION_GAP_US))
+        sess = new_sess.cumsum()
+        first_touch = df.groupby(sess, sort=False)[type_col].transform(
+            "first")
+        sess_start = df.groupby(sess, sort=False)["__ts_us"].transform(
+            "first")
+        prev_type = df[type_col].shift()
+        last_touch = prev_type.where(~new_sess, df[type_col])
+        conv = df[type_col] == convert_type
+        out = pd.DataFrame({
+            key_col: df[key_col].astype("int64"),
+            order_col: df[order_col].astype("int64"),
+            "session_start_us": sess_start.astype("int64"),
+            "first_touch": first_touch,
+            "last_touch": last_touch,
+        })[conv]
+        return out
+
+    pre = events_ds.map_batches(narrow, batch_format="pyarrow")
+    return grouped_by_key_buckets(pre, key_col, attribute)
+
+
+def q91_attribution(sf_dir: str) -> pd.DataFrame:
+    ds = _read_events(sf_dir, ["user_id", "ts", "event_type", "event_id"])
+    return session_attribution(ds).to_pandas()
+
+
+Q91_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+  FROM events
+), g AS (
+  SELECT *, CASE WHEN ts_us - LAG(ts_us) OVER w > {_SESSION_GAP_US}
+                 OR LAG(ts_us) OVER w IS NULL
+            THEN 1 ELSE 0 END AS new_sess,
+         LAG(event_type) OVER w AS prev_type
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), s AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sess
+  FROM g
+), a AS (
+  SELECT user_id, event_id, event_type,
+         FIRST_VALUE(event_type) OVER sw AS first_touch,
+         FIRST_VALUE(ts_us) OVER sw AS session_start_us,
+         CASE WHEN new_sess = 1 THEN event_type ELSE prev_type END
+             AS last_touch
+  FROM s WINDOW sw AS (PARTITION BY user_id, sess
+                       ORDER BY ts_us, event_id
+                       ROWS UNBOUNDED PRECEDING)
+)
+SELECT user_id, event_id, CAST(session_start_us AS BIGINT)
+           AS session_start_us, first_touch, last_touch
+FROM a WHERE event_type = 'purchase'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q92 — per-key OLS trend (grouped linear regression via moment sums)
+# ---------------------------------------------------------------------------
+
+# The per-group form of q53's normal-equations pass: slope of value vs
+# time per user from five INTEGER moment sums (n, Sx, Sy, Sxx, Sxy) —
+# per-batch combiners ship ≤5 numbers per (user, block); the slope is
+# the quantized integer ((n·Sxy − Sx·Sy) · 10^4) // (n·Sxx − Sx²), so
+# the trend itself hash-verifies. x = hours since the corpus min
+# timestamp (one scalar pre-pass), y = floor(value·100).
+_TREND_SCALE = 10_000
+
+
+def trend_per_key(events_ds, key_col: str = "user_id",
+                  ts_col: str = "ts", val_col: str = "value"
+                  ) -> pd.DataFrame:
+    from ray.data.aggregate import Min
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: t[key_col],
+            "__ts_us": pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                               pa.int64()),
+            val_col: t[val_col],
+        })
+
+    narrow = events_ds.map_batches(to_us, batch_format="pyarrow")
+    min_ts = narrow.aggregate(Min("__ts_us"))["min(__ts_us)"]
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = ((t["__ts_us"].to_numpy(zero_copy_only=False) - min_ts)
+             // 3_600_000_000).astype(np.int64)
+        y = np.floor(t[val_col].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        tt = pa.table({
+            key_col: t[key_col],
+            "n": pa.array(np.ones(len(x), np.int64)),
+            "sx": pa.array(x), "sy": pa.array(y),
+            "sxx": pa.array(x * x), "sxy": pa.array(x * y),
+        })
+        g = tt.group_by([key_col]).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxx", "sum"), ("sxy", "sum")])
+        return g.rename_columns([key_col, "n", "sx", "sy", "sxx", "sxy"])
+
+    agg = (narrow.map_batches(moments, batch_format="pyarrow")
+           .groupby(key_col)
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sx", alias_name="sx"),
+                      Sum("sy", alias_name="sy"),
+                      Sum("sxx", alias_name="sxx"),
+                      Sum("sxy", alias_name="sxy"))
+           .to_pandas())
+    num = agg["n"] * agg["sxy"] - agg["sx"] * agg["sy"]
+    den = agg["n"] * agg["sxx"] - agg["sx"] * agg["sx"]
+    keep = den > 0
+    out = agg[keep].copy()
+    # DuckDB's // TRUNCATES toward zero on negatives (Python/numpy
+    # floor); mirror trunc-division explicitly so negative slopes
+    # hash-match: sign * (|num·S| // den), den > 0 by the keep filter
+    nk = (num[keep] * _TREND_SCALE).astype("int64")
+    out["slope_q"] = (np.sign(nk) * (nk.abs() // den[keep])).astype(
+        "int64")
+    out["n"] = out["n"].astype("int64")
+    return out[[key_col, "n", "slope_q"]]
+
+
+def q92_value_trend(sf_dir: str) -> pd.DataFrame:
+    ds = _read_events(sf_dir, ["user_id", "ts", "value"])
+    return trend_per_key(ds)
+
+
+Q92_SQL = f"""
+WITH e AS (
+  SELECT user_id,
+         (epoch_us(ts) - (SELECT MIN(epoch_us(ts)) FROM events))
+             // 3600000000 AS x,
+         CAST(FLOOR(value * 100) AS BIGINT) AS y
+  FROM events
+), m AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM e GROUP BY user_id
+)
+SELECT user_id, n,
+       CAST(((n * sxy - sx * sy) * {_TREND_SCALE})
+            // (n * sxx - sx * sx) AS BIGINT) AS slope_q
+FROM m WHERE n * sxx - sx * sx > 0
+"""
