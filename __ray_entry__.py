@@ -1630,6 +1630,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q76_source_length_quantiles": C.q76_source_length_quantiles,
         # percentile-rank transform: CDF normalize without a global sort
         "q78_rank_transform": C.q78_rank_transform,
+        # equi-depth decile binning (quantile bucketize transform)
+        "q93_depth_bins": C.q93_depth_bins,
         "q46_domain_mixture_sample": C.q46_domain_mixture_sample,
         "q47_kmeans_clusters": C.q47_kmeans_clusters,
         "q48_bigram_lm_score": C.q48_bigram_lm_score,
@@ -1833,6 +1835,7 @@ def oracle_sql() -> dict[str, str]:
         "q75_approx_length_quantiles": C.Q75_SQL,
         "q76_source_length_quantiles": C.Q76_SQL,
         "q78_rank_transform": C.Q78_SQL,
+        "q93_depth_bins": C.Q93_SQL,
         "q46_domain_mixture_sample": C.Q46_SQL,
         "q47_kmeans_clusters": C.Q47_SQL,
         "q48_bigram_lm_score": C.Q48_SQL,

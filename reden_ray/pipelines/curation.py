@@ -1413,3 +1413,50 @@ SELECT b.doc_id,
 FROM bi b LEFT JOIN model m ON m.gram = b.gram
 GROUP BY b.doc_id
 """
+
+
+# --- q93: equi-depth quantile binning (the feature-bucketization
+# transform: assign every row its decile so downstream mixing /
+# stratification can treat a continuous metric as a categorical one).
+# Composition of two existing planes: the q45 exact-quantile cutpoints
+# (one pre-reduced histogram exchange) broadcast once via ray.put, then
+# a STATELESS map attaches bin = #cutpoints strictly below the value
+# (np.searchsorted left) — rows are never shuffled. Duplicate
+# cutpoints (tight distributions) are kept on BOTH engines, so bin
+# ids and the oracle's correlated-subquery count agree exactly.
+DEPTH_PERMILLE = tuple(range(100, 1000, 100))
+
+
+def equi_depth_bins(ds, value_col: str,
+                    permille=DEPTH_PERMILLE) -> "rd.Dataset":
+    cuts_df = exact_quantiles(ds, value_col, permille)
+    cuts = np.sort(cuts_df["value"].to_numpy().astype(np.int64))
+    cuts_ref = ray.put(cuts)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = get_broadcast(cuts_ref)
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "depth_bin",
+            pa.array(np.searchsorted(c, v, side="left"), pa.int64()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def q93_depth_bins(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return equi_depth_bins(ds, "n_chars").to_pandas()
+
+
+Q93_SQL = f"""
+WITH cuts AS (
+  {" UNION ALL ".join(
+      f"SELECT percentile_disc({pm / 1000.0}) "
+      f"WITHIN GROUP (ORDER BY n_chars) AS cut FROM documents"
+      for pm in DEPTH_PERMILLE)}
+)
+SELECT d.doc_id, d.n_chars,
+       CAST((SELECT COUNT(*) FROM cuts WHERE cuts.cut < d.n_chars)
+            AS BIGINT) AS depth_bin
+FROM documents d
+"""

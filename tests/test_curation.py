@@ -471,3 +471,27 @@ class TestBigramLM:
         assert (sub["n_known"] == sub["n_bigrams"]).all()
         assert (out["known_mass"] >= out["n_known"]).all()
         assert (out["n_known"] <= out["n_bigrams"]).all()
+
+
+class TestDepthBins:
+    def test_matches_oracle(self):
+        import duckdb
+        import pandas as pd
+
+        from reden_ray.pipelines.curation import Q93_SQL, q93_depth_bins
+
+        sf = "/root/testdata/sf0.001"
+        got = q93_depth_bins(sf)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet'")
+        want = con.sql(Q93_SQL).df()
+        cols = sorted(got.columns)
+        assert cols == sorted(want.columns)
+        g = got[cols].sort_values(cols).reset_index(drop=True)
+        w = want[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, w, check_dtype=False)
+        # deciles are near-balanced on a continuous-ish metric
+        sizes = got.groupby("depth_bin").size()
+        assert len(sizes) == 10
+        assert sizes.max() <= 2 * sizes.min()
