@@ -1632,6 +1632,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q78_rank_transform": C.q78_rank_transform,
         # equi-depth decile binning (quantile bucketize transform)
         "q93_depth_bins": C.q93_depth_bins,
+        # skip-gram co-occurrence pair mint (word2vec training prep)
+        "q94_skipgram_pairs": C.q94_skipgram_pairs,
+        # lexical-diversity profile per source (type-token ratio)
+        "q95_lexical_diversity": C.q95_lexical_diversity,
         "q46_domain_mixture_sample": C.q46_domain_mixture_sample,
         "q47_kmeans_clusters": C.q47_kmeans_clusters,
         "q48_bigram_lm_score": C.q48_bigram_lm_score,
@@ -1836,6 +1840,8 @@ def oracle_sql() -> dict[str, str]:
         "q76_source_length_quantiles": C.Q76_SQL,
         "q78_rank_transform": C.Q78_SQL,
         "q93_depth_bins": C.Q93_SQL,
+        "q94_skipgram_pairs": C.Q94_SQL,
+        "q95_lexical_diversity": C.Q95_SQL,
         "q46_domain_mixture_sample": C.Q46_SQL,
         "q47_kmeans_clusters": C.Q47_SQL,
         "q48_bigram_lm_score": C.Q48_SQL,

@@ -1460,3 +1460,138 @@ SELECT d.doc_id, d.n_chars,
             AS BIGINT) AS depth_bin
 FROM documents d
 """
+
+
+# --- q94: skip-gram co-occurrence pair counts (the word2vec /
+# GloVe-style training-pair mint). Forward window d in 1..W over each
+# document's space-split token stream; per-batch PARTIAL pair counts
+# (vectorized polars shift-over-doc, no Python loop over tokens)
+# combine before the ONE pair-keyed exchange, so a head pair ships one
+# row per block — the q42-edge discipline. Output bounded by the
+# min-count threshold (the standard word2vec min_count), applied
+# identically in the oracle's HAVING.
+SKIPGRAM_WINDOW = 2
+SKIPGRAM_MIN_COUNT = 3
+
+
+def skipgram_pairs(ds, text_col: str = "text",
+                   window: int = SKIPGRAM_WINDOW,
+                   min_count: int = SKIPGRAM_MIN_COUNT) -> pd.DataFrame:
+    import polars as pl
+
+    def partial(t: pa.Table) -> pa.Table:
+        pf = pl.DataFrame({
+            "doc": np.arange(len(t), dtype=np.int64),
+            "w": pl.from_arrow(pc.split_pattern(t[text_col], " ")),
+        }).explode("w")
+        pieces = []
+        for d in range(1, window + 1):
+            p = pf.with_columns(
+                pl.col("w").shift(-d).over("doc").alias("w2"))
+            pieces.append(p.drop_nulls("w2"))
+        out = (pl.concat(pieces)
+               .group_by(["w", "w2"])
+               .agg(pl.len().alias("cnt"))).to_arrow()
+        return pa.table({
+            "w1": out["w"].cast(pa.string()),
+            "w2": out["w2"].cast(pa.string()),
+            "cnt": out["cnt"].cast(pa.int64()),
+        })
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["w1", "w2"])
+              .aggregate(Sum("cnt", alias_name="cnt")))
+    out = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(
+            t["cnt"], pa.scalar(min_count, pa.int64()))),
+        batch_format="pyarrow").to_pandas()
+    out["cnt"] = out["cnt"].astype("int64")
+    return out
+
+
+def q94_skipgram_pairs(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["text"])
+    return skipgram_pairs(ds)
+
+
+Q94_SQL = f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS idx
+  FROM documents
+)
+SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM w a JOIN w b
+  ON a.doc_id = b.doc_id
+ AND b.idx - a.idx BETWEEN 1 AND {SKIPGRAM_WINDOW}
+GROUP BY a.w, b.w
+HAVING COUNT(*) >= {SKIPGRAM_MIN_COUNT}
+"""
+
+
+# --- q95: lexical-diversity profile per source (type-token ratio —
+# the Heaps'-law / vocabulary-growth quality signal used to flag
+# template-generated or degenerate text). Tokens = combiner-first
+# per-source sums; types = per-batch DISTINCT (source, word) partials
+# (head words ship once per block) → one word-keyed exchange →
+# per-source count. TTR quantized to parts-per-million integer so the
+# profile hash-verifies.
+def lexical_diversity(ds, group_col: str = "source",
+                      text_col: str = "text") -> pd.DataFrame:
+    def tok_partial(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t[text_col], " ")
+        return pa.table({
+            group_col: t[group_col],
+            "n": pc.cast(pc.list_value_length(words), pa.int64()),
+        })
+
+    tokens = (ds.map_batches(tok_partial, batch_format="pyarrow")
+              .groupby(group_col)
+              .aggregate(Sum("n", alias_name="n_tokens")).to_pandas())
+
+    def type_partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        pf = pl.DataFrame({
+            group_col: pl.from_arrow(t[group_col]),
+            "w": pl.from_arrow(pc.split_pattern(t[text_col], " ")),
+        }).explode("w").unique()
+        out = pf.to_arrow()
+        return pa.table({group_col: out[group_col].cast(pa.string()),
+                         "w": out["w"].cast(pa.string())})
+
+    from ..stages.canonicalize import exact_dedup
+
+    distinct = exact_dedup(
+        ds.map_batches(type_partial, batch_format="pyarrow"),
+        [group_col, "w"])
+    types = (distinct.map_batches(lambda t: pa.table({
+                 group_col: t[group_col],
+                 "one": pa.array(np.ones(len(t), np.int64))}),
+                 batch_format="pyarrow")
+             .groupby(group_col)
+             .aggregate(Sum("one", alias_name="n_types")).to_pandas())
+
+    out = tokens.merge(types, on=group_col)
+    out["ttr_ppm"] = (out["n_types"] * 1_000_000
+                      // out["n_tokens"]).astype("int64")
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    out["n_types"] = out["n_types"].astype("int64")
+    return out[[group_col, "n_tokens", "n_types", "ttr_ppm"]]
+
+
+def q95_lexical_diversity(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    return lexical_diversity(ds)
+
+
+Q95_SQL = """
+WITH w AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT word) AS BIGINT) AS n_types,
+       CAST(COUNT(DISTINCT word) * 1000000 // COUNT(*) AS BIGINT)
+           AS ttr_ppm
+FROM w GROUP BY source
+"""

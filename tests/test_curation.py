@@ -495,3 +495,59 @@ class TestDepthBins:
         sizes = got.groupby("depth_bin").size()
         assert len(sizes) == 10
         assert sizes.max() <= 2 * sizes.min()
+
+
+class TestSkipgramPairs:
+    def test_matches_oracle(self):
+        import duckdb
+        import pandas as pd
+
+        from reden_ray.pipelines.curation import (Q94_SQL,
+                                                  q94_skipgram_pairs)
+
+        sf = "/root/testdata/sf0.001"
+        got = q94_skipgram_pairs(sf)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet'")
+        want = con.sql(Q94_SQL).df()
+        cols = sorted(got.columns)
+        assert cols == sorted(want.columns)
+        g = got[cols].sort_values(cols).reset_index(drop=True)
+        w = want[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+    def test_planted_window(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from reden_ray.pipelines.curation import skipgram_pairs
+
+        df = pd.DataFrame({"text": ["a b c a b c a b c"]})
+        out = skipgram_pairs(rd.from_pandas(df), min_count=1)
+        out = out.set_index(["w1", "w2"])["cnt"]
+        assert out.loc[("a", "b")] == 3   # d=1
+        assert out.loc[("a", "c")] == 3   # d=2
+        assert out.loc[("c", "a")] == 2   # wraps forward only
+        assert ("b", "a") not in out.index  # no backward pairs
+
+
+class TestLexicalDiversity:
+    def test_matches_oracle(self):
+        import duckdb
+        import pandas as pd
+
+        from reden_ray.pipelines.curation import (Q95_SQL,
+                                                  q95_lexical_diversity)
+
+        sf = "/root/testdata/sf0.001"
+        got = q95_lexical_diversity(sf)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet'")
+        want = con.sql(Q95_SQL).df()
+        cols = sorted(got.columns)
+        assert cols == sorted(want.columns)
+        g = got[cols].sort_values(cols).reset_index(drop=True)
+        w = want[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, w, check_dtype=False)
