@@ -526,10 +526,11 @@ class TestSkipgramPairs:
         df = pd.DataFrame({"text": ["a b c a b c a b c"]})
         out = skipgram_pairs(rd.from_pandas(df), min_count=1)
         out = out.set_index(["w1", "w2"])["cnt"]
-        assert out.loc[("a", "b")] == 3   # d=1
+        assert out.loc[("a", "b")] == 3   # d=1: positions (1,2),(4,5),(7,8)
         assert out.loc[("a", "c")] == 3   # d=2
-        assert out.loc[("c", "a")] == 2   # wraps forward only
-        assert ("b", "a") not in out.index  # no backward pairs
+        assert out.loc[("c", "a")] == 2   # d=1 across the repeats
+        assert out.loc[("b", "a")] == 2   # d=2 across the repeats
+        assert ("a", "a") not in out.index  # same-word gap is 3 > window
 
 
 class TestLexicalDiversity:
