@@ -1540,6 +1540,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from reden_ray.pipelines import curation as C
     from reden_ray.pipelines import fusion as FU
     from reden_ray.pipelines import graphprep as GP
+    from reden_ray.pipelines import graphstats as GS
+    from reden_ray.pipelines import qualstats as QS
     from reden_ray.pipelines import rankops as RK
     from reden_ray.pipelines import relational as R
     from reden_ray.pipelines import streamops as ST
@@ -1636,6 +1638,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q94_skipgram_pairs": C.q94_skipgram_pairs,
         # lexical-diversity profile per source (type-token ratio)
         "q95_lexical_diversity": C.q95_lexical_diversity,
+        # multi-source BFS hop distance (TrustRank seed horizon)
+        "q96_seed_distance": GS.q96_seed_distance,
+        # per-source integer-Chebyshev length outliers
+        "q97_length_outliers": QS.q97_length_outliers,
+        # per-node edge reciprocity (link-farm signal)
+        "q98_reciprocity": GS.q98_reciprocity,
+        # per-source hashed-vocab chi-square drift
+        "q99_source_drift": QS.q99_source_drift,
         "q46_domain_mixture_sample": C.q46_domain_mixture_sample,
         "q47_kmeans_clusters": C.q47_kmeans_clusters,
         "q48_bigram_lm_score": C.q48_bigram_lm_score,
@@ -1772,6 +1782,8 @@ def oracle_sql() -> dict[str, str]:
     from reden_ray.pipelines import scaleops as SC
     from reden_ray.pipelines import selection as SEL
     from reden_ray.pipelines.webdemo import GAZETTEER_WORDS, URL_PREFIX
+    from reden_ray.pipelines import graphstats as GS
+    from reden_ray.pipelines import qualstats as QS
 
     values = ", ".join(f"('{w}')" for w in GAZETTEER_WORDS)
     return {
@@ -1842,6 +1854,10 @@ def oracle_sql() -> dict[str, str]:
         "q93_depth_bins": C.Q93_SQL,
         "q94_skipgram_pairs": C.Q94_SQL,
         "q95_lexical_diversity": C.Q95_SQL,
+        "q96_seed_distance": GS.Q96_SQL,
+        "q97_length_outliers": QS.Q97_SQL,
+        "q98_reciprocity": GS.Q98_SQL,
+        "q99_source_drift": QS.Q99_SQL,
         "q46_domain_mixture_sample": C.Q46_SQL,
         "q47_kmeans_clusters": C.Q47_SQL,
         "q48_bigram_lm_score": C.Q48_SQL,

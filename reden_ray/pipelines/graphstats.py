@@ -1,0 +1,216 @@
+"""Graph-statistics pipelines over a sparse deterministic host graph.
+
+The q42 family ranks the DENSE nav-link host graph (31 hosts, nearly
+complete — every distance is 0 or 1, every edge reciprocated), which is
+the right fixture for PageRank mass flow but degenerate for hop-based
+and directionality-based statistics. This module mints a SPARSE
+functional graph from ``documents`` instead — each node gets exactly
+two arithmetic out-edges — so BFS distances spread over many hops and
+reciprocity genuinely varies per node. Both oracles recompute the mint
+arithmetically (the q42/q71 precedent): the check verifies the
+distributed algorithm, not a copy of the fixture.
+
+Graph mint (shared by q96/q98):
+    node k   = doc_id % N_NODES                      (labels "n<k>")
+    edges    = k -> (k*31 + 7) % N_NODES
+               k -> (k*17 + 3) % N_NODES             (distinct pairs)
+
+Reference tie-in: the reference ranks candidate URIs by centrality
+over per-context fusion graphs (CentralityHandler.java:64-230); these
+are the corpus-level graph signals a web-scale crawl adds on top —
+seed-distance (TrustRank-style trust horizon) and reciprocity (link-
+farm detection) over the host graph that q42 extracts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..functions.bucket import add_bucket
+
+N_NODES = 997          # prime: the functional maps k*31+7, k*17+3 are bijections
+_MULT_A, _OFF_A = 31, 7
+_MULT_B, _OFF_B = 17, 3
+SEED_STEP = 131        # seeds = nodes with k % 131 == 0 (8 of 997)
+BFS_ROUNDS = 8
+
+
+def sparse_host_edges(sf_dir: str):
+    """documents -> per-batch DISTINCT (s, d) int64 edge partials.
+
+    ≤ 2×N_NODES rows leave each block regardless of corpus size (the
+    combiner-first bound); consumers that need GLOBAL distinctness
+    (q98) co-locate on the unordered pair key — BFS (q96) is min-
+    idempotent, so duplicate edges across blocks are harmless there
+    and the global dedup exchange is skipped entirely.
+    """
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def mint(t: pa.Table) -> pa.Table:
+        k = np.unique(t.column("doc_id").to_numpy(zero_copy_only=False)
+                      % N_NODES)
+        s = np.concatenate([k, k])
+        d = np.concatenate([(k * _MULT_A + _OFF_A) % N_NODES,
+                            (k * _MULT_B + _OFF_B) % N_NODES])
+        pairs = np.unique(np.stack([s, d], axis=1), axis=0)
+        return pa.table({
+            "s": pa.array(pairs[:, 0], pa.int64()),
+            "d": pa.array(pairs[:, 1], pa.int64()),
+        })
+
+    return ds.map_batches(mint, batch_format="pyarrow")
+
+
+_EDGES_CTE = f"""e AS (
+  SELECT DISTINCT doc_id % {N_NODES} AS s,
+         ((doc_id % {N_NODES}) * {_MULT_A} + {_OFF_A}) % {N_NODES} AS d
+  FROM documents
+  UNION
+  SELECT DISTINCT doc_id % {N_NODES},
+         ((doc_id % {N_NODES}) * {_MULT_B} + {_OFF_B}) % {N_NODES}
+  FROM documents
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Q96 — multi-source BFS hop distance (TrustRank-style seed horizon)
+# ---------------------------------------------------------------------------
+
+def q96_seed_distance(sf_dir: str) -> pd.DataFrame:
+    """Hop distance from the seed set over the sparse host graph,
+    bounded at BFS_ROUNDS hops; unreached nodes omitted. The heavy
+    lifting is stages/graphrank.seed_distance (size-gated local solve
+    vs the cc.py min-propagation exchange pair)."""
+    from ..stages.graphrank import seed_distance
+
+    def label(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pc.binary_join_element_wise(
+                "n", pc.cast(t["s"], pa.string()), ""),
+            "dst": pc.binary_join_element_wise(
+                "n", pc.cast(t["d"], pa.string()), ""),
+        })
+
+    edges = sparse_host_edges(sf_dir).map_batches(
+        label, batch_format="pyarrow")
+    seeds = [f"n{k}" for k in range(0, N_NODES, SEED_STEP)]
+    out = seed_distance(edges, seeds, src_col="src", dst_col="dst",
+                        max_rounds=BFS_ROUNDS)
+    df = out.to_pandas()
+    if df.empty:  # Ray drops the schema of an all-empty Dataset
+        df = pd.DataFrame({"node": pd.Series(dtype=object),
+                           "dist": pd.Series(dtype="int64")})
+    return df
+
+
+def _q96_sql(n_rounds: int = BFS_ROUNDS) -> str:
+    parts = [
+        _EDGES_CTE,
+        "nodes AS (SELECT DISTINCT k FROM "
+        "(SELECT s AS k FROM e UNION ALL SELECT d FROM e))",
+        f"d0 AS (SELECT k, CAST(0 AS BIGINT) AS dist FROM nodes "
+        f"WHERE k % {SEED_STEP} = 0)",
+    ]
+    for i in range(1, n_rounds + 1):
+        prev = f"d{i - 1}"
+        parts.append(
+            f"d{i} AS (SELECT k, MIN(dist) AS dist FROM (\n"
+            f"  SELECT k, dist FROM {prev}\n"
+            f"  UNION ALL\n"
+            f"  SELECT e.d AS k, p.dist + 1 AS dist\n"
+            f"  FROM e JOIN {prev} p ON p.k = e.s) GROUP BY k)")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT 'n' || CAST(k AS VARCHAR) AS node, dist"
+              f" FROM d{n_rounds}")
+
+
+Q96_SQL = _q96_sql()
+
+
+# ---------------------------------------------------------------------------
+# Q98 — per-node edge reciprocity (link-farm signal)
+# ---------------------------------------------------------------------------
+
+_PAIR_BUCKETS = 32
+
+
+def reciprocity(edges_ds, num_buckets: int = _PAIR_BUCKETS):
+    """Distinct-edge Dataset partials -> (node, n_out, n_recip,
+    recip_ppm). ONE exchange: (s,d) and (d,s) share the unordered pair
+    key, so in-bucket logic sees both directions of every pair AND all
+    duplicates of each directed edge (global dedup falls out of the
+    same exchange). Per-src counts leave each bucket pre-reduced; the
+    final groupby is vocabulary-sized. recip_ppm is an integer floor-
+    div so the ratio itself hash-verifies."""
+
+    def pair_key(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        return t.append_column(
+            "pk", pa.array(lo * N_NODES + hi, pa.int64()))
+
+    def bucket_counts(df: pd.DataFrame) -> pa.Table:
+        u = df.drop_duplicates(["s", "d"])
+        s = u["s"].to_numpy()
+        d = u["d"].to_numpy()
+        fwd = set(zip(s.tolist(), d.tolist()))
+        rec = np.fromiter(((dd, ss) in fwd for ss, dd in zip(s, d)),
+                          dtype=np.int64, count=len(s))
+        g = pd.DataFrame({"node": s, "n_out_p": 1, "n_recip_p": rec}) \
+            .groupby("node", as_index=False).sum()
+        return pa.table({
+            "node": pa.array(g["node"].to_numpy(), pa.int64()),
+            "n_out_p": pa.array(g["n_out_p"].to_numpy(), pa.int64()),
+            "n_recip_p": pa.array(g["n_recip_p"].to_numpy(), pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        edges_ds.map_batches(pair_key, batch_format="pyarrow")
+        .map_batches(lambda t: add_bucket(t, "pk", num_buckets),
+                     batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda df: bucket_counts(
+            df.drop(columns=["__bucket", "pk"])), batch_format="pandas")
+        .groupby("node")
+        .aggregate(Sum("n_out_p", alias_name="n_out"),
+                   Sum("n_recip_p", alias_name="n_recip"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n_out = t.column("n_out").to_numpy(zero_copy_only=False)
+        n_rec = t.column("n_recip").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": pc.binary_join_element_wise(
+                "n", pc.cast(t["node"], pa.string()), ""),
+            "n_out": t["n_out"],
+            "n_recip": t["n_recip"],
+            "recip_ppm": pa.array(1_000_000 * n_rec // n_out, pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def q98_reciprocity(sf_dir: str) -> pd.DataFrame:
+    return reciprocity(sparse_host_edges(sf_dir)).to_pandas()
+
+
+Q98_SQL = f"""
+WITH {_EDGES_CTE}
+SELECT 'n' || CAST(a.s AS VARCHAR) AS node,
+       CAST(COUNT(*) AS BIGINT) AS n_out,
+       CAST(SUM(CASE WHEN b.s IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_recip,
+       CAST(1000000 * SUM(CASE WHEN b.s IS NULL THEN 0 ELSE 1 END)
+            // COUNT(*) AS BIGINT) AS recip_ppm
+FROM e a LEFT JOIN e b ON b.s = a.d AND b.d = a.s
+GROUP BY a.s
+"""

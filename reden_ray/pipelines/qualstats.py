@@ -1,0 +1,238 @@
+"""Statistical quality profiling over the document corpus.
+
+Two corpus-QA operators a training-data pipeline runs before mixing:
+
+* q97 — per-source length-outlier detection (Chebyshev k=3/2 over
+  n_chars) in EXACT integer moment algebra: the float-free restatement
+  of ``|x - mean| > (p/q)*sigma`` is ``q^2*(x*n - s)^2 >
+  p^2*(n*ss - s^2)`` with s = sum, ss = sum of squares, so both
+  engines evaluate the identical integers and the outlier ROWS
+  themselves hash-verify. k is rational ON PURPOSE — sigma never
+  needs to be computed, only compared against, so no sqrt/float
+  enters either engine.
+  Shape: per-batch (source, n, sum, sumsq) partials (≤ |sources| rows
+  leave each block), vocabulary-sized groupby, moments broadcast
+  in-closure, then a stateless zero-shuffle flag scan.
+
+* q99 — per-source token-distribution drift vs the corpus: a
+  chi-square statistic over the 64-bucket hashed vocabulary (the q56
+  DSIR feature space), integer-quantized to e6 so the statistic itself
+  hash-verifies. Shape: per-batch (source, bucket) bincount partials
+  (≤ |sources|×64 rows per block at ANY corpus size), ONE tiny
+  groupby, exact Python-int contingency math over the |sources|×64
+  table on the driver (DuckDB side runs the same algebra in HUGEINT).
+
+Scale notes: q97's squared-deviation compare is int64-safe while
+|x*n - sum| < 2^31.5 ≈ 3.04e9 (guard-asserted; past that, center the
+moments per source or switch the scan to Python-int objects — the
+DuckDB oracle is already exact via HUGEINT). q99's driver state is
+|sources|×64 cells regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+_CHEB_P, _CHEB_Q = 3, 2          # flag |x - mean| > (3/2) sigma
+_I64_SAFE = 1_518_500_249        # floor(sqrt(int64max / _CHEB_Q^2))
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Q97 — per-source length outliers (integer Chebyshev)
+# ---------------------------------------------------------------------------
+
+def source_moments(ds, key_col: str = "source", val_col: str = "n_chars"):
+    """(key, n, s, ss) exact int64 moments, combiner-first."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": t.column(key_col).to_pandas(),
+            "x": t.column(val_col).to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("k")["x"].agg(n="count", s="sum",
+                                     ss=lambda v: int((v * v).sum()))
+        g = g.reset_index()
+        return pa.table({
+            "k": pa.array(g["k"], pa.string()),
+            "n_p": pa.array(g["n"].to_numpy(), pa.int64()),
+            "s_p": pa.array(g["s"].to_numpy(), pa.int64()),
+            "ss_p": pa.array(g["ss"].to_numpy(), pa.int64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("k")
+            .aggregate(Sum("n_p", alias_name="n"),
+                       Sum("s_p", alias_name="s"),
+                       Sum("ss_p", alias_name="ss")))
+
+
+def length_outliers(ds, key_col: str = "source", val_col: str = "n_chars",
+                    id_col: str = "doc_id",
+                    k_num: int = _CHEB_P, k_den: int = _CHEB_Q):
+    """documents -> the outlier rows (id, key, val). The moment table
+    is vocabulary-sized (one row per source) so it rides in-closure;
+    document rows never shuffle."""
+    mom = source_moments(ds, key_col, val_col).to_pandas()
+    # rhs per source as EXACT Python ints (n*ss - s*s overflows int64
+    # ~1e5 sources earlier than the lhs does)
+    rhs = {
+        r["k"]: k_num * k_num * (int(r["n"]) * int(r["ss"])
+                                 - int(r["s"]) ** 2)
+        for _, r in mom.iterrows()
+    }
+    nmap = {r["k"]: int(r["n"]) for _, r in mom.iterrows()}
+    smap = {r["k"]: int(r["s"]) for _, r in mom.iterrows()}
+
+    def flag(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_pandas()
+        x = t.column(val_col).to_numpy(zero_copy_only=False)
+        n = keys.map(nmap).to_numpy(dtype=np.int64)
+        s = keys.map(smap).to_numpy(dtype=np.int64)
+        r = keys.map(rhs).to_numpy(dtype=np.float64)  # compare-only copy
+        dev = x * n - s
+        assert np.abs(dev).max(initial=0) <= _I64_SAFE, \
+            "center moments per source before squaring at this scale"
+        lhs = k_den * k_den * dev * dev
+        # float compare is exact here: both sides < 2^63 and the
+        # deciding magnitudes are far apart; redo borderline rows in
+        # exact ints to keep the operator bit-honest
+        out = lhs.astype(np.float64) > r
+        near = np.abs(lhs.astype(np.float64) - r) < 1e6
+        if near.any():
+            rl = keys.map(rhs)
+            for i in np.nonzero(near)[0]:
+                out[i] = int(lhs[i]) > int(rl.iloc[i])
+        return pa.table({
+            id_col: t.column(id_col).filter(pa.array(out)),
+            key_col: t.column(key_col).filter(pa.array(out)),
+            val_col: t.column(val_col).filter(pa.array(out)),
+        })
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def q97_length_outliers(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    df = length_outliers(ds).to_pandas()
+    if df.empty:  # Ray drops the schema of an all-empty Dataset
+        df = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                           "source": pd.Series(dtype=object),
+                           "n_chars": pd.Series(dtype="int64")})
+    return df
+
+
+Q97_SQL = f"""
+WITH m AS (
+  SELECT source,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(n_chars) AS HUGEINT) AS s,
+         CAST(SUM(n_chars * n_chars) AS HUGEINT) AS ss
+  FROM documents GROUP BY source
+)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN m ON m.source = d.source
+WHERE {_CHEB_Q * _CHEB_Q} * (d.n_chars * m.n - m.s)
+      * (d.n_chars * m.n - m.s)
+      > {_CHEB_P * _CHEB_P} * (m.n * m.ss - m.s * m.s)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q99 — per-source token-distribution drift (hashed-vocab chi-square)
+# ---------------------------------------------------------------------------
+
+_DRIFT_BUCKETS = 64
+_DRIFT_SCALE = 1_000_000
+
+
+def source_token_histogram(ds, key_col: str = "source"):
+    """(key, b, c) exact token counts over the q56 hashed vocabulary;
+    per-batch bincount partials bound each block's contribution to
+    |sources| x B rows."""
+    from .selection import _tokens_with_buckets
+
+    def partial(t: pa.Table) -> pa.Table:
+        par, bk = _tokens_with_buckets(t)
+        keys = t.column(key_col).to_pandas()
+        codes, uniq = pd.factorize(keys)
+        cell = codes[par] * _DRIFT_BUCKETS + bk
+        c = np.bincount(cell, minlength=len(uniq) * _DRIFT_BUCKETS)
+        nz = np.nonzero(c)[0]
+        return pa.table({
+            "k": pa.array(uniq[nz // _DRIFT_BUCKETS], pa.string()),
+            "b": pa.array((nz % _DRIFT_BUCKETS).astype(np.int64)),
+            "c_p": pa.array(c[nz].astype(np.int64)),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["k", "b"])
+            .aggregate(Sum("c_p", alias_name="c")))
+
+
+def source_drift(ds, key_col: str = "source") -> pd.DataFrame:
+    """-> (source, chi_e6): integer-quantized chi-square of each
+    source's hashed-token distribution against the pooled corpus,
+    summed over ALL buckets the corpus populates (zero-observed cells
+    contribute their full expected mass, as in the true statistic)."""
+    cnt = source_token_histogram(ds, key_col).to_pandas()
+    # exact contingency math over the |sources| x B table
+    tb = cnt.groupby("b")["c"].sum().to_dict()          # bucket marginals
+    ssum = cnt.groupby("k")["c"].sum().to_dict()        # source totals
+    tt = int(cnt["c"].sum())
+    obs = {(r["k"], int(r["b"])): int(r["c"]) for _, r in cnt.iterrows()}
+    rows = []
+    for k in sorted(ssum):
+        s = int(ssum[k])
+        chi = 0
+        for b, t in tb.items():
+            t = int(t)
+            c = obs.get((k, int(b)), 0)
+            num = (c * tt - s * t) ** 2
+            chi += _DRIFT_SCALE * num // (s * t * tt)
+        rows.append({"source": k, "chi_e6": chi})
+    return pd.DataFrame(rows)
+
+
+def q99_source_drift(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    return source_drift(ds)
+
+
+Q99_SQL = f"""
+WITH w AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+), wf AS (
+  SELECT source,
+         (length(word) * 131 + ascii(word) * 31 + ascii(reverse(word)))
+           % {_DRIFT_BUCKETS} AS b
+  FROM w WHERE word <> ''
+), cnt AS (
+  SELECT source, b, CAST(COUNT(*) AS HUGEINT) AS c FROM wf GROUP BY source, b
+), tb AS (
+  SELECT b, SUM(c) AS t FROM cnt GROUP BY b
+), ss AS (
+  SELECT source, SUM(c) AS s FROM cnt GROUP BY source
+), tot AS (
+  SELECT SUM(c) AS tt FROM cnt
+), grid AS (
+  SELECT ss.source, ss.s, tb.b, tb.t, (SELECT tt FROM tot) AS tt
+  FROM ss CROSS JOIN tb
+), j AS (
+  SELECT g.source, COALESCE(c.c, 0) AS c, g.s, g.t, g.tt
+  FROM grid g LEFT JOIN cnt c ON c.source = g.source AND c.b = g.b
+)
+SELECT source,
+       CAST(SUM({_DRIFT_SCALE} * ((c * tt - s * t) * (c * tt - s * t))
+                // (s * t * tt)) AS BIGINT) AS chi_e6
+FROM j GROUP BY source
+"""

@@ -39,6 +39,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -252,3 +253,232 @@ def pagerank(
                              "rank": df["val"].to_numpy()})
 
     return ranks.map_batches(emit, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS hop distance (TrustRank-style seed propagation)
+# ---------------------------------------------------------------------------
+
+def _dist_solve_local(src: np.ndarray, dst: np.ndarray, seeds: set,
+                      max_rounds: int) -> pd.DataFrame:
+    """Vectorized single-heap BFS: repeated scatter-min over the edge
+    list. Deterministic (integer distances, min is order-free)."""
+    nodes, codes = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    s = codes[: len(src)]
+    d = codes[len(src):]
+    n = len(nodes)
+    big = np.iinfo(np.int64).max
+    dist = np.full(n, big, dtype=np.int64)
+    seed_mask = np.isin(nodes, np.asarray(sorted(seeds), dtype=object))
+    dist[seed_mask] = 0
+    for _ in range(max_rounds):
+        reach = dist[s] != big
+        if not reach.any():
+            break
+        cand = dist[s[reach]] + 1
+        before = dist.copy()
+        np.minimum.at(dist, d[reach], cand)
+        if (dist == before).all():
+            break
+    keep = dist != big
+    return pd.DataFrame({"node": nodes[keep], "dist": dist[keep]})
+
+
+def seed_distance(
+    edges_ds,
+    seeds: list,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 8,
+    num_buckets: int = 64,
+    local_solve_max_edges: int = 4_000_000,
+):
+    """Edge Dataset + seed node list -> ``(node, dist)`` Dataset: the
+    minimum hop count from ANY seed, bounded by ``max_rounds`` (nodes
+    beyond the horizon, or unreachable, are omitted). This is the
+    TrustRank / spam-distance primitive: distance from a hand-curated
+    trusted seed set is a per-host quality prior, and the bounded
+    horizon is what production systems use anyway (trust decays to
+    noise past a few hops).
+
+    Shape: the frontier iteration is min-label propagation with a +1
+    increment — exactly the connected-components exchange pattern
+    (stages/cc.py:199-230), so it reuses the same size gate:
+
+    * below ``local_solve_max_edges``: ONE numpy task (scatter-min
+      rounds over factorized endpoints) — a distributed round is two
+      bucketed exchanges of fixed overhead, which dwarfs the work on
+      vocabulary-sized host graphs (even a trillion-page crawl has
+      ~1e8 hosts);
+    * above: per round, dist rows and edges co-locate on hash(src)
+      (one bucketed exchange) to emit per-bucket pre-reduced
+      ``(dst, dist+1)`` candidate partials, then candidates and
+      current dists co-locate on hash(node) to take the min. Rows are
+      (string, int64) pairs — nothing wide moves, nothing node-shaped
+      sits on the driver. Early exit when a round changes nothing
+      (cheap count aggregate of an ``updated`` flag column).
+
+    The seed list is driver-held and broadcast in-closure: TrustRank
+    seed sets are small by construction (hand-audited). For a
+    Dataset-sized seed set, union it in as kind-tagged rows instead.
+    """
+    seeds = set(seeds)
+    if not seeds:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "dist": pa.array([], pa.int64()),
+        }))
+
+    def enc_edges(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "key": t.column(src_col).cast(pa.string()),
+            "dst": t.column(dst_col).cast(pa.string()),
+            "val": pa.nulls(n, pa.int64()),
+            "kind": pa.array(np.full(n, 1, dtype=np.int8), pa.int8()),
+        })
+
+    edges = (
+        edges_ds.map_batches(enc_edges, batch_format="pyarrow")
+        .repartition(8)
+        .materialize()
+    )
+    n_edges = edges.count()
+    if n_edges == 0:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "dist": pa.array([], pa.int64()),
+        }))
+
+    if n_edges <= local_solve_max_edges:
+        def solve(t: pa.Table) -> pa.Table:
+            df = _dist_solve_local(
+                np.asarray(t.column("key").to_pylist(), dtype=object),
+                np.asarray(t.column("dst").to_pylist(), dtype=object),
+                seeds, max_rounds)
+            # explicit types: an all-empty result must keep its schema
+            return pa.table({
+                "node": pa.array(df["node"].to_numpy(dtype=object),
+                                 pa.string()),
+                "dist": pa.array(df["dist"].to_numpy(), pa.int64()),
+            })
+
+        return edges.repartition(1).map_batches(
+            solve, batch_size=None, batch_format="pyarrow")
+
+    # ---- distributed path (the cc.py exchange pair, min-plus) -----------
+    num_buckets = max(4, min(num_buckets, n_edges // 25_000 + 4))
+
+    def node_seed_rows(t: pa.Table) -> pa.Table:
+        ks = np.unique(np.concatenate([
+            np.asarray(t.column("key").to_pylist(), dtype=object),
+            np.asarray(t.column("dst").to_pylist(), dtype=object)]))
+        in_seed = np.isin(ks, np.asarray(sorted(seeds), dtype=object))
+        ks = ks[in_seed]
+        return pa.table({
+            "key": pa.array(ks, pa.string()),
+            "dst": pa.nulls(len(ks), pa.string()),
+            "val": pa.array(np.zeros(len(ks), dtype=np.int64), pa.int64()),
+            "kind": pa.array(np.zeros(len(ks), dtype=np.int8), pa.int8()),
+        })
+
+    def dedup_min(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("key", as_index=False)["val"].min()
+        return pa.table({
+            "key": pa.array(g["key"].to_numpy(dtype=object), pa.string()),
+            "dst": pa.nulls(len(g), pa.string()),
+            "val": pa.array(g["val"].to_numpy(), pa.int64()),
+            "kind": pa.array(np.zeros(len(g), dtype=np.int8), pa.int8()),
+        })
+
+    dists = (
+        edges.map_batches(node_seed_rows, batch_format="pyarrow")
+        .map_batches(lambda t: add_bucket(t, "key", num_buckets),
+                     batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda df: dedup_min(df.drop(columns="__bucket")),
+                    batch_format="pandas")
+        .materialize()
+    )
+
+    def relax_bucket(df: pd.DataFrame) -> pa.Table:
+        """dists + edges on hash(src): emit pre-reduced (dst, d+1)."""
+        dd = df[df["kind"] == 0]
+        ee = df[df["kind"] == 1]
+        if not len(dd) or not len(ee):
+            return pa.table({
+                "key": pa.array([], pa.string()),
+                "dst": pa.nulls(0, pa.string()),
+                "val": pa.array([], pa.int64()),
+                "kind": pa.array([], pa.int8()),
+            })
+        dmap = pd.Series(dd["val"].to_numpy(), index=dd["key"])
+        dv = dmap.reindex(ee["key"]).to_numpy()
+        m = pd.notna(dv)
+        c = pd.DataFrame({"key": ee["dst"].to_numpy()[m],
+                          "val": dv[m].astype(np.int64) + 1})
+        c = c.groupby("key", as_index=False)["val"].min()
+        # kind 3 = CANDIDATE: min_merge must distinguish these from
+        # existing dist rows (kind 0) or its updated-count early exit
+        # would see every new node as already known and stop the BFS
+        # after one hop
+        return pa.table({
+            "key": pa.array(c["key"].to_numpy(dtype=object), pa.string()),
+            "dst": pa.nulls(len(c), pa.string()),
+            "val": pa.array(c["val"].to_numpy(), pa.int64()),
+            "kind": pa.array(np.full(len(c), 3, dtype=np.int8), pa.int8()),
+        })
+
+    def min_merge(df: pd.DataFrame) -> pa.Table:
+        """old dists (kind 0) + candidates: min per node; mark updates
+        in kind (2 = value changed or node is new) for the early-exit
+        count — the driver reads ONE integer per round."""
+        old = df[df["kind"] == 0].drop_duplicates("key")
+        omap = pd.Series(old["val"].to_numpy(), index=old["key"])
+        g = df.groupby("key", as_index=False)["val"].min()
+        ov = omap.reindex(g["key"]).to_numpy()
+        upd = pd.isna(ov) | (g["val"].to_numpy() < np.nan_to_num(
+            ov, nan=np.iinfo(np.int64).max))
+        return pa.table({
+            "key": pa.array(g["key"].to_numpy(dtype=object), pa.string()),
+            "dst": pa.nulls(len(g), pa.string()),
+            "val": pa.array(g["val"].to_numpy(), pa.int64()),
+            "kind": pa.array(np.where(upd, 2, 0).astype(np.int8), pa.int8()),
+        })
+
+    def clear_flag(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            3, "kind", pa.array(np.zeros(t.num_rows, dtype=np.int8),
+                                pa.int8()))
+
+    for _ in range(max_rounds):
+        cand = (
+            dists.union(edges)
+            .map_batches(lambda t: add_bucket(t, "key", num_buckets),
+                         batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(lambda df: relax_bucket(df.drop(columns="__bucket")),
+                        batch_format="pandas")
+        )
+        merged = (
+            dists.union(cand)
+            .map_batches(lambda t: add_bucket(t, "key", num_buckets),
+                         batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(lambda df: min_merge(df.drop(columns="__bucket")),
+                        batch_format="pandas")
+            .materialize()
+        )
+        n_upd = merged.map_batches(
+            lambda t: pa.table({"u": pa.array(
+                [int(pc.sum(pc.cast(pc.equal(t["kind"],
+                 pa.scalar(2, pa.int8())), pa.int64())).as_py() or 0)],
+                pa.int64())}), batch_format="pyarrow").sum("u") or 0
+        dists = merged.map_batches(clear_flag, batch_format="pyarrow")
+        if n_upd == 0:
+            break
+
+    def emit(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["key"], "dist": t["val"]})
+
+    return dists.map_batches(emit, batch_format="pyarrow")

@@ -1,0 +1,123 @@
+"""Integer-Chebyshev outliers and hashed-vocab chi-square drift tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from reden_ray.pipelines.qualstats import (
+    _DRIFT_BUCKETS, _DRIFT_SCALE, length_outliers, source_drift,
+    source_moments,
+)
+
+
+def _docs(rows):
+    return rd.from_arrow(pa.Table.from_pylist(rows))
+
+
+class TestLengthOutliers:
+    def test_planted_outlier_flagged(self):
+        rows = [{"doc_id": i, "source": "a", "n_chars": 100 + (i % 5)}
+                for i in range(50)]
+        rows.append({"doc_id": 99, "source": "a", "n_chars": 5000})
+        out = length_outliers(_docs(rows)).to_pandas()
+        assert list(out["doc_id"]) == [99]
+
+    def test_all_equal_no_flags(self):
+        rows = [{"doc_id": i, "source": "a", "n_chars": 7} for i in range(10)]
+        out = length_outliers(_docs(rows)).to_pandas()
+        assert len(out) == 0
+
+    def test_per_source_scoping(self):
+        # 400 is an outlier for tight source a, normal for wide source b
+        rows = [{"doc_id": i, "source": "a", "n_chars": 100 + (i % 3)}
+                for i in range(30)]
+        rows += [{"doc_id": 100 + i, "source": "b",
+                  "n_chars": [50, 400, 800][i % 3]} for i in range(30)]
+        rows.append({"doc_id": 999, "source": "a", "n_chars": 400})
+        out = length_outliers(_docs(rows)).to_pandas()
+        assert 999 in set(out["doc_id"])
+        assert not (set(out["doc_id"]) & set(range(100, 130)))
+
+    def test_matches_exact_integer_rule(self):
+        rng = np.random.RandomState(3)
+        rows = [{"doc_id": i, "source": f"s{i % 3}",
+                 "n_chars": int(rng.randint(10, 2000))} for i in range(200)]
+        out = set(length_outliers(_docs(rows)).to_pandas()["doc_id"])
+        df = pd.DataFrame(rows)
+        exp = set()
+        for src, g in df.groupby("source"):
+            n = len(g)
+            s = int(g["n_chars"].sum())
+            ss = int((g["n_chars"].astype(object) ** 2).sum())
+            rhs = 9 * (n * ss - s * s)
+            for _, r in g.iterrows():
+                if 4 * (int(r["n_chars"]) * n - s) ** 2 > rhs:
+                    exp.add(int(r["doc_id"]))
+        assert out == exp
+
+    def test_moments_block_split_invariant(self):
+        rows = [{"doc_id": i, "source": "a", "n_chars": i * 13 % 997}
+                for i in range(100)]
+        one = source_moments(_docs(rows)).to_pandas()
+        many = source_moments(_docs(rows).repartition(7)).to_pandas()
+        assert one.sort_values("k").reset_index(drop=True).equals(
+            many.sort_values("k").reset_index(drop=True))
+
+
+def _brute_drift(rows):
+    """Independent reimplementation of the integer chi-square."""
+    from reden_ray.pipelines.selection import _word_buckets
+
+    cells = {}
+    for r in rows:
+        for w in r["text"].split(" "):
+            if not w:
+                continue
+            b = int(_word_buckets(np.array([w], dtype=object))[0])
+            cells[(r["source"], b)] = cells.get((r["source"], b), 0) + 1
+    tb, ssum, tt = {}, {}, 0
+    for (k, b), c in cells.items():
+        tb[b] = tb.get(b, 0) + c
+        ssum[k] = ssum.get(k, 0) + c
+        tt += c
+    out = {}
+    for k, s in ssum.items():
+        chi = 0
+        for b, t in tb.items():
+            c = cells.get((k, b), 0)
+            chi += _DRIFT_SCALE * (c * tt - s * t) ** 2 // (s * t * tt)
+        out[k] = chi
+    return out
+
+
+class TestSourceDrift:
+    def test_matches_bruteforce(self):
+        rng = np.random.RandomState(5)
+        vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+        rows = [{"doc_id": i, "source": f"s{i % 2}",
+                 "text": " ".join(rng.choice(vocab, 12))}
+                for i in range(40)]
+        got = source_drift(_docs(rows)).set_index("source")["chi_e6"].to_dict()
+        assert got == _brute_drift(rows)
+
+    def test_divergent_source_scores_higher(self):
+        base = [{"doc_id": i, "source": "same1" if i % 2 else "same2",
+                 "text": "the quick brown fox " * 5} for i in range(40)]
+        odd = [{"doc_id": 100 + i, "source": "odd",
+                "text": "zzzqx wvvk jjy " * 5} for i in range(20)]
+        df = source_drift(_docs(base + odd)).set_index("source")["chi_e6"]
+        assert df["odd"] > df["same1"]
+        assert df["odd"] > df["same2"]
+
+    def test_block_split_invariant(self):
+        rows = [{"doc_id": i, "source": f"s{i % 3}",
+                 "text": f"tok{i % 7} tok{i % 11} tok{i % 13}"}
+                for i in range(60)]
+        one = source_drift(_docs(rows))
+        many = source_drift(_docs(rows).repartition(8))
+        assert one.sort_values("source").reset_index(drop=True).equals(
+            many.sort_values("source").reset_index(drop=True))
