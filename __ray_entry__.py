@@ -1542,6 +1542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from reden_ray.pipelines import graphprep as GP
     from reden_ray.pipelines import graphstats as GS
     from reden_ray.pipelines import qualstats as QS
+    from reden_ray.pipelines import setops as SO
     from reden_ray.pipelines import rankops as RK
     from reden_ray.pipelines import relational as R
     from reden_ray.pipelines import streamops as ST
@@ -1646,6 +1647,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q98_reciprocity": GS.q98_reciprocity,
         # per-source hashed-vocab chi-square drift
         "q99_source_drift": QS.q99_source_drift,
+        # exact set-similarity join (PPJoin prefix filter)
+        "q100_jaccard_join": SO.q100_jaccard_join,
         "q46_domain_mixture_sample": C.q46_domain_mixture_sample,
         "q47_kmeans_clusters": C.q47_kmeans_clusters,
         "q48_bigram_lm_score": C.q48_bigram_lm_score,
@@ -1784,6 +1787,7 @@ def oracle_sql() -> dict[str, str]:
     from reden_ray.pipelines.webdemo import GAZETTEER_WORDS, URL_PREFIX
     from reden_ray.pipelines import graphstats as GS
     from reden_ray.pipelines import qualstats as QS
+    from reden_ray.pipelines import setops as SO
 
     values = ", ".join(f"('{w}')" for w in GAZETTEER_WORDS)
     return {
@@ -1858,6 +1862,7 @@ def oracle_sql() -> dict[str, str]:
         "q97_length_outliers": QS.Q97_SQL,
         "q98_reciprocity": GS.Q98_SQL,
         "q99_source_drift": QS.Q99_SQL,
+        "q100_jaccard_join": SO.Q100_SQL,
         "q46_domain_mixture_sample": C.Q46_SQL,
         "q47_kmeans_clusters": C.Q47_SQL,
         "q48_bigram_lm_score": C.Q48_SQL,
