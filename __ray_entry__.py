@@ -1649,6 +1649,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q99_source_drift": QS.q99_source_drift,
         # exact set-similarity join (PPJoin prefix filter)
         "q100_jaccard_join": SO.q100_jaccard_join,
+        # synchronous label-propagation communities
+        "q101_label_propagation": GS.q101_label_propagation,
         "q46_domain_mixture_sample": C.q46_domain_mixture_sample,
         "q47_kmeans_clusters": C.q47_kmeans_clusters,
         "q48_bigram_lm_score": C.q48_bigram_lm_score,
@@ -1863,6 +1865,7 @@ def oracle_sql() -> dict[str, str]:
         "q98_reciprocity": GS.Q98_SQL,
         "q99_source_drift": QS.Q99_SQL,
         "q100_jaccard_join": SO.Q100_SQL,
+        "q101_label_propagation": GS.Q101_SQL,
         "q46_domain_mixture_sample": C.Q46_SQL,
         "q47_kmeans_clusters": C.Q47_SQL,
         "q48_bigram_lm_score": C.Q48_SQL,

@@ -214,3 +214,64 @@ SELECT 'n' || CAST(a.s AS VARCHAR) AS node,
 FROM e a LEFT JOIN e b ON b.s = a.d AND b.d = a.s
 GROUP BY a.s
 """
+
+
+# ---------------------------------------------------------------------------
+# Q101 — synchronous label-propagation communities
+# ---------------------------------------------------------------------------
+
+LPA_ROUNDS = 4
+
+
+def _labeled_edges(sf_dir: str):
+    def label(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pc.binary_join_element_wise(
+                "n", pc.cast(t["s"], pa.string()), ""),
+            "dst": pc.binary_join_element_wise(
+                "n", pc.cast(t["d"], pa.string()), ""),
+        })
+
+    return sparse_host_edges(sf_dir).map_batches(
+        label, batch_format="pyarrow")
+
+
+def q101_label_propagation(sf_dir: str) -> pd.DataFrame:
+    """Synchronous LPA communities over the sparse host graph; fixed
+    LPA_ROUNDS rounds keep the result deterministic and give the
+    oracle a finite unroll (stages/graphrank.label_propagation)."""
+    from ..stages.graphrank import label_propagation
+
+    out = label_propagation(_labeled_edges(sf_dir),
+                            n_rounds=LPA_ROUNDS).to_pandas()
+    if out.empty:  # Ray drops the schema of an all-empty Dataset
+        out = pd.DataFrame({"node": pd.Series(dtype=object),
+                            "label": pd.Series(dtype=object)})
+    return out
+
+
+def _q101_sql(n_rounds: int = LPA_ROUNDS) -> str:
+    parts = [
+        _EDGES_CTE,
+        ("und AS (SELECT DISTINCT u, v FROM "
+         "(SELECT s AS u, d AS v FROM e UNION ALL SELECT d, s FROM e))"),
+        ("l0 AS (SELECT DISTINCT u AS k, "
+         "'n' || CAST(u AS VARCHAR) AS lab FROM und)"),
+    ]
+    for i in range(1, n_rounds + 1):
+        prev = f"l{i - 1}"
+        parts.append(
+            f"t{i} AS (SELECT und.v AS k, p.lab, COUNT(*) AS c\n"
+            f"  FROM und JOIN {prev} p ON p.k = und.u GROUP BY und.v, p.lab)")
+        parts.append(
+            f"w{i} AS (SELECT k, lab FROM t{i} QUALIFY ROW_NUMBER() OVER "
+            f"(PARTITION BY k ORDER BY c DESC, lab ASC) = 1)")
+        parts.append(
+            f"l{i} AS (SELECT p.k, COALESCE(w.lab, p.lab) AS lab\n"
+            f"  FROM {prev} p LEFT JOIN w{i} w ON w.k = p.k)")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT 'n' || CAST(k AS VARCHAR) AS node, lab AS label"
+              f" FROM l{n_rounds}")
+
+
+Q101_SQL = _q101_sql()

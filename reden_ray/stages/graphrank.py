@@ -482,3 +482,247 @@ def seed_distance(
         return pa.table({"node": t["key"], "dist": t["val"]})
 
     return dists.map_batches(emit, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Synchronous label propagation (community detection)
+# ---------------------------------------------------------------------------
+
+def _lpa_solve_local(src: np.ndarray, dst: np.ndarray,
+                     n_rounds: int) -> pd.DataFrame:
+    """Vectorized single-heap synchronous LPA. Deterministic: labels
+    start as the node keys themselves, each round every node adopts
+    the most frequent label among its (undirected, deduped) neighbors
+    with ties broken toward the LEXICOGRAPHICALLY smallest label;
+    isolated nodes keep their label. np.unique's sort order equals
+    binary-collation string order, so index comparisons below are
+    exactly the SQL ``ORDER BY label`` tie-break."""
+    nodes, codes = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    s = codes[: len(src)]
+    d = codes[len(src):]
+    n = len(nodes)
+    # symmetrize + dedup undirected edges (self-loops contribute once)
+    und = np.unique(np.stack([np.concatenate([s, d]),
+                              np.concatenate([d, s])], axis=1), axis=0)
+    eu, ev = und[:, 0], und[:, 1]
+    lab = np.arange(n, dtype=np.int64)
+    for _ in range(n_rounds):
+        # tally neighbor labels: count[(v, lab[u])] over edges u->v
+        cells = ev * n + lab[eu]
+        uniq_cells, c = np.unique(cells, return_counts=True)
+        v = uniq_cells // n
+        l = uniq_cells % n
+        # per v: argmax count, tie -> min label index
+        ordr = np.lexsort((l, -c, v))
+        v_o = v[ordr]
+        first = np.ones(len(v_o), dtype=bool)
+        first[1:] = v_o[1:] != v_o[:-1]
+        new = lab.copy()
+        new[v_o[first]] = l[ordr][first]
+        lab = new
+    return pd.DataFrame({"node": nodes, "label": nodes[lab]})
+
+
+def label_propagation(
+    edges_ds,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_rounds: int = 4,
+    num_buckets: int = 64,
+    local_solve_max_edges: int = 4_000_000,
+):
+    """Edge Dataset -> ``(node, label)`` community assignment after
+    ``n_rounds`` of synchronous label propagation (Raghavan et al.
+    2007, public literature). A third iterative-graph primitive next
+    to PageRank (weighted mass flow) and seed_distance (min-plus):
+    the per-round reduce is a frequency ARGMAX over neighbor labels.
+
+    Fixed synchronous rounds — not run-to-convergence — because
+    synchronous LPA can oscillate on bipartite structures; a bounded
+    round count is what keeps the operator deterministic AND gives the
+    SQL oracle a finite unroll. Distributed shape: identical exchange
+    pair to seed_distance (labels+edges co-locate on hash(src) to emit
+    per-bucket (dst, label, count) partials — a head node's tally rows
+    are pre-reduced per bucket — then partials+labels co-locate on
+    hash(node) for the global argmax merge; isolated nodes keep their
+    label via the kind-0 coalesce row).
+    """
+    def enc_edges(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "key": t.column(src_col).cast(pa.string()),
+            "dst": t.column(dst_col).cast(pa.string()),
+            "val": pa.nulls(n, pa.string()),
+            "kind": pa.array(np.full(n, 1, dtype=np.int8), pa.int8()),
+        })
+
+    edges = (
+        edges_ds.map_batches(enc_edges, batch_format="pyarrow")
+        .repartition(8)
+        .materialize()
+    )
+    n_edges = edges.count()
+    if n_edges == 0:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "label": pa.array([], pa.string()),
+        }))
+
+    if n_edges <= local_solve_max_edges:
+        def solve(t: pa.Table) -> pa.Table:
+            df = _lpa_solve_local(
+                np.asarray(t.column("key").to_pylist(), dtype=object),
+                np.asarray(t.column("dst").to_pylist(), dtype=object),
+                n_rounds)
+            return pa.table({
+                "node": pa.array(df["node"].to_numpy(dtype=object),
+                                 pa.string()),
+                "label": pa.array(df["label"].to_numpy(dtype=object),
+                                  pa.string()),
+            })
+
+        return edges.repartition(1).map_batches(
+            solve, batch_size=None, batch_format="pyarrow")
+
+    # ---- distributed path ----------------------------------------------
+    num_buckets = max(4, min(num_buckets, n_edges // 25_000 + 4))
+
+    # undirected dedup: route both directions through the unordered
+    # pair bucket once, dedup in-bucket (the reciprocity idiom)
+    def sym(t: pa.Table) -> pa.Table:
+        k = t.column("key").to_pylist()
+        d = t.column("dst").to_pylist()
+        ks = k + d
+        ds_ = d + k
+        pk = [min(a, b) + "\x1f" + max(a, b) for a, b in zip(ks, ds_)]
+        return pa.table({
+            "key": pa.array(ks, pa.string()),
+            "dst": pa.array(ds_, pa.string()),
+            "pk": pa.array(pk, pa.string()),
+        })
+
+    def dedup_pairs(df: pd.DataFrame) -> pa.Table:
+        u = df.drop_duplicates(["key", "dst"])
+        n = len(u)
+        return pa.table({
+            "key": pa.array(u["key"].to_numpy(dtype=object), pa.string()),
+            "dst": pa.array(u["dst"].to_numpy(dtype=object), pa.string()),
+            "val": pa.nulls(n, pa.string()),
+            "cnt": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+            "kind": pa.array(np.full(n, 1, dtype=np.int8), pa.int8()),
+        })
+
+    und = (
+        edges.map_batches(sym, batch_format="pyarrow")
+        .map_batches(lambda t: add_bucket(t, "pk", num_buckets),
+                     batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda df: dedup_pairs(
+            df.drop(columns=["__bucket", "pk"])), batch_format="pandas")
+        .materialize()
+    )
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        ks = np.unique(np.asarray(t.column("key").to_pylist(), dtype=object))
+        n = len(ks)
+        return pa.table({
+            "key": pa.array(ks, pa.string()),
+            "dst": pa.nulls(n, pa.string()),
+            "val": pa.array(ks, pa.string()),   # initial label = own key
+            "cnt": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+            "kind": pa.array(np.zeros(n, dtype=np.int8), pa.int8()),
+        })
+
+    def dedup_nodes(df: pd.DataFrame) -> pa.Table:
+        u = df.drop_duplicates("key")
+        n = len(u)
+        return pa.table({
+            "key": pa.array(u["key"].to_numpy(dtype=object), pa.string()),
+            "dst": pa.nulls(n, pa.string()),
+            "val": pa.array(u["val"].to_numpy(dtype=object), pa.string()),
+            "cnt": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+            "kind": pa.array(np.zeros(n, dtype=np.int8), pa.int8()),
+        })
+
+    labels = (
+        und.map_batches(node_rows, batch_format="pyarrow")
+        .map_batches(lambda t: add_bucket(t, "key", num_buckets),
+                     batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda df: dedup_nodes(df.drop(columns="__bucket")),
+                    batch_format="pandas")
+        .materialize()
+    )
+
+    def tally_bucket(df: pd.DataFrame) -> pa.Table:
+        """labels + und edges on hash(src): per-bucket pre-reduced
+        (dst, label, count) partials (kind 2)."""
+        lb = df[df["kind"] == 0]
+        ee = df[df["kind"] == 1]
+        if not len(lb) or not len(ee):
+            return pa.table({
+                "key": pa.array([], pa.string()),
+                "dst": pa.nulls(0, pa.string()),
+                "val": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+                "kind": pa.array([], pa.int8()),
+            })
+        lmap = pd.Series(lb["val"].to_numpy(), index=lb["key"])
+        lv = lmap.reindex(ee["key"]).to_numpy()
+        g = pd.DataFrame({"key": ee["dst"].to_numpy(), "val": lv})
+        g = g.groupby(["key", "val"], as_index=False).size()
+        n = len(g)
+        return pa.table({
+            "key": pa.array(g["key"].to_numpy(dtype=object), pa.string()),
+            "dst": pa.nulls(n, pa.string()),
+            "val": pa.array(g["val"].to_numpy(dtype=object), pa.string()),
+            "cnt": pa.array(g["size"].to_numpy(), pa.int64()),
+            "kind": pa.array(np.full(n, 2, dtype=np.int8), pa.int8()),
+        })
+
+    def argmax_merge(df: pd.DataFrame) -> pa.Table:
+        old = df[df["kind"] == 0]
+        tal = df[df["kind"] == 2]
+        new = old[["key", "val"]].copy()
+        if len(tal):
+            g = (tal.groupby(["key", "val"], as_index=False)["cnt"].sum()
+                 .sort_values(["key", "cnt", "val"],
+                              ascending=[True, False, True],
+                              kind="stable")
+                 .drop_duplicates("key"))
+            pick = pd.Series(g["val"].to_numpy(), index=g["key"])
+            got = pick.reindex(new["key"]).to_numpy()
+            keep_old = pd.isna(got)
+            new["val"] = np.where(keep_old, new["val"].to_numpy(), got)
+        n = len(new)
+        return pa.table({
+            "key": pa.array(new["key"].to_numpy(dtype=object), pa.string()),
+            "dst": pa.nulls(n, pa.string()),
+            "val": pa.array(new["val"].to_numpy(dtype=object), pa.string()),
+            "cnt": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+            "kind": pa.array(np.zeros(n, dtype=np.int8), pa.int8()),
+        })
+
+    for _ in range(n_rounds):
+        tally = (
+            labels.union(und)
+            .map_batches(lambda t: add_bucket(t, "key", num_buckets),
+                         batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(lambda df: tally_bucket(df.drop(columns="__bucket")),
+                        batch_format="pandas")
+        )
+        labels = (
+            labels.union(tally)
+            .map_batches(lambda t: add_bucket(t, "key", num_buckets),
+                         batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(lambda df: argmax_merge(df.drop(columns="__bucket")),
+                        batch_format="pandas")
+            .materialize()
+        )
+
+    def emit(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["key"], "label": t["val"]})
+
+    return labels.map_batches(emit, batch_format="pyarrow")

@@ -115,3 +115,65 @@ class TestReciprocity:
             exp[f"n{s}"] = {"n_out": len(outs), "n_recip": rec,
                             "recip_ppm": 1_000_000 * rec // len(outs)}
         assert df.set_index("node").to_dict("index") == exp
+
+
+from reden_ray.stages.graphrank import label_propagation
+
+
+def _label_map(ds):
+    df = ds.to_pandas()
+    if df.empty:
+        return {}
+    return dict(zip(df["node"], df["label"]))
+
+
+class TestLabelPropagation:
+    def test_two_triangles_with_bridge(self):
+        # two triangles joined by one bridge edge: each triangle
+        # converges to its lexicographic min member's label
+        tri1 = [("a", "b"), ("b", "c"), ("c", "a")]
+        tri2 = [("x", "y"), ("y", "z"), ("z", "x")]
+        bridge = [("c", "x")]
+        got = _label_map(label_propagation(
+            _edges(tri1 + tri2 + bridge), n_rounds=6))
+        assert got["a"] == got["b"] == got["c"]
+        assert got["x"] == got["y"] == got["z"]
+
+    def test_isolated_self_loop_keeps_label(self):
+        got = _label_map(label_propagation(_edges([("q", "q")])))
+        assert got == {"q": "q"}
+
+    def test_star_adopts_center_then_center_adopts_majority(self):
+        # star: center 'm' with leaves 'a','b','c'. Round 1: every
+        # leaf sees only {m} -> m; center sees {a,b,c} all count 1 ->
+        # min 'a'. Round 2: leaves see {a} -> a; center sees {m,m,m}
+        # -> m. Fixed rounds make this deterministic.
+        ds = _edges([("m", "a"), ("m", "b"), ("m", "c")])
+        got1 = _label_map(label_propagation(ds, n_rounds=1))
+        assert got1 == {"m": "a", "a": "m", "b": "m", "c": "m"}
+        got2 = _label_map(label_propagation(ds, n_rounds=2))
+        assert got2 == {"m": "m", "a": "a", "b": "a", "c": "a"}
+
+    def test_distributed_path_matches_local(self):
+        rng = np.random.RandomState(23)
+        n = 40
+        pairs = [(f"v{rng.randint(n)}", f"v{rng.randint(n)}")
+                 for _ in range(160)]
+        local = _label_map(label_propagation(_edges(pairs), n_rounds=4))
+        dist = _label_map(label_propagation(
+            _edges(pairs), n_rounds=4, local_solve_max_edges=0,
+            num_buckets=4))
+        assert local == dist
+
+    def test_duplicate_and_reverse_edges_collapse(self):
+        # (a,b) three times and (b,a) once must tally like ONE
+        # undirected edge
+        many = _label_map(label_propagation(
+            _edges([("a", "b"), ("a", "b"), ("a", "b"), ("b", "a"),
+                    ("b", "c")]), n_rounds=3))
+        once = _label_map(label_propagation(
+            _edges([("a", "b"), ("b", "c")]), n_rounds=3))
+        assert many == once
+
+    def test_empty(self):
+        assert _label_map(label_propagation(_edges([]))) == {}
