@@ -1651,6 +1651,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q100_jaccard_join": SO.q100_jaccard_join,
         # synchronous label-propagation communities
         "q101_label_propagation": GS.q101_label_propagation,
+        # per-source MAD robust outliers (discrete medians)
+        "q102_mad_outliers": QS.q102_mad_outliers,
+        # positional phrase search (consecutive-token match)
+        "q103_phrase_search": SO.q103_phrase_search,
         "q46_domain_mixture_sample": C.q46_domain_mixture_sample,
         "q47_kmeans_clusters": C.q47_kmeans_clusters,
         "q48_bigram_lm_score": C.q48_bigram_lm_score,
@@ -1866,6 +1870,8 @@ def oracle_sql() -> dict[str, str]:
         "q99_source_drift": QS.Q99_SQL,
         "q100_jaccard_join": SO.Q100_SQL,
         "q101_label_propagation": GS.Q101_SQL,
+        "q102_mad_outliers": QS.Q102_SQL,
+        "q103_phrase_search": SO.Q103_SQL,
         "q46_domain_mixture_sample": C.Q46_SQL,
         "q47_kmeans_clusters": C.Q47_SQL,
         "q48_bigram_lm_score": C.Q48_SQL,

@@ -236,3 +236,105 @@ SELECT source,
                 // (s * t * tt)) AS BIGINT) AS chi_e6
 FROM j GROUP BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Q102 — per-source MAD robust outliers (median absolute deviation)
+# ---------------------------------------------------------------------------
+
+_MAD_K = 3
+
+
+def value_histogram(ds, key_col: str = "source", val_col: str = "n_chars"):
+    """Exact (key, value, count) histogram, combiner-first: each block
+    contributes at most |keys| x |distinct values in block| pre-reduced
+    rows. For a bounded value domain (lengths, scores, years) the
+    global histogram is vocabulary-sized no matter the corpus size —
+    that is what makes EXACT medians distributable."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": t.column(key_col).to_pandas(),
+            "v": t.column(val_col).to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["k", "v"], as_index=False).size()
+        return pa.table({
+            "k": pa.array(g["k"], pa.string()),
+            "v": pa.array(g["v"].to_numpy(), pa.int64()),
+            "c_p": pa.array(g["size"].to_numpy(), pa.int64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["k", "v"])
+            .aggregate(Sum("c_p", alias_name="c")))
+
+
+def _disc_median(vals: np.ndarray, cnts: np.ndarray) -> int:
+    """Lower-middle discrete median from a (value, count) histogram —
+    exactly DuckDB's quantile_disc(0.5): the element at 0-based index
+    (n-1)//2 of the sorted expansion."""
+    o = np.argsort(vals, kind="stable")
+    v = vals[o]
+    c = cnts[o]
+    n = int(c.sum())
+    tgt = (n - 1) // 2 + 1          # 1-based rank of the lower middle
+    cum = np.cumsum(c)
+    return int(v[np.searchsorted(cum, tgt)])
+
+
+def mad_outliers(ds, key_col: str = "source", val_col: str = "n_chars",
+                 id_col: str = "doc_id", k: int = _MAD_K):
+    """The ROBUST counterpart of q97: flag rows with
+    ``|x - median| > k * MAD`` where MAD = median(|x - median|), both
+    medians DISCRETE (lower-middle) so every quantity is an exact
+    integer on both engines. ONE corpus pass builds the per-source
+    value histogram; median AND MAD both derive from that same
+    histogram (the |v - med| histogram is a re-keying of it — no
+    second corpus pass); the tiny (med, mad) table rides in-closure
+    for a zero-shuffle flag scan."""
+    hist = value_histogram(ds, key_col, val_col).to_pandas()
+    med, mad = {}, {}
+    for key, g in hist.groupby("k"):
+        v = g["v"].to_numpy()
+        c = g["c"].to_numpy()
+        m = _disc_median(v, c)
+        med[key] = m
+        mad[key] = _disc_median(np.abs(v - m), c)
+
+    def flag(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_pandas()
+        x = t.column(val_col).to_numpy(zero_copy_only=False)
+        m = keys.map(med).to_numpy(dtype=np.int64)
+        a = keys.map(mad).to_numpy(dtype=np.int64)
+        out = np.abs(x - m) > k * a
+        return pa.table({
+            id_col: t.column(id_col).filter(pa.array(out)),
+            key_col: t.column(key_col).filter(pa.array(out)),
+            val_col: t.column(val_col).filter(pa.array(out)),
+        })
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def q102_mad_outliers(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    df = mad_outliers(ds).to_pandas()
+    if df.empty:  # Ray drops the schema of an all-empty Dataset
+        df = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                           "source": pd.Series(dtype=object),
+                           "n_chars": pd.Series(dtype="int64")})
+    return df
+
+
+Q102_SQL = f"""
+WITH m AS (
+  SELECT source, quantile_disc(n_chars, 0.5) AS med
+  FROM documents GROUP BY source
+), a AS (
+  SELECT d.source, quantile_disc(ABS(d.n_chars - m.med), 0.5) AS mad
+  FROM documents d JOIN m USING (source) GROUP BY d.source
+)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN m USING (source) JOIN a USING (source)
+WHERE ABS(d.n_chars - m.med) > {_MAD_K} * a.mad
+"""

@@ -15,6 +15,7 @@ the jac_ppm scores hash-verify.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -95,4 +96,78 @@ FROM inter i
 JOIN sz sa ON sa.doc_id = i.a
 JOIN sz sb ON sb.doc_id = i.b
 WHERE 1000000 * i.i >= {TAU_PPM} * (sa.n + sb.n - i.i)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q103 — positional phrase search (exact consecutive-token match)
+# ---------------------------------------------------------------------------
+
+PHRASE = ("slow", "hash", "batch")
+
+
+def phrase_hits(ds, phrase=PHRASE, id_col: str = "doc_id",
+                text_col: str = "text"):
+    """documents -> (doc_id, n_hits) for docs containing the exact
+    consecutive token sequence; overlapping occurrences all count
+    (positional semantics — matches the SQL positional self-join, and
+    differs from regex counting on self-overlapping phrases).
+
+    Zero shuffle: a document's tokens live inside its own row, so the
+    whole match is a per-batch numpy scan — flatten tokens with parent
+    indices, AND together shifted equality masks, guard doc boundaries
+    by comparing parents. Tokens are NOT blank-filtered: DuckDB's
+    string_split keeps empty strings at double spaces and position
+    arithmetic must agree position-for-position on both engines.
+    """
+    L = len(phrase)
+
+    def scan(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t[text_col], " ")
+        flat = pc.list_flatten(words).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(words).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n = len(flat)
+        if n < L:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_hits": pa.array([], pa.int64())})
+        m = flat[: n - L + 1] == phrase[0]
+        for j in range(1, L):
+            m &= flat[j: n - L + 1 + j] == phrase[j]
+            m &= par[j: n - L + 1 + j] == par[: n - L + 1]
+        ids = t[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hits = np.bincount(par[: n - L + 1][m], minlength=t.num_rows)
+        nz = np.nonzero(hits)[0]
+        return pa.table({
+            id_col: pa.array(ids[nz], pa.int64()),
+            "n_hits": pa.array(hits[nz].astype(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def q103_phrase_search(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    df = phrase_hits(ds).to_pandas()
+    if df.empty:  # Ray drops the schema of an all-empty Dataset
+        df = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                           "n_hits": pd.Series(dtype="int64")})
+    return df
+
+
+_P0, _P1, _P2 = PHRASE
+
+Q103_SQL = f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS idx
+  FROM documents
+)
+SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM w a
+JOIN w b ON b.doc_id = a.doc_id AND b.idx = a.idx + 1
+JOIN w c ON c.doc_id = a.doc_id AND c.idx = a.idx + 2
+WHERE a.w = '{_P0}' AND b.w = '{_P1}' AND c.w = '{_P2}'
+GROUP BY a.doc_id
 """

@@ -121,3 +121,47 @@ class TestSourceDrift:
         many = source_drift(_docs(rows).repartition(8))
         assert one.sort_values("source").reset_index(drop=True).equals(
             many.sort_values("source").reset_index(drop=True))
+
+
+from reden_ray.pipelines.qualstats import _disc_median, mad_outliers
+
+
+class TestMadOutliers:
+    def test_disc_median_matches_duckdb_convention(self):
+        import duckdb
+        rng = np.random.RandomState(9)
+        for _ in range(20):
+            vals = rng.randint(0, 50, size=rng.randint(1, 30))
+            v, c = np.unique(vals, return_counts=True)
+            got = _disc_median(v, c.astype(np.int64))
+            con = duckdb.connect()
+            exp = con.execute(
+                "SELECT quantile_disc(x, 0.5) FROM (SELECT unnest(?) x)",
+                [vals.tolist()]).fetchone()[0]
+            assert got == exp, (vals, got, exp)
+
+    def test_planted_outlier_robust_to_contamination(self):
+        # mean/std (q97) get dragged by a huge outlier; MAD does not:
+        # with 10% contamination the MAD flag still fires on all of it
+        rows = [{"doc_id": i, "source": "a", "n_chars": 100 + (i % 7)}
+                for i in range(45)]
+        rows += [{"doc_id": 900 + i, "source": "a", "n_chars": 90_000}
+                 for i in range(5)]
+        out = mad_outliers(_docs(rows)).to_pandas()
+        assert set(out["doc_id"]) == {900, 901, 902, 903, 904}
+
+    def test_zero_mad_flags_everything_off_median(self):
+        rows = [{"doc_id": i, "source": "a", "n_chars": 5} for i in range(9)]
+        rows.append({"doc_id": 99, "source": "a", "n_chars": 6})
+        out = mad_outliers(_docs(rows)).to_pandas()
+        assert list(out["doc_id"]) == [99]  # MAD=0 -> any deviation flags
+
+    def test_block_split_invariant(self):
+        rng = np.random.RandomState(31)
+        rows = [{"doc_id": i, "source": f"s{i % 3}",
+                 "n_chars": int(rng.randint(10, 500))} for i in range(120)]
+        one = mad_outliers(_docs(rows)).to_pandas()
+        many = mad_outliers(_docs(rows).repartition(7)).to_pandas()
+        key = ["doc_id", "n_chars", "source"]
+        assert one[key].sort_values(key).reset_index(drop=True).equals(
+            many[key].sort_values(key).reset_index(drop=True))

@@ -102,3 +102,50 @@ class TestJaccardJoin:
                 {"doc_id": 2, "text": "aa bb"}]
         df = token_df(_docs(rows)).to_pandas().set_index("w")["df"]
         assert df.to_dict() == {"aa": 2, "bb": 1}
+
+
+from reden_ray.pipelines.setops import phrase_hits
+
+
+def _hits(rows, phrase):
+    df = phrase_hits(_docs(rows), phrase=phrase).to_pandas()
+    if df.empty:
+        return {}
+    return dict(zip(df["doc_id"], df["n_hits"]))
+
+
+class TestPhraseSearch:
+    def test_exact_and_overlapping_hits(self):
+        rows = [
+            {"doc_id": 1, "text": "x a b c y a b c"},      # 2 hits
+            {"doc_id": 2, "text": "a b x b c"},            # 0
+            {"doc_id": 3, "text": "a a a a"},              # self-overlap
+        ]
+        assert _hits(rows, ("a", "b", "c")) == {1: 2}
+        # positional semantics: 'a a a a' has 2 occurrences of (a,a,a)
+        assert _hits(rows, ("a", "a", "a")) == {3: 2}
+
+    def test_no_cross_document_match(self):
+        rows = [
+            {"doc_id": 1, "text": "x y a b"},
+            {"doc_id": 2, "text": "c z"},   # 'a b' + 'c' spans docs: no hit
+        ]
+        assert _hits(rows, ("a", "b", "c")) == {}
+
+    def test_short_and_empty_docs(self):
+        rows = [
+            {"doc_id": 1, "text": ""},
+            {"doc_id": 2, "text": "a b"},
+            {"doc_id": 3, "text": "a b c"},
+        ]
+        assert _hits(rows, ("a", "b", "c")) == {3: 1}
+
+    def test_block_split_invariant(self):
+        rows = [{"doc_id": i,
+                 "text": ("p q r " * (i % 3 + 1)).strip()}
+                for i in range(30)]
+        one = _hits(rows, ("p", "q", "r"))
+        df = phrase_hits(_docs(rows).repartition(9),
+                         phrase=("p", "q", "r")).to_pandas()
+        many = dict(zip(df["doc_id"], df["n_hits"]))
+        assert one == many
