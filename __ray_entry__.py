@@ -1655,6 +1655,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q102_mad_outliers": QS.q102_mad_outliers,
         # positional phrase search (consecutive-token match)
         "q103_phrase_search": SO.q103_phrase_search,
+        # TrustRank seed-biased damped mass
+        "q104_trustrank": GS.q104_trustrank,
+        # HITS hubs/authorities (L1-normalized)
+        "q105_hits": GS.q105_hits,
         "q46_domain_mixture_sample": C.q46_domain_mixture_sample,
         "q47_kmeans_clusters": C.q47_kmeans_clusters,
         "q48_bigram_lm_score": C.q48_bigram_lm_score,
@@ -1872,6 +1876,8 @@ def oracle_sql() -> dict[str, str]:
         "q101_label_propagation": GS.Q101_SQL,
         "q102_mad_outliers": QS.Q102_SQL,
         "q103_phrase_search": SO.Q103_SQL,
+        "q104_trustrank": GS.Q104_SQL,
+        "q105_hits": GS.Q105_SQL,
         "q46_domain_mixture_sample": C.Q46_SQL,
         "q47_kmeans_clusters": C.Q47_SQL,
         "q48_bigram_lm_score": C.Q48_SQL,

@@ -275,3 +275,218 @@ def _q101_sql(n_rounds: int = LPA_ROUNDS) -> str:
 
 
 Q101_SQL = _q101_sql()
+
+
+# ---------------------------------------------------------------------------
+# Q104 — TrustRank (seed-biased damped mass over the sparse host graph)
+# ---------------------------------------------------------------------------
+
+TRUST_ITERS = 4
+TRUST_ALPHA = 0.85
+
+
+def q104_trustrank(sf_dir: str) -> pd.DataFrame:
+    """TrustRank from the q96 seed set; trust projected to e6 ints for
+    hash-stable comparison (float partial-sum order differs between
+    engines in the low bits only — the q42b precedent)."""
+    from ..stages.graphrank import trustrank
+
+    def label(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pc.binary_join_element_wise(
+                "n", pc.cast(t["s"], pa.string()), ""),
+            "dst": pc.binary_join_element_wise(
+                "n", pc.cast(t["d"], pa.string()), ""),
+            "w": pa.array(np.ones(t.num_rows), pa.float64()),
+        })
+
+    # duplicate (s, d) partials across blocks would ADD weight (legal
+    # for trustrank but not what the oracle's DISTINCT edges compute):
+    # dedup through the unordered-pair bucket once, like q98
+    edges = sparse_host_edges(sf_dir)
+
+    def pair_key(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "pk", pa.array(np.minimum(s, d) * N_NODES + np.maximum(s, d),
+                           pa.int64()))
+
+    def dedup(df: pd.DataFrame) -> pa.Table:
+        u = df.drop_duplicates(["s", "d"])
+        return pa.table({
+            "s": pa.array(u["s"].to_numpy(), pa.int64()),
+            "d": pa.array(u["d"].to_numpy(), pa.int64()),
+        })
+
+    distinct = (
+        edges.map_batches(pair_key, batch_format="pyarrow")
+        .map_batches(lambda t: add_bucket(t, "pk", 16),
+                     batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda df: dedup(df.drop(columns=["__bucket", "pk"])),
+                    batch_format="pandas")
+        .map_batches(label, batch_format="pyarrow")
+    )
+
+    seeds = [f"n{k}" for k in range(0, N_NODES, SEED_STEP)]
+    ranks = trustrank(distinct, seeds, n_iters=TRUST_ITERS,
+                      alpha=TRUST_ALPHA)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["node"],
+            "trust_e6": pc.cast(pc.round(pc.multiply(
+                t["trust"], pa.scalar(1_000_000.0))), pa.int64()),
+        })
+
+    df = ranks.map_batches(project, batch_format="pyarrow").to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"node": pd.Series(dtype=object),
+                           "trust_e6": pd.Series(dtype="int64")})
+    return df
+
+
+def _q104_sql(n_iters: int = TRUST_ITERS) -> str:
+    parts = [
+        _EDGES_CTE,
+        "nodes AS (SELECT DISTINCT k FROM "
+        "(SELECT s AS k FROM e UNION ALL SELECT d FROM e))",
+        (f"nsd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM nodes "
+         f"WHERE k % {SEED_STEP} = 0)"),
+        (f"ev AS MATERIALIZED (SELECT k, CASE WHEN k % {SEED_STEP} = 0 "
+         f"THEN 1.0 / (SELECT c FROM nsd) ELSE 0.0 END AS e FROM nodes)"),
+        "wout AS MATERIALIZED (SELECT s, CAST(COUNT(*) AS DOUBLE) AS w "
+        "FROM e GROUP BY s)",
+        "r0 AS MATERIALIZED (SELECT k, e AS r FROM ev)",
+    ]
+    # MATERIALIZED: each round references the previous one twice
+    # (contribution join + dangling scan); inlined CTEs would expand
+    # the chain exponentially and never finish (the q62 kcore lesson)
+    for i in range(1, n_iters + 1):
+        prev = f"r{i - 1}"
+        parts.append(f"""r{i} AS MATERIALIZED (
+  SELECT n.k,
+         (1.0 - {TRUST_ALPHA}) * n.e
+         + {TRUST_ALPHA} * (COALESCE(c.c, 0)
+                   + (SELECT COALESCE(SUM(p.r), 0) FROM {prev} p
+                      LEFT JOIN wout w ON w.s = p.k
+                      WHERE w.s IS NULL) * n.e) AS r
+  FROM ev n LEFT JOIN (
+    SELECT e.d AS k, SUM(p.r * (1.0 / w.w)) AS c
+    FROM e
+    JOIN {prev} p ON p.k = e.s
+    JOIN wout w ON w.s = e.s
+    GROUP BY e.d) c ON c.k = n.k
+)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT 'n' || CAST(k AS VARCHAR) AS node,"
+              f" CAST(ROUND(r * 1000000) AS BIGINT) AS trust_e6"
+              f" FROM r{n_iters}")
+
+
+Q104_SQL = _q104_sql()
+
+
+# ---------------------------------------------------------------------------
+# Q105 — HITS hubs/authorities over the sparse host graph
+# ---------------------------------------------------------------------------
+
+HITS_ITERS = 4
+
+
+def _distinct_labeled_edges(sf_dir: str):
+    """Globally-distinct (src, dst) labeled edges: the q98/q104
+    unordered-pair-bucket dedup, then 'n<k>' labels."""
+    def pair_key(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "pk", pa.array(np.minimum(s, d) * N_NODES + np.maximum(s, d),
+                           pa.int64()))
+
+    def dedup(df: pd.DataFrame) -> pa.Table:
+        u = df.drop_duplicates(["s", "d"])
+        return pa.table({
+            "s": pa.array(u["s"].to_numpy(), pa.int64()),
+            "d": pa.array(u["d"].to_numpy(), pa.int64()),
+        })
+
+    def label(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pc.binary_join_element_wise(
+                "n", pc.cast(t["s"], pa.string()), ""),
+            "dst": pc.binary_join_element_wise(
+                "n", pc.cast(t["d"], pa.string()), ""),
+        })
+
+    return (
+        sparse_host_edges(sf_dir)
+        .map_batches(pair_key, batch_format="pyarrow")
+        .map_batches(lambda t: add_bucket(t, "pk", 16),
+                     batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda df: dedup(df.drop(columns=["__bucket", "pk"])),
+                    batch_format="pandas")
+        .map_batches(label, batch_format="pyarrow")
+    )
+
+
+def q105_hits(sf_dir: str) -> pd.DataFrame:
+    from ..stages.graphrank import hits
+
+    ranks = hits(_distinct_labeled_edges(sf_dir), n_iters=HITS_ITERS)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["node"],
+            "hub_e6": pc.cast(pc.round(pc.multiply(
+                t["hub"], pa.scalar(1_000_000.0))), pa.int64()),
+            "auth_e6": pc.cast(pc.round(pc.multiply(
+                t["auth"], pa.scalar(1_000_000.0))), pa.int64()),
+        })
+
+    df = ranks.map_batches(project, batch_format="pyarrow").to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"node": pd.Series(dtype=object),
+                           "hub_e6": pd.Series(dtype="int64"),
+                           "auth_e6": pd.Series(dtype="int64")})
+    return df
+
+
+def _q105_sql(n_iters: int = HITS_ITERS) -> str:
+    parts = [
+        _EDGES_CTE,
+        "nodes AS (SELECT DISTINCT k FROM "
+        "(SELECT s AS k FROM e UNION ALL SELECT d FROM e))",
+        ("h0 AS (SELECT k, 1.0 / (SELECT CAST(COUNT(*) AS DOUBLE) "
+         "FROM nodes) AS r FROM nodes)"),
+    ]
+    for i in range(1, n_iters + 1):
+        hp = f"h{i - 1}"
+        parts.append(
+            f"araw{i} AS MATERIALIZED (SELECT e.d AS k, SUM(h.r) AS v "
+            f"FROM e JOIN {hp} h ON h.k = e.s GROUP BY e.d)")
+        parts.append(
+            f"at{i} AS MATERIALIZED (SELECT SUM(v) AS t FROM araw{i})")
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT n.k, COALESCE(ar.v, 0) / "
+            f"(SELECT t FROM at{i}) AS r FROM nodes n "
+            f"LEFT JOIN araw{i} ar ON ar.k = n.k)")
+        parts.append(
+            f"hraw{i} AS MATERIALIZED (SELECT e.s AS k, SUM(a.r) AS v "
+            f"FROM e JOIN a{i} a ON a.k = e.d GROUP BY e.s)")
+        parts.append(
+            f"ht{i} AS MATERIALIZED (SELECT SUM(v) AS t FROM hraw{i})")
+        parts.append(
+            f"h{i} AS MATERIALIZED (SELECT n.k, COALESCE(hr.v, 0) / "
+            f"(SELECT t FROM ht{i}) AS r FROM nodes n "
+            f"LEFT JOIN hraw{i} hr ON hr.k = n.k)")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT 'n' || CAST(h.k AS VARCHAR) AS node,"
+              f" CAST(ROUND(h.r * 1000000) AS BIGINT) AS hub_e6,"
+              f" CAST(ROUND(a.r * 1000000) AS BIGINT) AS auth_e6"
+              f" FROM h{n_iters} h JOIN a{n_iters} a ON a.k = h.k")
+
+
+Q105_SQL = _q105_sql()

@@ -726,3 +726,432 @@ def label_propagation(
         return pa.table({"node": t["key"], "label": t["val"]})
 
     return labels.map_batches(emit, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# TrustRank (personalized PageRank with a seed restart vector)
+# ---------------------------------------------------------------------------
+
+def _trust_solve_local(src: np.ndarray, dst: np.ndarray, w: np.ndarray,
+                       seeds: set, n_iters: int,
+                       alpha: float) -> pd.DataFrame:
+    """Single-heap solve of the seeded power iteration. Identical
+    structure to _rank_solve_local with the uniform vector 1/N
+    replaced by the seed restart vector e (uniform over seeds∩nodes,
+    0 elsewhere); dangling mass redistributes to the seeds — the
+    standard TrustRank choice (Gyongyi et al. 2004, public
+    literature)."""
+    nodes, codes = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    s = codes[: len(src)]
+    d = codes[len(src):]
+    n = len(nodes)
+    seed_mask = np.isin(nodes, np.asarray(sorted(seeds), dtype=object))
+    k = int(seed_mask.sum())
+    if k == 0:
+        return pd.DataFrame({"node": nodes[:0], "trust": np.zeros(0)})
+    e = np.where(seed_mask, 1.0 / k, 0.0)
+    out_w = np.bincount(s, weights=w, minlength=n)
+    p = w / out_w[s]
+    r = e.copy()
+    no_out = out_w == 0.0
+    for _ in range(n_iters):
+        contrib = np.bincount(d, weights=r[s] * p, minlength=n)
+        dangling = float(r[no_out].sum())
+        r = (1.0 - alpha) * e + alpha * (contrib + dangling * e)
+    return pd.DataFrame({"node": nodes, "trust": r})
+
+
+def trustrank(
+    edges_ds,
+    seeds: list,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    n_iters: int = 4,
+    alpha: float = 0.85,
+    num_buckets: int = 64,
+    local_solve_max_edges: int = 4_000_000,
+):
+    """Edge Dataset + trusted seed list -> ``(node, trust)`` Dataset.
+    The biased-restart complement of ``seed_distance``: where BFS gives
+    a hop HORIZON from the seeds, TrustRank gives a damped MASS that
+    decays along every path and splits across out-degree — the
+    canonical web-spam prior. Deliberately a SEPARATE implementation
+    from ``pagerank`` even though only the restart vector differs:
+    sharing the loop would change the uniform path's float evaluation
+    order ((1-a)/n vs (1-a)*e) and ulp-level drift is exactly what the
+    e6-rounded oracle hash is sensitive to.
+
+    Same dual shape as the other iterative primitives: one numpy task
+    below the edge gate; above it, per round, the contribution join on
+    hash(src) then the finalize merge on hash(node) (node rows CARRY
+    their restart weight e in ``val`` so the finalize needs no second
+    broadcast), with only the scalar dangling mass on the driver.
+    """
+    seeds = set(seeds)
+    empty = rd.from_arrow(pa.table({
+        "node": pa.array([], pa.string()),
+        "trust": pa.array([], pa.float64()),
+    }))
+    if not seeds:
+        return empty
+
+    def enc_edges(t: pa.Table) -> pa.Table:
+        return _enc(
+            t.column(src_col).cast(pa.string()).to_pylist(),
+            t.column(dst_col).cast(pa.string()).to_pylist(),
+            t.column(weight_col).cast(pa.float64()).to_numpy(
+                zero_copy_only=False),
+            _K_EDGE,
+        )
+
+    edges = (
+        edges_ds.map_batches(enc_edges, batch_format="pyarrow")
+        .repartition(8)
+        .materialize()
+    )
+    n_edges = edges.count()
+    if n_edges == 0:
+        return empty
+
+    if n_edges <= local_solve_max_edges:
+        def solve(t: pa.Table) -> pa.Table:
+            df = _trust_solve_local(
+                np.asarray(t.column("key").to_pylist(), dtype=object),
+                np.asarray(t.column("dst").to_pylist(), dtype=object),
+                t.column("val").to_numpy(zero_copy_only=False),
+                seeds, n_iters, alpha)
+            return pa.table({
+                "node": pa.array(df["node"].to_numpy(dtype=object),
+                                 pa.string()),
+                "trust": pa.array(df["trust"].to_numpy(), pa.float64()),
+            })
+
+        return edges.repartition(1).map_batches(
+            solve, batch_size=None, batch_format="pyarrow")
+
+    # ---- distributed path ----------------------------------------------
+    num_buckets = max(4, min(num_buckets, n_edges // 25_000 + 4))
+
+    def normalize_bucket(df: pd.DataFrame) -> pa.Table:
+        tot = df.groupby("key")["val"].transform("sum")
+        t = _enc(df["key"].to_numpy(dtype=object), None,
+                 df["val"].to_numpy() / tot.to_numpy(), _K_EDGE)
+        return t.set_column(1, "dst",
+                            pa.array(df["dst"].to_numpy(dtype=object),
+                                     pa.string()))
+
+    edges_norm = (
+        edges.map_batches(lambda t: add_bucket(t, "key", num_buckets),
+                          batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda df: normalize_bucket(df.drop(columns="__bucket")),
+                    batch_format="pandas")
+        .materialize()
+    )
+
+    def node_partials(t: pa.Table) -> pa.Table:
+        ks = np.unique(np.concatenate([
+            np.asarray(t.column("key").to_pylist(), dtype=object),
+            np.asarray(t.column("dst").to_pylist(), dtype=object)]))
+        ind = np.isin(ks, np.asarray(sorted(seeds), dtype=object))
+        return _enc(ks, None, ind.astype(np.float64), _K_NODE)
+
+    def dedup_bucket(df: pd.DataFrame) -> pa.Table:
+        u = df.drop_duplicates("key")
+        return _enc(u["key"].to_numpy(dtype=object), None,
+                    u["val"].to_numpy(), _K_NODE)
+
+    nodes_ind = (
+        edges.map_batches(node_partials, batch_format="pyarrow")
+        .map_batches(lambda t: add_bucket(t, "key", num_buckets),
+                     batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda df: dedup_bucket(df.drop(columns="__bucket")),
+                    batch_format="pandas")
+        .materialize()
+    )
+    n_seeds = int(round(nodes_ind.sum("val") or 0.0))
+    if n_seeds == 0:
+        return empty
+
+    def to_e(t: pa.Table) -> pa.Table:
+        v = t.column("val").to_numpy(zero_copy_only=False)
+        return t.set_column(2, "val",
+                            pa.array(np.where(v > 0.0, 1.0 / n_seeds, 0.0),
+                                     pa.float64()))
+
+    # node rows whose val IS the restart weight e(v)
+    nodes = nodes_ind.map_batches(to_e, batch_format="pyarrow").materialize()
+
+    def init_rank(t: pa.Table) -> pa.Table:
+        return _enc(t.column("key").to_pylist(), None,
+                    t.column("val").to_numpy(zero_copy_only=False), _K_RANK)
+
+    ranks = nodes.map_batches(init_rank, batch_format="pyarrow")
+
+    def contrib_bucket(df: pd.DataFrame) -> pa.Table:
+        r = df[df["kind"] == _K_RANK]
+        e = df[df["kind"] == _K_EDGE]
+        rmap = pd.Series(r["val"].to_numpy(), index=r["key"])
+        parts = []
+        if len(e):
+            rv = rmap.reindex(e["key"]).to_numpy()
+            c = pd.DataFrame({"key": e["dst"].to_numpy(),
+                              "val": rv * e["val"].to_numpy()})
+            c = c.groupby("key", as_index=False)["val"].sum()
+            parts.append(_enc(c["key"].to_numpy(dtype=object), None,
+                              c["val"].to_numpy(), _K_CONTRIB))
+        dangling = float(rmap[~rmap.index.isin(e["key"])].sum())
+        parts.append(_enc([""], None, [dangling], _K_DANGLING))
+        return pa.concat_tables(parts)
+
+    def finalize_bucket(dangling: float):
+        def fin(df: pd.DataFrame) -> pa.Table:
+            n = df[df["kind"] == _K_NODE]
+            c = df[df["kind"] == _K_CONTRIB]
+            csum = c.groupby("key")["val"].sum()
+            cv = csum.reindex(n["key"]).fillna(0.0).to_numpy()
+            ev = n["val"].to_numpy()
+            r = (1.0 - alpha) * ev + alpha * (cv + dangling * ev)
+            return _enc(n["key"].to_numpy(dtype=object), None, r, _K_RANK)
+        return fin
+
+    def only_kind(kind: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["kind"], pa.scalar(kind, pa.int8())))
+        return f
+
+    for _ in range(n_iters):
+        contrib = (
+            ranks.union(edges_norm)
+            .map_batches(lambda t: add_bucket(t, "key", num_buckets),
+                         batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(lambda df: contrib_bucket(df.drop(columns="__bucket")),
+                        batch_format="pandas")
+            .materialize()
+        )
+        dangling = contrib.map_batches(
+            only_kind(_K_DANGLING), batch_format="pyarrow").sum("val") or 0.0
+        ranks = (
+            nodes.union(contrib.map_batches(only_kind(_K_CONTRIB),
+                                            batch_format="pyarrow"))
+            .map_batches(lambda t: add_bucket(t, "key", num_buckets),
+                         batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(lambda df, _d=dangling: finalize_bucket(_d)(
+                df.drop(columns="__bucket")), batch_format="pandas")
+            .materialize()
+        )
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["key"].to_numpy(),
+                             "trust": df["val"].to_numpy()})
+
+    return ranks.map_batches(emit, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# HITS (hubs and authorities, L1-normalized)
+# ---------------------------------------------------------------------------
+
+def _hits_solve_local(src: np.ndarray, dst: np.ndarray,
+                      n_iters: int) -> pd.DataFrame:
+    """Single-heap HITS over DISTINCT directed edges. L1 (sum)
+    normalization instead of Kleinberg's L2: same fixpoint direction,
+    and the normalizer is a plain SUM both engines can evaluate
+    without sqrt. Update order per iteration: authorities from the
+    CURRENT hubs, then hubs from the NEW authorities."""
+    nodes, codes = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    s = codes[: len(src)]
+    d = codes[len(src):]
+    n = len(nodes)
+    h = np.full(n, 1.0 / n)
+    a = np.zeros(n)
+    for _ in range(n_iters):
+        a_raw = np.bincount(d, weights=h[s], minlength=n)
+        tot = float(a_raw.sum())
+        a = a_raw / tot if tot > 0.0 else a_raw
+        h_raw = np.bincount(s, weights=a[d], minlength=n)
+        tot = float(h_raw.sum())
+        h = h_raw / tot if tot > 0.0 else h_raw
+    return pd.DataFrame({"node": nodes, "hub": h, "auth": a})
+
+
+def hits(
+    edges_ds,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iters: int = 4,
+    num_buckets: int = 64,
+    local_solve_max_edges: int = 4_000_000,
+):
+    """Edge Dataset (distinct directed edges) -> ``(node, hub, auth)``.
+    Kleinberg's HITS (1999, public literature) with L1 normalization;
+    the bidirectional complement of PageRank: a round pushes mass
+    ALONG edges (hub -> authority) then AGAINST them (authority ->
+    hub), so the distributed path keeps TWO materialized edge
+    encodings — forward keyed by src and reversed keyed by dst — and
+    runs the same contribution-join exchange once in each direction
+    per round, with only the two scalar normalizers on the driver.
+    Duplicate (src, dst) rows are NOT collapsed here; feed distinct
+    edges (duplicates add weight, which the oracle's DISTINCT would
+    not see)."""
+    def enc_dir(a_col: str, b_col: str):
+        def enc(t: pa.Table) -> pa.Table:
+            return _enc(
+                t.column(a_col).cast(pa.string()).to_pylist(),
+                t.column(b_col).cast(pa.string()).to_pylist(),
+                np.ones(t.num_rows), _K_EDGE)
+        return enc
+
+    fwd = (edges_ds.map_batches(enc_dir(src_col, dst_col),
+                                batch_format="pyarrow")
+           .repartition(8).materialize())
+    n_edges = fwd.count()
+    if n_edges == 0:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "hub": pa.array([], pa.float64()),
+            "auth": pa.array([], pa.float64()),
+        }))
+
+    if n_edges <= local_solve_max_edges:
+        def solve(t: pa.Table) -> pa.Table:
+            df = _hits_solve_local(
+                np.asarray(t.column("key").to_pylist(), dtype=object),
+                np.asarray(t.column("dst").to_pylist(), dtype=object),
+                n_iters)
+            return pa.table({
+                "node": pa.array(df["node"].to_numpy(dtype=object),
+                                 pa.string()),
+                "hub": pa.array(df["hub"].to_numpy(), pa.float64()),
+                "auth": pa.array(df["auth"].to_numpy(), pa.float64()),
+            })
+
+        return fwd.repartition(1).map_batches(
+            solve, batch_size=None, batch_format="pyarrow")
+
+    # ---- distributed path ----------------------------------------------
+    num_buckets = max(4, min(num_buckets, n_edges // 25_000 + 4))
+    rev = (edges_ds.map_batches(enc_dir(dst_col, src_col),
+                                batch_format="pyarrow")
+           .repartition(8).materialize())
+
+    def node_partials(t: pa.Table) -> pa.Table:
+        ks = np.unique(np.concatenate([
+            np.asarray(t.column("key").to_pylist(), dtype=object),
+            np.asarray(t.column("dst").to_pylist(), dtype=object)]))
+        return _enc(ks, None, np.zeros(len(ks)), _K_NODE)
+
+    def dedup_bucket(df: pd.DataFrame) -> pa.Table:
+        u = df.drop_duplicates("key")
+        return _enc(u["key"].to_numpy(dtype=object), None,
+                    np.zeros(len(u)), _K_NODE)
+
+    nodes = (
+        fwd.map_batches(node_partials, batch_format="pyarrow")
+        .map_batches(lambda t: add_bucket(t, "key", num_buckets),
+                     batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda df: dedup_bucket(df.drop(columns="__bucket")),
+                    batch_format="pandas")
+        .materialize()
+    )
+    n_nodes = nodes.count()
+
+    def const_rank(v: float):
+        def f(t: pa.Table) -> pa.Table:
+            return _enc(t.column("key").to_pylist(), None,
+                        np.full(t.num_rows, v), _K_RANK)
+        return f
+
+    def push(scores, edges_enc):
+        """scores keyed like edges_enc: one contribution exchange ->
+        UN-normalized (node, raw) rank rows coalesced over all nodes."""
+        def contrib_bucket(df: pd.DataFrame) -> pa.Table:
+            r = df[df["kind"] == _K_RANK]
+            e = df[df["kind"] == _K_EDGE]
+            if not len(e):
+                return _enc([], None, [], _K_CONTRIB)
+            rmap = pd.Series(r["val"].to_numpy(), index=r["key"])
+            rv = rmap.reindex(e["key"]).fillna(0.0).to_numpy()
+            c = pd.DataFrame({"key": e["dst"].to_numpy(), "val": rv})
+            c = c.groupby("key", as_index=False)["val"].sum()
+            return _enc(c["key"].to_numpy(dtype=object), None,
+                        c["val"].to_numpy(), _K_CONTRIB)
+
+        def coalesce(df: pd.DataFrame) -> pa.Table:
+            n = df[df["kind"] == _K_NODE]
+            c = df[df["kind"] == _K_CONTRIB]
+            csum = c.groupby("key")["val"].sum()
+            cv = csum.reindex(n["key"]).fillna(0.0).to_numpy()
+            return _enc(n["key"].to_numpy(dtype=object), None, cv, _K_RANK)
+
+        contrib = (
+            scores.union(edges_enc)
+            .map_batches(lambda t: add_bucket(t, "key", num_buckets),
+                         batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(lambda df: contrib_bucket(
+                df.drop(columns="__bucket")), batch_format="pandas")
+        )
+        return (
+            nodes.union(contrib)
+            .map_batches(lambda t: add_bucket(t, "key", num_buckets),
+                         batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(lambda df: coalesce(df.drop(columns="__bucket")),
+                        batch_format="pandas")
+            .materialize()
+        )
+
+    def normalize(ranks):
+        tot = ranks.sum("val") or 0.0
+        if tot <= 0.0:
+            return ranks
+
+        def div(t: pa.Table) -> pa.Table:
+            return t.set_column(
+                2, "val", pc.divide(t["val"], pa.scalar(float(tot))))
+
+        return ranks.map_batches(div, batch_format="pyarrow").materialize()
+
+    hubs = nodes.map_batches(const_rank(1.0 / n_nodes),
+                             batch_format="pyarrow").materialize()
+    auths = None
+    for _ in range(n_iters):
+        auths = normalize(push(hubs, fwd))
+        hubs = normalize(push(auths, rev))
+
+    # final hub/auth zip stays distributed: kind-tag the two score sets
+    # (_K_RANK = hub, _K_CONTRIB = auth), co-locate on hash(node),
+    # merge in-bucket — nothing node-shaped touches the driver
+    def tag(kind: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.set_column(
+                3, "kind", pa.array(np.full(t.num_rows, kind,
+                                            dtype=np.int8), pa.int8()))
+        return f
+
+    def zip_bucket(df: pd.DataFrame) -> pa.Table:
+        h = df[df["kind"] == _K_RANK].drop_duplicates("key")
+        a = df[df["kind"] == _K_CONTRIB].drop_duplicates("key")
+        amap = pd.Series(a["val"].to_numpy(), index=a["key"])
+        av = amap.reindex(h["key"]).fillna(0.0).to_numpy()
+        return pa.table({
+            "node": pa.array(h["key"].to_numpy(dtype=object), pa.string()),
+            "hub": pa.array(h["val"].to_numpy(), pa.float64()),
+            "auth": pa.array(av, pa.float64()),
+        })
+
+    return (
+        hubs.map_batches(tag(_K_RANK), batch_format="pyarrow")
+        .union(auths.map_batches(tag(_K_CONTRIB), batch_format="pyarrow"))
+        .map_batches(lambda t: add_bucket(t, "key", num_buckets),
+                     batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda df: zip_bucket(df.drop(columns="__bucket")),
+                    batch_format="pandas")
+    )

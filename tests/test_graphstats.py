@@ -177,3 +177,100 @@ class TestLabelPropagation:
 
     def test_empty(self):
         assert _label_map(label_propagation(_edges([]))) == {}
+
+
+from reden_ray.stages.graphrank import hits, trustrank
+
+
+def _w_edges(pairs):
+    return rd.from_arrow(pa.table({
+        "src": pa.array([p[0] for p in pairs], pa.string()),
+        "dst": pa.array([p[1] for p in pairs], pa.string()),
+        "w": pa.array([1.0] * len(pairs), pa.float64()),
+    }))
+
+
+class TestTrustRank:
+    def test_mass_decays_along_cycle(self):
+        # cycle s -> a -> b -> s: no dangling sink, so trust strictly
+        # decays with hop distance from the seed (a chain would NOT
+        # show this: its endpoint accumulates recycled dangling mass)
+        t = trustrank(_w_edges([("s", "a"), ("a", "b"), ("b", "s")]),
+                      ["s"], n_iters=12).to_pandas() \
+            .set_index("node")["trust"]
+        assert t["s"] > t["a"] > t["b"] > 0
+
+    def test_unreachable_node_gets_zero(self):
+        t = trustrank(_w_edges([("s", "a"), ("x", "y")]), ["s"],
+                      n_iters=4).to_pandas().set_index("node")["trust"]
+        assert t["y"] == 0.0  # no path from the seed, no restart mass
+
+    def test_no_seeds_in_graph_empty(self):
+        out = trustrank(_w_edges([("a", "b")]), ["zz"]).to_pandas()
+        assert len(out) == 0
+
+    def test_mass_conserves_to_one(self):
+        rng = np.random.RandomState(41)
+        pairs = [(f"v{rng.randint(15)}", f"v{rng.randint(15)}")
+                 for _ in range(60)]
+        t = trustrank(_w_edges(pairs), ["v0", "v1"],
+                      n_iters=6).to_pandas()["trust"]
+        # dangling mass restarts at the seeds, so total mass is 1
+        assert abs(t.sum() - 1.0) < 1e-9
+
+    def test_distributed_path_matches_local(self):
+        rng = np.random.RandomState(43)
+        pairs = [(f"v{rng.randint(25)}", f"v{rng.randint(25)}")
+                 for _ in range(120)]
+        seeds = ["v0", "v3"]
+        lo = trustrank(_w_edges(pairs), seeds, n_iters=4).to_pandas()
+        hi = trustrank(_w_edges(pairs), seeds, n_iters=4,
+                       local_solve_max_edges=0, num_buckets=4).to_pandas()
+        a = lo.sort_values("node").reset_index(drop=True)
+        b = hi.sort_values("node").reset_index(drop=True)
+        assert list(a["node"]) == list(b["node"])
+        # float partial-sum order differs between the paths; e9 is far
+        # tighter than the e6 the oracle uses
+        assert np.allclose(a["trust"], b["trust"], atol=1e-9)
+
+
+class TestHits:
+    def test_hub_and_authority_separate(self):
+        # h1, h2 both point at a1, a2: pure hubs vs pure authorities
+        pairs = [("h1", "a1"), ("h1", "a2"), ("h2", "a1"), ("h2", "a2")]
+        df = hits(_edges(pairs), n_iters=4).to_pandas().set_index("node")
+        assert df.loc["h1", "hub"] > 0 and df.loc["h1", "auth"] == 0
+        assert df.loc["a1", "auth"] > 0 and df.loc["a1", "hub"] == 0
+        # symmetric structure -> equal scores
+        assert abs(df.loc["h1", "hub"] - df.loc["h2", "hub"]) < 1e-12
+        assert abs(df.loc["a1", "auth"] - df.loc["a2", "auth"]) < 1e-12
+
+    def test_l1_normalized(self):
+        rng = np.random.RandomState(47)
+        pairs = list({(f"v{rng.randint(12)}", f"v{rng.randint(12)}")
+                      for _ in range(50)})
+        df = hits(_edges(pairs), n_iters=5).to_pandas()
+        assert abs(df["hub"].sum() - 1.0) < 1e-9
+        assert abs(df["auth"].sum() - 1.0) < 1e-9
+
+    def test_better_cited_node_outranks(self):
+        # a2 cited by two hubs, a1 by one
+        pairs = [("h1", "a1"), ("h1", "a2"), ("h2", "a2")]
+        df = hits(_edges(pairs), n_iters=6).to_pandas().set_index("node")
+        assert df.loc["a2", "auth"] > df.loc["a1", "auth"]
+
+    def test_distributed_path_matches_local(self):
+        rng = np.random.RandomState(53)
+        pairs = list({(f"v{rng.randint(20)}", f"v{rng.randint(20)}")
+                      for _ in range(90)})
+        lo = hits(_edges(pairs), n_iters=4).to_pandas()
+        hi = hits(_edges(pairs), n_iters=4, local_solve_max_edges=0,
+                  num_buckets=4).to_pandas()
+        a = lo.sort_values("node").reset_index(drop=True)
+        b = hi.sort_values("node").reset_index(drop=True)
+        assert list(a["node"]) == list(b["node"])
+        assert np.allclose(a["hub"], b["hub"], atol=1e-9)
+        assert np.allclose(a["auth"], b["auth"], atol=1e-9)
+
+    def test_empty(self):
+        assert len(hits(_edges([])).to_pandas()) == 0
