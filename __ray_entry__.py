@@ -1659,6 +1659,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q104_trustrank": GS.q104_trustrank,
         # HITS hubs/authorities (L1-normalized)
         "q105_hits": GS.q105_hits,
+        # interval-union coverage per user (islands)
+        "q106_interval_coverage": ST.q106_interval_coverage,
         "q46_domain_mixture_sample": C.q46_domain_mixture_sample,
         "q47_kmeans_clusters": C.q47_kmeans_clusters,
         "q48_bigram_lm_score": C.q48_bigram_lm_score,
@@ -1878,6 +1880,7 @@ def oracle_sql() -> dict[str, str]:
         "q103_phrase_search": SO.Q103_SQL,
         "q104_trustrank": GS.Q104_SQL,
         "q105_hits": GS.Q105_SQL,
+        "q106_interval_coverage": ST.Q106_SQL,
         "q46_domain_mixture_sample": C.Q46_SQL,
         "q47_kmeans_clusters": C.Q47_SQL,
         "q48_bigram_lm_score": C.Q48_SQL,

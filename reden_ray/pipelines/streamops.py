@@ -371,3 +371,98 @@ SELECT user_id, n,
             // (n * sxx - sx * sx) AS BIGINT) AS slope_q
 FROM m WHERE n * sxx - sx * sx > 0
 """
+
+
+# ---------------------------------------------------------------------------
+# Q106 — interval-union coverage per user (island detection)
+# ---------------------------------------------------------------------------
+
+# Each event opens a fixed-length activity interval [ts, ts + 5 min);
+# the operator reports, per user, the UNION of those intervals: how
+# many disjoint activity islands and how many seconds they cover. The
+# crawl-side use is coverage accounting (fetch windows per host, gap
+# maps per snapshot); the algebra — merge overlapping intervals via
+# sort + running-max-of-ends — is the classic islands problem.
+_ISLAND_US = 300 * 1_000_000
+
+
+def interval_coverage(events_ds, key_col: str = "user_id",
+                      ts_col: str = "ts", length_us: int = _ISLAND_US):
+    """-> (user_id, n_islands, covered_s). Per-block DISTINCT
+    (key, ts) partials first — duplicate events are lossless to drop
+    under a union — then ONE keyed bucket exchange; island detection
+    is vectorized inside each bucket (sort, per-key shifted cummax of
+    interval ends, break flags, cumsum island ids). covered_s is the
+    SUM of island spans floor-divided once, mirroring the oracle."""
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": t.column(key_col).to_numpy(zero_copy_only=False),
+            "t": pc.cast(t[ts_col], pa.int64()).to_numpy(
+                zero_copy_only=False),
+        }).drop_duplicates()
+        return pa.table({
+            "k": pa.array(df["k"].to_numpy(), pa.int64()),
+            "t": pa.array(df["t"].to_numpy(), pa.int64()),
+        })
+
+    def islands(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["k", "t"]).sort_values(
+            ["k", "t"], kind="stable")
+        t = df["t"].to_numpy()
+        k = df["k"].to_numpy()
+        end = pd.Series(t + length_us)
+        # per-KEY running max of interval ends (a global cummax would
+        # leak a previous user's end into the next user's break test)
+        prev_end = end.groupby(k).cummax().groupby(k).shift(1)
+        brk = prev_end.isna().to_numpy() | (t > prev_end.fillna(
+            np.iinfo(np.int64).min).to_numpy())
+        isl = np.cumsum(brk)
+        g = pd.DataFrame({"k": k, "isl": isl, "s": t, "e": end}) \
+            .groupby(["k", "isl"], as_index=False) \
+            .agg(s=("s", "min"), e=("e", "max"))
+        out = g.assign(span=g["e"] - g["s"]) \
+            .groupby("k", as_index=False) \
+            .agg(n_islands=("isl", "count"), covered_us=("span", "sum"))
+        return pd.DataFrame({
+            "user_id": out["k"],
+            "n_islands": out["n_islands"].astype("int64"),
+            "covered_s": (out["covered_us"] // 1_000_000).astype("int64"),
+        })
+
+    dedup = events_ds.map_batches(distinct_partial, batch_format="pyarrow")
+    return grouped_by_key_buckets(dedup, "k", islands)
+
+
+def q106_interval_coverage(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    return interval_coverage(ds).to_pandas()
+
+
+Q106_SQL = f"""
+WITH ev AS (
+  SELECT DISTINCT user_id, epoch_us(ts) AS t FROM events
+), w AS (
+  SELECT user_id, t,
+         CASE WHEN t > COALESCE(MAX(t + {_ISLAND_US}) OVER (
+                PARTITION BY user_id ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              {-(1 << 62)})
+              OR ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t) = 1
+         THEN 1 ELSE 0 END AS brk
+  FROM ev
+), isl AS (
+  SELECT user_id, t,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM w
+), g AS (
+  SELECT user_id, island, MIN(t) AS s, MAX(t) + {_ISLAND_US} AS e
+  FROM isl GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(e - s) // 1000000 AS BIGINT) AS covered_s
+FROM g GROUP BY user_id
+"""

@@ -78,3 +78,69 @@ class TestSlidingRangePeers:
         got = dict(zip(out["event_id"], out["trailing_sum"]))
         expect = dict(zip(sql["event_id"], sql["trailing_sum"]))
         assert got == expect
+
+
+class TestIntervalCoverage:
+    def _run(self, rows, length_us=300 * 1_000_000):
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from reden_ray.pipelines.streamops import interval_coverage
+
+        ds = rd.from_arrow(pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        }))
+        df = interval_coverage(ds, length_us=length_us).to_pandas()
+        return {int(r["user_id"]): (int(r["n_islands"]), int(r["covered_s"]))
+                for _, r in df.iterrows()}
+
+    def test_disjoint_and_merged_islands(self):
+        m = 60 * 1_000_000
+        rows = [
+            (1, 0), (1, 2 * m),          # overlap (5-min intervals) -> 1 island, 7 min
+            (1, 20 * m),                 # separate island, 5 min
+            (2, 0),                      # single event
+        ]
+        got = self._run(rows)
+        assert got[1] == (2, 7 * 60 + 5 * 60)
+        assert got[2] == (1, 300)
+
+    def test_duplicate_events_lossless(self):
+        rows = [(1, 0), (1, 0), (1, 0)]
+        assert self._run(rows)[1] == (1, 300)
+
+    def test_exact_touch_merges(self):
+        # interval [0, L) and an event exactly at L: t > prev_end is
+        # FALSE at equality, so touching intervals merge (both engines)
+        L = 300 * 1_000_000
+        rows = [(1, 0), (1, L)]
+        assert self._run(rows)[1] == (1, 600)
+
+    def test_key_boundary_no_leak(self):
+        # user 1's late interval must not suppress user 2's early break
+        m = 60 * 1_000_000
+        rows = [(1, 100 * m), (2, 0), (2, 50 * m)]
+        got = self._run(rows)
+        assert got[1] == (1, 300)
+        assert got[2] == (2, 600)
+
+    def test_block_split_invariant(self):
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from reden_ray.pipelines.streamops import interval_coverage
+
+        m = 60 * 1_000_000
+        rows = [(i % 5, (i * 37 % 200) * m) for i in range(200)]
+        ds = rd.from_arrow(pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        }))
+        one = interval_coverage(ds).to_pandas()
+        many = interval_coverage(ds.repartition(9)).to_pandas()
+        key = ["user_id", "n_islands", "covered_s"]
+        assert one[key].sort_values(key).reset_index(drop=True).equals(
+            many[key].sort_values(key).reset_index(drop=True))
