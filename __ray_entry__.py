@@ -1661,6 +1661,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q105_hits": GS.q105_hits,
         # interval-union coverage per user (islands)
         "q106_interval_coverage": ST.q106_interval_coverage,
+        # rolling 7-day distinct active users
+        "q107_rolling_active_users": ST.q107_rolling_active_users,
+        # source-affinity matrix (integer inner products)
+        "q108_source_affinity": QS.q108_source_affinity,
         "q46_domain_mixture_sample": C.q46_domain_mixture_sample,
         "q47_kmeans_clusters": C.q47_kmeans_clusters,
         "q48_bigram_lm_score": C.q48_bigram_lm_score,
@@ -1881,6 +1885,8 @@ def oracle_sql() -> dict[str, str]:
         "q104_trustrank": GS.Q104_SQL,
         "q105_hits": GS.Q105_SQL,
         "q106_interval_coverage": ST.Q106_SQL,
+        "q107_rolling_active_users": ST.Q107_SQL,
+        "q108_source_affinity": QS.Q108_SQL,
         "q46_domain_mixture_sample": C.Q46_SQL,
         "q47_kmeans_clusters": C.Q47_SQL,
         "q48_bigram_lm_score": C.Q48_SQL,

@@ -338,3 +338,68 @@ SELECT d.doc_id, d.source, d.n_chars
 FROM documents d JOIN m USING (source) JOIN a USING (source)
 WHERE ABS(d.n_chars - m.med) > {_MAD_K} * a.mad
 """
+
+
+# ---------------------------------------------------------------------------
+# Q108 — source-affinity matrix (pairwise token-distribution overlap)
+# ---------------------------------------------------------------------------
+
+def source_affinity(ds, key_col: str = "source") -> pd.DataFrame:
+    """-> (src_a, src_b, dot, na2, nb2) for every source pair a < b:
+    the EXACT integer inner product and squared norms of the two
+    sources' hashed-vocab count vectors (the q99 histogram — ONE
+    corpus pass, |sources| x 64 cells). Cosine = dot/sqrt(na2*nb2) is
+    derivable downstream; the operator deliberately reports the raw
+    integer moments so the affinity matrix itself hash-verifies (no
+    sqrt on either engine). The corpus-mixing use: near-identical
+    sources are merge candidates, low-affinity sources diversify."""
+    cnt = source_token_histogram(ds, key_col).to_pandas()
+    vecs = {}
+    for k, g in cnt.groupby("k"):
+        v = np.zeros(_DRIFT_BUCKETS, dtype=np.int64)
+        v[g["b"].to_numpy()] = g["c"].to_numpy()
+        vecs[k] = v
+    keys = sorted(vecs)
+    rows = []
+    for i, a in enumerate(keys):
+        for b in keys[i + 1:]:
+            va, vb = vecs[a], vecs[b]
+            rows.append({
+                "src_a": a, "src_b": b,
+                "dot": int(np.dot(va, vb)),
+                "na2": int(np.dot(va, va)),
+                "nb2": int(np.dot(vb, vb)),
+            })
+    return pd.DataFrame(rows)
+
+
+def q108_source_affinity(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    return source_affinity(ds)
+
+
+Q108_SQL = f"""
+WITH w AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+), wf AS (
+  SELECT source,
+         (length(word) * 131 + ascii(word) * 31 + ascii(reverse(word)))
+           % {_DRIFT_BUCKETS} AS b
+  FROM w WHERE word <> ''
+), cnt AS (
+  SELECT source, b, CAST(COUNT(*) AS BIGINT) AS c FROM wf GROUP BY source, b
+), norms AS (
+  SELECT source, SUM(c * c) AS n2 FROM cnt GROUP BY source
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(COALESCE(SUM(ca.c * cb.c), 0) AS BIGINT) AS dot,
+       CAST(MIN(na.n2) AS BIGINT) AS na2,
+       CAST(MIN(nb.n2) AS BIGINT) AS nb2
+FROM (SELECT DISTINCT source FROM cnt) a
+JOIN (SELECT DISTINCT source FROM cnt) b ON a.source < b.source
+JOIN norms na ON na.source = a.source
+JOIN norms nb ON nb.source = b.source
+LEFT JOIN cnt ca ON ca.source = a.source
+LEFT JOIN cnt cb ON cb.source = b.source AND cb.b = ca.b
+GROUP BY a.source, b.source
+"""

@@ -466,3 +466,104 @@ SELECT user_id,
        CAST(SUM(e - s) // 1000000 AS BIGINT) AS covered_s
 FROM g GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Q107 — rolling 7-day distinct active users (sliding COUNT DISTINCT)
+# ---------------------------------------------------------------------------
+
+_ROLL_DAYS = 7
+_DAY_US = 86_400_000_000
+
+
+def rolling_active_users(events_ds, key_col: str = "user_id",
+                         ts_col: str = "ts", window_days: int = _ROLL_DAYS):
+    """-> (day, active_7d): for every OBSERVED event day d, the number
+    of distinct users with >= 1 event in [d - 6, d]. Sliding distinct
+    counts do NOT decompose into per-day partial sums (distinct is not
+    additive across days), so the exact operator is two dedup
+    exchanges of narrow int rows:
+
+    1. per-block DISTINCT (user, day) partials -> global pair dedup;
+    2. each (user, day) replicates to the <= 7 trailing windows it
+       feeds (bounded blowup, the q55 bin-replication idiom), filtered
+       against the broadcast observed-day set;
+    3. second (user, window-day) dedup collapses multi-active users;
+    4. vocabulary-sized per-day count of pre-deduped rows.
+
+    At 100 TB the replication factor stays `window_days` and every
+    shuffled row is two int64s; the approximate path (q51 HLL
+    registers per day, merged over the window) trades exactness for
+    one exchange — both shapes are in the repo.
+    """
+    from ..stages.canonicalize import exact_dedup
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "u": t.column(key_col).to_numpy(zero_copy_only=False),
+            "d": pc.cast(t[ts_col], pa.int64()).to_numpy(
+                zero_copy_only=False) // _DAY_US,
+        }).drop_duplicates()
+        return pa.table({
+            "u": pa.array(df["u"].to_numpy(), pa.int64()),
+            "d": pa.array(df["d"].to_numpy(), pa.int64()),
+        })
+
+    pairs = exact_dedup(
+        events_ds.map_batches(day_partial, batch_format="pyarrow"),
+        ["u", "d"]).materialize()
+
+    # observed-day set: vocabulary-sized, broadcast in-closure
+    import ray
+
+    from ..state.broadcast import get_broadcast
+
+    days = np.sort(pairs.map_batches(
+        lambda t: pa.table({"d": pc.unique(t["d"])}),
+        batch_format="pyarrow").to_pandas()["d"].unique())
+    days_ref = ray.put(days)
+
+    def replicate(t: pa.Table) -> pa.Table:
+        obs = get_broadcast(days_ref)
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        ru = np.repeat(u, window_days)
+        rd_ = np.repeat(d, window_days) + np.tile(
+            np.arange(window_days, dtype=np.int64), len(d))
+        keep = np.isin(rd_, obs)
+        return pa.table({
+            "u": pa.array(ru[keep], pa.int64()),
+            "d": pa.array(rd_[keep], pa.int64()),
+        })
+
+    covered = exact_dedup(
+        pairs.map_batches(replicate, batch_format="pyarrow"), ["u", "d"])
+
+    from ray.data.aggregate import Count
+
+    def emit(t: pa.Table) -> pa.Table:
+        return pa.table({"day": t["d"],
+                         "active_7d": pc.cast(t["count()"], pa.int64())})
+
+    return (covered.groupby("d").aggregate(Count())
+            .map_batches(emit, batch_format="pyarrow"))
+
+
+def q107_rolling_active_users(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    return rolling_active_users(ds).to_pandas()
+
+
+Q107_SQL = f"""
+WITH p AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS d FROM events
+), days AS (
+  SELECT DISTINCT d FROM p
+), cover AS (
+  SELECT DISTINCT p.user_id, dd.d
+  FROM p JOIN days dd ON dd.d BETWEEN p.d AND p.d + {_ROLL_DAYS - 1}
+)
+SELECT d AS day, CAST(COUNT(*) AS BIGINT) AS active_7d
+FROM cover GROUP BY d
+"""

@@ -165,3 +165,37 @@ class TestMadOutliers:
         key = ["doc_id", "n_chars", "source"]
         assert one[key].sort_values(key).reset_index(drop=True).equals(
             many[key].sort_values(key).reset_index(drop=True))
+
+
+from reden_ray.pipelines.qualstats import source_affinity
+
+
+class TestSourceAffinity:
+    def test_identical_sources_maximal_cosine(self):
+        rows = [{"doc_id": i, "source": "a" if i % 2 else "b",
+                 "text": "tok1 tok2 tok3 tok4"} for i in range(20)]
+        df = source_affinity(_docs(rows))
+        r = df.iloc[0]
+        # identical distributions: dot^2 == na2 * nb2 (cosine exactly 1)
+        assert r["dot"] ** 2 == r["na2"] * r["nb2"]
+
+    def test_matches_bruteforce(self):
+        rng = np.random.RandomState(61)
+        vocab = [f"w{i}" for i in range(30)]
+        rows = [{"doc_id": i, "source": f"s{i % 3}",
+                 "text": " ".join(rng.choice(vocab, 15))}
+                for i in range(60)]
+        df = source_affinity(_docs(rows)).set_index(["src_a", "src_b"])
+        from reden_ray.pipelines.selection import _word_buckets
+        vecs = {}
+        for r in rows:
+            v = vecs.setdefault(r["source"], np.zeros(64, dtype=np.int64))
+            for w in r["text"].split(" "):
+                v[int(_word_buckets(np.array([w], dtype=object))[0])] += 1
+        for a in vecs:
+            for b in vecs:
+                if a < b:
+                    got = df.loc[(a, b)]
+                    assert got["dot"] == int(np.dot(vecs[a], vecs[b]))
+                    assert got["na2"] == int(np.dot(vecs[a], vecs[a]))
+                    assert got["nb2"] == int(np.dot(vecs[b], vecs[b]))

@@ -144,3 +144,57 @@ class TestIntervalCoverage:
         key = ["user_id", "n_islands", "covered_s"]
         assert one[key].sort_values(key).reset_index(drop=True).equals(
             many[key].sort_values(key).reset_index(drop=True))
+
+
+class TestRollingActiveUsers:
+    def _run(self, rows, window_days=7):
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from reden_ray.pipelines.streamops import rolling_active_users
+
+        day = 86_400_000_000
+        ds = rd.from_arrow(pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] * day for r in rows], pa.timestamp("us")),
+        }))
+        df = rolling_active_users(ds, window_days=window_days).to_pandas()
+        return {int(r["day"]): int(r["active_7d"]) for _, r in df.iterrows()}
+
+    def test_trailing_window_counts_distinct(self):
+        rows = [(1, 0), (2, 0), (1, 3), (3, 10)]
+        got = self._run(rows)
+        # day 0: users {1,2}; day 3: {1,2} (day-0 events still in
+        # window) -- user 1 counted ONCE; day 10: {3} only
+        assert got == {0: 2, 3: 2, 10: 1}
+
+    def test_window_expiry(self):
+        rows = [(1, 0), (2, 7)]
+        got = self._run(rows)
+        assert got == {0: 1, 7: 1}  # day 0 is out of day 7's window
+        got3 = self._run([(1, 0), (2, 2)], window_days=3)
+        assert got3 == {0: 1, 2: 2}
+
+    def test_duplicate_events_one_user(self):
+        rows = [(1, 0)] * 5 + [(1, 2)] * 3
+        assert self._run(rows) == {0: 1, 2: 1}
+
+    def test_block_split_invariant(self):
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from reden_ray.pipelines.streamops import rolling_active_users
+
+        day = 86_400_000_000
+        rows = [(i % 9, (i * 5 % 23) * day) for i in range(300)]
+        ds = rd.from_arrow(pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        }))
+        one = rolling_active_users(ds).to_pandas()
+        many = rolling_active_users(ds.repartition(11)).to_pandas()
+        key = ["day", "active_7d"]
+        assert one[key].sort_values(key).reset_index(drop=True).equals(
+            many[key].sort_values(key).reset_index(drop=True))
