@@ -1665,6 +1665,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q107_rolling_active_users": ST.q107_rolling_active_users,
         # source-affinity matrix (integer inner products)
         "q108_source_affinity": QS.q108_source_affinity,
+        # degree assortativity moments
+        "q109_assortativity": GS.q109_assortativity,
+        # Gini coefficient of per-user activity
+        "q110_activity_gini": ST.q110_activity_gini,
         "q46_domain_mixture_sample": C.q46_domain_mixture_sample,
         "q47_kmeans_clusters": C.q47_kmeans_clusters,
         "q48_bigram_lm_score": C.q48_bigram_lm_score,
@@ -1887,6 +1891,8 @@ def oracle_sql() -> dict[str, str]:
         "q106_interval_coverage": ST.Q106_SQL,
         "q107_rolling_active_users": ST.Q107_SQL,
         "q108_source_affinity": QS.Q108_SQL,
+        "q109_assortativity": GS.Q109_SQL,
+        "q110_activity_gini": ST.Q110_SQL,
         "q46_domain_mixture_sample": C.Q46_SQL,
         "q47_kmeans_clusters": C.Q47_SQL,
         "q48_bigram_lm_score": C.Q48_SQL,

@@ -490,3 +490,117 @@ def _q105_sql(n_iters: int = HITS_ITERS) -> str:
 
 
 Q105_SQL = _q105_sql()
+
+
+# ---------------------------------------------------------------------------
+# Q109 — degree assortativity moments (degree-correlation signal)
+# ---------------------------------------------------------------------------
+
+def degree_assortativity_moments(edges_ds) -> pd.DataFrame:
+    """Distinct directed edges -> ONE row of exact integer moments for
+    the out-degree(src) vs in-degree(dst) Pearson correlation:
+    (n_edges, sx, sy, sxy, sx2, sy2). The coefficient
+    r = (n·sxy − sx·sy) / sqrt((n·sx2 − sx²)(n·sy2 − sy²)) is
+    derivable downstream; reporting raw moments keeps both engines in
+    integer arithmetic (no sqrt — the q53/q108 discipline).
+    Assortativity < 0 on the web graph = hubs link to leaves (the
+    link-farm / nav-template signature).
+
+    Shape: two vocabulary-sized degree reduces (host graphs), both
+    broadcast; a stateless edge scan emits per-block moment partials
+    (6 ints per block); ONE tiny final reduce — the q53 moment-matrix
+    pattern."""
+    import ray
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..state.broadcast import get_broadcast
+
+    dedup = _distinct_int_edges(edges_ds)
+    out_deg = dedup.groupby("s").aggregate(_Sum("one", alias_name="deg")) \
+        .to_pandas()
+    in_deg = dedup.groupby("d").aggregate(_Sum("one", alias_name="deg")) \
+        .to_pandas()
+    od = np.zeros(N_NODES, dtype=np.int64)
+    od[out_deg["s"].to_numpy()] = out_deg["deg"].to_numpy()
+    idg = np.zeros(N_NODES, dtype=np.int64)
+    idg[in_deg["d"].to_numpy()] = in_deg["deg"].to_numpy()
+    od_ref = ray.put(od)
+    id_ref = ray.put(idg)
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = get_broadcast(od_ref)[t.column("s").to_numpy(
+            zero_copy_only=False)]
+        y = get_broadcast(id_ref)[t.column("d").to_numpy(
+            zero_copy_only=False)]
+        return pa.table({
+            "n_p": pa.array([len(x)], pa.int64()),
+            "sx_p": pa.array([int(x.sum())], pa.int64()),
+            "sy_p": pa.array([int(y.sum())], pa.int64()),
+            "sxy_p": pa.array([int((x * y).sum())], pa.int64()),
+            "sx2_p": pa.array([int((x * x).sum())], pa.int64()),
+            "sy2_p": pa.array([int((y * y).sum())], pa.int64()),
+        })
+
+    agg = dedup.map_batches(
+        lambda t: t.select(["s", "d"]), batch_format="pyarrow") \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame([{
+        "n_edges": int(agg["n_p"].sum()),
+        "sx": int(agg["sx_p"].sum()),
+        "sy": int(agg["sy_p"].sum()),
+        "sxy": int(agg["sxy_p"].sum()),
+        "sx2": int(agg["sx2_p"].sum()),
+        "sy2": int(agg["sy2_p"].sum()),
+    }])
+
+
+def _distinct_int_edges(edges_ds):
+    """(s, d) int edges -> globally distinct, with a constant ``one``
+    column for degree counting (unordered-pair-bucket dedup)."""
+    def pair_key(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "pk", pa.array(np.minimum(s, d) * N_NODES + np.maximum(s, d),
+                           pa.int64()))
+
+    def dedup(df: pd.DataFrame) -> pa.Table:
+        u = df.drop_duplicates(["s", "d"])
+        return pa.table({
+            "s": pa.array(u["s"].to_numpy(), pa.int64()),
+            "d": pa.array(u["d"].to_numpy(), pa.int64()),
+            "one": pa.array(np.ones(len(u), dtype=np.int64), pa.int64()),
+        })
+
+    return (
+        edges_ds.map_batches(pair_key, batch_format="pyarrow")
+        .map_batches(lambda t: add_bucket(t, "pk", 16),
+                     batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda df: dedup(df.drop(columns=["__bucket", "pk"])),
+                    batch_format="pandas")
+        .materialize()
+    )
+
+
+def q109_assortativity(sf_dir: str) -> pd.DataFrame:
+    return degree_assortativity_moments(sparse_host_edges(sf_dir))
+
+
+Q109_SQL = f"""
+WITH {_EDGES_CTE},
+od AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY s),
+idg AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY d),
+j AS (
+  SELECT od.deg AS x, idg.deg AS y
+  FROM e JOIN od ON od.s = e.s JOIN idg ON idg.d = e.d
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(x) AS BIGINT) AS sx,
+       CAST(SUM(y) AS BIGINT) AS sy,
+       CAST(SUM(x * y) AS BIGINT) AS sxy,
+       CAST(SUM(x * x) AS BIGINT) AS sx2,
+       CAST(SUM(y * y) AS BIGINT) AS sy2
+FROM j
+"""

@@ -567,3 +567,77 @@ WITH p AS (
 SELECT d AS day, CAST(COUNT(*) AS BIGINT) AS active_7d
 FROM cover GROUP BY d
 """
+
+
+# ---------------------------------------------------------------------------
+# Q110 — Gini coefficient of per-user activity (inequality profile)
+# ---------------------------------------------------------------------------
+
+def activity_gini(events_ds, key_col: str = "user_id") -> pd.DataFrame:
+    """-> ONE row (n_users, total_events, gini_ppm): the Gini
+    coefficient of the per-user event-count distribution, exact and
+    SORT-FREE. With the counts histogram (value -> how many users have
+    that count) the rank-sum numerator Σ(2i − n − 1)·c_(i) reduces to
+    per-VALUE closed forms: a block of m users at value v occupying
+    ranks p+1..p+m contributes v·m·(2p + m − n). Ties make any
+    within-value order irrelevant, so no global sort exists anywhere —
+    per-user counts reduce combiner-first, the histogram is
+    distinct-value-sized, and the final pass is driver arithmetic over
+    it (the q45/q78 histogram discipline). gini_ppm is an integer
+    floor-div, so the statistic itself hash-verifies."""
+    from ray.data.aggregate import Count
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "u": t.column(key_col).to_numpy(zero_copy_only=False)})
+        g = df.groupby("u", as_index=False).size()
+        return pa.table({
+            "u": pa.array(g["u"].to_numpy(), pa.int64()),
+            "c_p": pa.array(g["size"].to_numpy(), pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum as _Sum
+
+    per_user = (events_ds.map_batches(count_partial, batch_format="pyarrow")
+                .groupby("u").aggregate(_Sum("c_p", alias_name="c")))
+    hist = (per_user.groupby("c").aggregate(Count(alias_name="m"))
+            .to_pandas().sort_values("c").reset_index(drop=True))
+    n = int(hist["m"].sum())
+    tot = int((hist["c"].astype(object) * hist["m"]).sum())
+    if n == 0 or tot == 0:
+        return pd.DataFrame([{"n_users": n, "total_events": tot,
+                              "gini_ppm": 0}])
+    num = 0
+    p = 0
+    for _, r in hist.iterrows():
+        v, m = int(r["c"]), int(r["m"])
+        num += v * m * (2 * p + m - n)
+        p += m
+    return pd.DataFrame([{
+        "n_users": n,
+        "total_events": tot,
+        "gini_ppm": 1_000_000 * num // (n * tot),
+    }])
+
+
+def q110_activity_gini(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return activity_gini(ds)
+
+
+Q110_SQL = """
+WITH c AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events
+  GROUP BY user_id
+), r AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS i,
+         (SELECT COUNT(*) FROM c) AS n,
+         (SELECT SUM(c) FROM c) AS tot
+  FROM c
+)
+SELECT CAST(MIN(n) AS BIGINT) AS n_users,
+       CAST(MIN(tot) AS BIGINT) AS total_events,
+       CAST(1000000 * SUM((2 * i - n - 1) * c) // (MIN(n) * MIN(tot))
+            AS BIGINT) AS gini_ppm
+FROM r
+"""

@@ -274,3 +274,42 @@ class TestHits:
 
     def test_empty(self):
         assert len(hits(_edges([])).to_pandas()) == 0
+
+
+from reden_ray.pipelines.graphstats import degree_assortativity_moments
+
+
+class TestAssortativity:
+    def test_hand_graph_moments(self):
+        # edges: 1->2, 1->3, 2->3  (outdeg: 1:2, 2:1; indeg: 2:1, 3:2)
+        df = degree_assortativity_moments(
+            _int_edges([(1, 2), (1, 3), (2, 3)])).iloc[0]
+        # per-edge (x=outdeg(src), y=indeg(dst)): (2,1), (2,2), (1,2)
+        assert df["n_edges"] == 3
+        assert df["sx"] == 5 and df["sy"] == 5
+        assert df["sxy"] == 2 * 1 + 2 * 2 + 1 * 2
+        assert df["sx2"] == 4 + 4 + 1 and df["sy2"] == 1 + 4 + 4
+
+    def test_duplicate_edges_collapse(self):
+        once = degree_assortativity_moments(
+            _int_edges([(1, 2), (2, 3)])).iloc[0]
+        many = degree_assortativity_moments(
+            _int_edges([(1, 2), (1, 2), (2, 3), (2, 3), (2, 3)])).iloc[0]
+        assert once.to_dict() == many.to_dict()
+
+    def test_pearson_matches_numpy(self):
+        rng = np.random.RandomState(71)
+        pairs = list({(int(rng.randint(40)), int(rng.randint(40)))
+                      for _ in range(200)})
+        m = degree_assortativity_moments(_int_edges(pairs)).iloc[0]
+        es = sorted(set(pairs))
+        from collections import Counter
+        od = Counter(s for s, _ in es)
+        idg = Counter(d for _, d in es)
+        x = np.array([od[s] for s, d in es], dtype=float)
+        y = np.array([idg[d] for s, d in es], dtype=float)
+        n = len(es)
+        r_mom = (n * m["sxy"] - m["sx"] * m["sy"]) / np.sqrt(
+            float((n * m["sx2"] - m["sx"] ** 2))
+            * float((n * m["sy2"] - m["sy"] ** 2)))
+        assert abs(r_mom - np.corrcoef(x, y)[0, 1]) < 1e-12

@@ -198,3 +198,52 @@ class TestRollingActiveUsers:
         key = ["day", "active_7d"]
         assert one[key].sort_values(key).reset_index(drop=True).equals(
             many[key].sort_values(key).reset_index(drop=True))
+
+
+class TestActivityGini:
+    def _run(self, user_ids):
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from reden_ray.pipelines.streamops import activity_gini
+
+        ds = rd.from_arrow(pa.table({
+            "user_id": pa.array(user_ids, pa.int64())}))
+        return activity_gini(ds).iloc[0].to_dict()
+
+    def test_perfect_equality_zero(self):
+        got = self._run([1, 2, 3, 4] * 5)  # every user exactly 5 events
+        assert got == {"n_users": 4, "total_events": 20, "gini_ppm": 0}
+
+    def test_extreme_inequality(self):
+        # 9 users with 1 event, 1 user with 991: Gini near (n-1)/n
+        ids = list(range(9)) + [99] * 991
+        got = self._run(ids)
+        assert got["n_users"] == 10 and got["total_events"] == 1000
+        assert got["gini_ppm"] > 850_000
+
+    def test_matches_bruteforce_rank_formula(self):
+        import numpy as np
+
+        rng = np.random.RandomState(73)
+        ids = rng.randint(0, 20, size=500).tolist()
+        got = self._run(ids)
+        from collections import Counter
+        c = sorted(Counter(ids).values())
+        n = len(c)
+        tot = sum(c)
+        num = sum((2 * (i + 1) - n - 1) * v for i, v in enumerate(c))
+        assert got["gini_ppm"] == 1_000_000 * num // (n * tot)
+
+    def test_block_split_invariant(self):
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from reden_ray.pipelines.streamops import activity_gini
+
+        ids = [i % 13 for i in range(400)]
+        ds = rd.from_arrow(pa.table({"user_id": pa.array(ids, pa.int64())}))
+        assert activity_gini(ds).iloc[0].to_dict() == \
+            activity_gini(ds.repartition(7)).iloc[0].to_dict()
