@@ -1669,6 +1669,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q109_assortativity": GS.q109_assortativity,
         # Gini coefficient of per-user activity
         "q110_activity_gini": ST.q110_activity_gini,
+        # modularity of the LPA communities
+        "q111_modularity": GS.q111_modularity,
         "q46_domain_mixture_sample": C.q46_domain_mixture_sample,
         "q47_kmeans_clusters": C.q47_kmeans_clusters,
         "q48_bigram_lm_score": C.q48_bigram_lm_score,
@@ -1893,6 +1895,7 @@ def oracle_sql() -> dict[str, str]:
         "q108_source_affinity": QS.Q108_SQL,
         "q109_assortativity": GS.Q109_SQL,
         "q110_activity_gini": ST.Q110_SQL,
+        "q111_modularity": GS.Q111_SQL,
         "q46_domain_mixture_sample": C.Q46_SQL,
         "q47_kmeans_clusters": C.Q47_SQL,
         "q48_bigram_lm_score": C.Q48_SQL,

@@ -604,3 +604,106 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
        CAST(SUM(y * y) AS BIGINT) AS sy2
 FROM j
 """
+
+
+# ---------------------------------------------------------------------------
+# Q111 — modularity of the LPA communities (partition-quality metric)
+# ---------------------------------------------------------------------------
+
+def q111_modularity(sf_dir: str) -> pd.DataFrame:
+    """Newman modularity of the q101 label-propagation partition over
+    the undirected sparse host graph, in EXACT integer arithmetic:
+
+        Q = (4m * sum_c e_c - sum_c d_c^2) / (4 m^2)
+
+    (e_c = intra-community edges, d_c = community degree sum, m =
+    undirected edge count; self-loops excluded from the edge set,
+    while the LABELS keep q101's semantics exactly — the two CTE
+    chains share only the raw edge mint). Output is one row
+    (m, q_num, q_den, modularity_ppm) with the ppm a TOWARD-ZERO
+    integer division (Q can be negative; DuckDB's ``//`` truncates
+    while Python's floors — the q92 lesson).
+
+    Scale shape: labels, degrees and community aggregates are all
+    vocabulary-sized (host-graph bounded); the only corpus-scale work
+    is the edge dedup exchange shared with q98/q104. For graphs whose
+    label table outgrows a broadcast, the label attach becomes two
+    hash joins (the q57 degree-attach pattern).
+    """
+    from ..stages.graphrank import label_propagation
+
+    labels_df = label_propagation(
+        _labeled_edges(sf_dir), n_rounds=LPA_ROUNDS).to_pandas()
+    lab = {int(n[1:]): l for n, l in
+           zip(labels_df["node"], labels_df["label"])}
+
+    und = _distinct_int_edges(sparse_host_edges(sf_dir)).to_pandas()
+    und = und[und["s"] != und["d"]]
+    # unordered: (a<b) distinct — _distinct_int_edges dedups DIRECTED
+    # pairs, so (u,v) and (v,u) may both remain; collapse them
+    a = np.minimum(und["s"].to_numpy(), und["d"].to_numpy())
+    b = np.maximum(und["s"].to_numpy(), und["d"].to_numpy())
+    pairs = np.unique(np.stack([a, b], axis=1), axis=0)
+    m = len(pairs)
+    if m == 0:
+        return pd.DataFrame([{"m": 0, "q_num": 0, "q_den": 0,
+                              "modularity_ppm": 0}])
+    deg = {}
+    for u, v in pairs:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    e_c, d_c = {}, {}
+    for u, v in pairs:
+        if lab[int(u)] == lab[int(v)]:
+            e_c[lab[int(u)]] = e_c.get(lab[int(u)], 0) + 1
+    for v, dv in deg.items():
+        d_c[lab[int(v)]] = d_c.get(lab[int(v)], 0) + dv
+    q_num = 4 * m * sum(e_c.values()) - sum(d * d for d in d_c.values())
+    q_den = 4 * m * m
+    ppm = (abs(q_num) * 1_000_000 // q_den) * (1 if q_num >= 0 else -1)
+    return pd.DataFrame([{
+        "m": m, "q_num": q_num, "q_den": q_den, "modularity_ppm": ppm,
+    }])
+
+
+def _q111_sql(n_rounds: int = LPA_ROUNDS) -> str:
+    # reuse q101's label chain verbatim, then aggregate modularity
+    # over the self-loop-free unordered edge set
+    label_cte = _q101_sql(n_rounds)
+    body = label_cte[len("WITH "):label_cte.index("\nSELECT")]
+    return f"""WITH {body},
+labs AS (SELECT k, lab FROM l{n_rounds}),
+ue AS (
+  SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b
+  FROM e WHERE s <> d
+),
+mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ue),
+deg AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS dv FROM (
+    SELECT a AS k FROM ue UNION ALL SELECT b FROM ue) GROUP BY k
+),
+ec AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN la.lab = lb.lab THEN 1 ELSE 0 END), 0)
+         AS BIGINT) AS e_in
+  FROM ue JOIN labs la ON la.k = ue.a JOIN labs lb ON lb.k = ue.b
+),
+dc AS (
+  SELECT CAST(COALESCE(SUM(ds * ds), 0) AS BIGINT) AS d2 FROM (
+    SELECT l.lab, SUM(deg.dv) AS ds
+    FROM deg JOIN labs l ON l.k = deg.k GROUP BY l.lab)
+),
+fin AS (
+  SELECT mm.m,
+         4 * mm.m * ec.e_in - dc.d2 AS q_num,
+         4 * mm.m * mm.m AS q_den
+  FROM mm, ec, dc
+)
+SELECT m, q_num, q_den,
+       CAST(CASE WHEN q_num >= 0
+            THEN (q_num * 1000000) // q_den
+            ELSE -((-q_num * 1000000) // q_den) END AS BIGINT)
+         AS modularity_ppm
+FROM fin"""
+
+
+Q111_SQL = _q111_sql()

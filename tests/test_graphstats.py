@@ -313,3 +313,42 @@ class TestAssortativity:
             float((n * m["sx2"] - m["sx"] ** 2))
             * float((n * m["sy2"] - m["sy"] ** 2)))
         assert abs(r_mom - np.corrcoef(x, y)[0, 1]) < 1e-12
+
+
+class TestModularityPieces:
+    def test_planted_communities_positive_q(self):
+        # two dense triangles + one bridge: compute modularity of the
+        # TRUE partition with the same exact integer algebra the
+        # pipeline uses, as an independent cross-check of the formula
+        edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+        lab = {1: "a", 2: "a", 3: "a", 4: "b", 5: "b", 6: "b"}
+        m = len(edges)
+        deg = {}
+        for u, v in edges:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        e_c, d_c = {}, {}
+        for u, v in edges:
+            if lab[u] == lab[v]:
+                e_c[lab[u]] = e_c.get(lab[u], 0) + 1
+        for v, dv in deg.items():
+            d_c[lab[v]] = d_c.get(lab[v], 0) + dv
+        q_num = 4 * m * sum(e_c.values()) - sum(d * d for d in d_c.values())
+        q_den = 4 * m * m
+        # known value: e_in=6, d_a=d_b=7 -> (168 - 98)/196
+        assert (q_num, q_den) == (70, 196)
+        assert q_num / q_den > 0.35  # strongly modular partition
+
+    def test_toward_zero_ppm_matches_duckdb(self):
+        import duckdb
+        con = duckdb.connect()
+        for num, den in [(-17018, 3968064), (70, 196), (-1, 3), (5, 3)]:
+            sql = con.execute(
+                f"SELECT CAST(CASE WHEN n >= 0 "
+                f"THEN (n * 1000000) // d "
+                f"ELSE -((-n * 1000000) // d) END AS BIGINT) "
+                f"FROM (SELECT CAST({num} AS BIGINT) AS n, "
+                f"CAST({den} AS BIGINT) AS d)"
+            ).fetchone()[0]
+            py = (abs(num) * 1_000_000 // den) * (1 if num >= 0 else -1)
+            assert sql == py, (num, den, sql, py)
