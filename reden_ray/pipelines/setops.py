@@ -27,12 +27,22 @@ _SHIFT = 100_000
 _MAX_J = 8
 
 
+_CORPUS_CAP = 500  # deterministic bound (see docstring)
+
+
 def suffixed_pair_corpus(sf_dir: str, shift: int = _SHIFT):
-    """documents ∪ junk-suffixed copies (doc_id + shift)."""
+    """documents ∪ junk-suffixed copies (doc_id + shift), BOUNDED to
+    doc_id < 500: the synthetic documents' ~38-token vocabulary makes
+    the qualifying pair set genuinely quadratic (worst case for prefix
+    filtering), so an unbounded corpus at sf0.1 (5000 docs) would mint
+    ~50M candidate pairs in a query that exists to verify EXACTNESS,
+    not throughput. The cap is mirrored in the oracle and is a no-op
+    at the driver's verification scales (doc_ids 0..499 there)."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
 
     def planted(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["doc_id"], pa.scalar(_CORPUS_CAP)))
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         txt = t["text"].to_pylist()
         copies = [
@@ -73,11 +83,12 @@ _SUFFIXES = ", ".join(
 
 Q100_SQL = f"""
 WITH sfx(j, sfx) AS (VALUES {_SUFFIXES}),
+base AS (SELECT doc_id, text FROM documents WHERE doc_id < {_CORPUS_CAP}),
 u AS (
-  SELECT doc_id, text FROM documents
+  SELECT doc_id, text FROM base
   UNION ALL
   SELECT d.doc_id + {_SHIFT}, d.text || s.sfx
-  FROM documents d JOIN sfx s ON s.j = d.doc_id % {_MAX_J}
+  FROM base d JOIN sfx s ON s.j = d.doc_id % {_MAX_J}
 ),
 tok AS (
   SELECT DISTINCT doc_id, word
