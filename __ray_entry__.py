@@ -672,6 +672,51 @@ FROM g
 """
 
 
+def _q_dedup_budget(sf_dir: str):
+    """Dedup BUDGET: keep the top-2 members of each near-dup cluster
+    (quality desc, id asc) instead of a single exemplar — the
+    keep_topk_per_cluster generalization of q65. Gold is SQL-exact
+    over the planted corpus: each equal-original-text group contributes
+    its bases (24 tokens) and copies (25 tokens), so the ranked top-2
+    is fully arithmetic."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from reden_ray.pipelines.webdemo import planted_near_dup_documents
+    from reden_ray.stages.dedup import keep_topk_per_cluster, minhash_lsh_clusters
+
+    ds = planted_near_dup_documents(sf_dir, near=True)
+    quality = ds.map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tokens": pc.list_value_length(
+                pc.utf8_split_whitespace(t.column("text"))).cast(pa.int64()),
+        }),
+        batch_format="pyarrow")
+    clusters = minhash_lsh_clusters(ds, threshold=0.8)
+    return keep_topk_per_cluster(clusters, quality, "n_tokens", k=2)
+
+
+_DEDUP_BUDGET_SQL = """
+WITH o AS (SELECT doc_id, text FROM documents),
+g AS (SELECT text, MIN(doc_id) AS cluster FROM o GROUP BY text),
+members AS (
+  SELECT g.cluster, o.doc_id AS id, CAST(24 AS BIGINT) AS n_tokens
+  FROM o JOIN g USING (text)
+  UNION ALL
+  SELECT g.cluster, o.doc_id + 100000, CAST(25 AS BIGINT)
+  FROM o JOIN g USING (text)
+), r AS (
+  SELECT cluster, id AS keep_id, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY cluster
+                            ORDER BY n_tokens DESC, id ASC) AS rnk
+  FROM members
+)
+SELECT cluster, keep_id, n_tokens, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 2
+"""
+
+
 def _q_ngram_planted(sf_dir: str):
     """n-gram Jaccard near-dup with a full DuckDB oracle (multi-min
     blocking guarantees the planted pair shares a bucket)."""
@@ -1671,6 +1716,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q110_activity_gini": ST.q110_activity_gini,
         # modularity of the LPA communities
         "q111_modularity": GS.q111_modularity,
+        # dedup budget: top-K members per near-dup cluster
+        "q112_dedup_budget": _q_dedup_budget,
+        # first-seen vocabulary growth per crawl day
+        "q113_vocab_novelty": QS.q113_vocab_novelty,
         "q46_domain_mixture_sample": C.q46_domain_mixture_sample,
         "q47_kmeans_clusters": C.q47_kmeans_clusters,
         "q48_bigram_lm_score": C.q48_bigram_lm_score,
@@ -1896,6 +1945,8 @@ def oracle_sql() -> dict[str, str]:
         "q109_assortativity": GS.Q109_SQL,
         "q110_activity_gini": ST.Q110_SQL,
         "q111_modularity": GS.Q111_SQL,
+        "q112_dedup_budget": _DEDUP_BUDGET_SQL,
+        "q113_vocab_novelty": QS.Q113_SQL,
         "q46_domain_mixture_sample": C.Q46_SQL,
         "q47_kmeans_clusters": C.Q47_SQL,
         "q48_bigram_lm_score": C.Q48_SQL,

@@ -403,3 +403,90 @@ LEFT JOIN cnt ca ON ca.source = a.source
 LEFT JOIN cnt cb ON cb.source = b.source AND cb.b = ca.b
 GROUP BY a.source, b.source
 """
+
+
+# ---------------------------------------------------------------------------
+# Q113 — first-seen vocabulary growth per crawl day (Heaps-law curve)
+# ---------------------------------------------------------------------------
+
+_NOVELTY_DAYS = 30
+
+
+def vocab_novelty(ds, text_col: str = "text",
+                  day_col: str = "day") -> pd.DataFrame:
+    """(day, text) -> (day, n_new): how many distinct tokens make
+    their FIRST corpus appearance on each day — the vocabulary-growth
+    curve a crawl operator watches to detect template collapse (flat
+    curve) or scraper drift (spike). Shape: per-block (token, min-day)
+    partials — min is a semilattice, so each block ships one row per
+    distinct token it contains — ONE token-keyed exchange for the
+    global min, then a ≤|days| count. No corpus-scale state anywhere;
+    the intermediate is vocabulary-sized."""
+    from ..stages.setjoin import _distinct_tokens
+
+    def partial(t: pa.Table) -> pa.Table:
+        par, w = _distinct_tokens(t[text_col])
+        if len(w) == 0:
+            return pa.table({"w": pa.array([], pa.string()),
+                             "d_p": pa.array([], pa.int64())})
+        days = t.column(day_col).to_numpy(zero_copy_only=False)[par]
+        g = pd.DataFrame({"w": w, "d": days}).groupby(
+            "w", as_index=False)["d"].min()
+        return pa.table({
+            "w": pa.array(g["w"].to_numpy(dtype=object), pa.string()),
+            "d_p": pa.array(g["d"].to_numpy(), pa.int64()),
+        })
+
+    from ray.data.aggregate import Count, Min
+
+    first = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("w").aggregate(Min("d_p", alias_name="first_day")))
+    out = (first.groupby("first_day").aggregate(Count(alias_name="n_new"))
+           .to_pandas())
+    return pd.DataFrame({
+        "day": out["first_day"].astype("int64"),
+        "n_new": out["n_new"].astype("int64"),
+    })
+
+
+def q113_vocab_novelty(sf_dir: str) -> pd.DataFrame:
+    """Day = doc_id % 30 (arithmetic crawl-day mint, the q42/q96
+    precedent). The shared ~38-token base vocabulary all first-appears
+    on day 0, so every doc_id % 7 == 0 page additionally contributes a
+    genuinely novel token 'nv<doc_id>' — giving the growth curve real
+    per-day variation for the oracle to check (mirrored in SQL)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def with_day(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        d = ids % _NOVELTY_DAYS
+        txt = t.column("text").to_pylist()
+        txt = [x + f" nv{i}" if int(i) % 7 == 0 else x
+               for i, x in zip(ids, txt)]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text": pa.array(txt, pa.string()),
+            "day": pa.array(d, pa.int64()),
+        })
+
+    return vocab_novelty(ds.map_batches(with_day, batch_format="pyarrow"))
+
+
+Q113_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' nv' || CAST(doc_id AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+), w AS (
+  SELECT doc_id % {_NOVELTY_DAYS} AS day,
+         unnest(string_split(text, ' ')) AS word
+  FROM aug
+), f AS (
+  SELECT word, MIN(day) AS first_day FROM w WHERE word <> ''
+  GROUP BY word
+)
+SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS n_new
+FROM f GROUP BY first_day
+"""

@@ -804,3 +804,53 @@ def keep_best_per_cluster(clusters_ds, quality_ds, quality_col: str,
         return out[["cluster", "keep_id", quality_col]]
 
     return bucketed.groupby("__bucket").map_groups(final, batch_format="pandas")
+
+
+def keep_topk_per_cluster(clusters_ds, quality_ds, quality_col: str,
+                          k: int, id_col: str = "doc_id",
+                          num_buckets: int = 64,
+                          num_partitions: int = 8):
+    """The dedup-BUDGET generalization of ``keep_best_per_cluster``:
+    keep the top ``k`` members of each near-dup cluster under the
+    quality signal (quality desc, id asc — the same deterministic
+    order), emitting ``(cluster, keep_id, <quality_col>, rnk)`` with
+    ``rnk`` 1..k. k=1 degenerates to keep-best. Some curation recipes
+    keep a small budget per cluster rather than a single exemplar to
+    preserve benign template variation.
+
+    Same combiner-first bound as keep-best, scaled by k: every block
+    reduces to at most k candidate rows per cluster before the single
+    bucketed exchange (top-k of a union == top-k of per-block top-k's,
+    the q61 bottom-k argument), so a million-member cluster ships
+    k x n_blocks pre-reduced 3-int64 rows, never its membership."""
+    from ..functions.blocks import pin_nonempty
+
+    clusters2 = clusters_ds.map_batches(
+        lambda t: pa.table({id_col: t.column(id_col).cast(pa.int64()),
+                            "cluster": t.column("cluster").cast(pa.int64())}),
+        batch_format="pyarrow")
+    qual2 = quality_ds.map_batches(
+        lambda t: pa.table({id_col: t.column(id_col).cast(pa.int64()),
+                            quality_col: t.column(quality_col).cast(pa.int64())}),
+        batch_format="pyarrow")
+    joined = pin_nonempty(clusters2.join(
+        qual2, join_type="inner", num_partitions=num_partitions,
+        on=(id_col,)))
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cluster", quality_col, id_col],
+                            ascending=[True, False, True], kind="stable")
+        return df.groupby("cluster", as_index=False).head(k)
+
+    partials = joined.map_batches(topk, batch_format="pandas")
+    bucketed = partials.map_batches(
+        lambda t: add_bucket_arrow(t, "cluster", num_buckets),
+        batch_format="pyarrow")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = topk(df).rename(columns={id_col: "keep_id"})
+        out["rnk"] = out.groupby("cluster").cumcount().astype("int64") + 1
+        return out[["cluster", "keep_id", quality_col, "rnk"]]
+
+    return bucketed.groupby("__bucket").map_groups(final,
+                                                   batch_format="pandas")

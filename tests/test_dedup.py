@@ -302,3 +302,69 @@ class TestKeepBestPerCluster:
         quality = [(1, 3)]
         got = self._run(clusters, quality)
         assert got == {1: (1, 3)}
+
+
+class TestKeepTopKPerCluster:
+    def _run(self, clusters, quality, k):
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from reden_ray.stages.dedup import keep_topk_per_cluster
+
+        cds = rd.from_arrow(pa.Table.from_pylist(
+            [{"doc_id": i, "cluster": c} for i, c in clusters]))
+        qds = rd.from_arrow(pa.Table.from_pylist(
+            [{"doc_id": i, "q": v} for i, v in quality]))
+        df = keep_topk_per_cluster(cds, qds, "q", k=k).to_pandas()
+        return sorted(
+            (int(r["cluster"]), int(r["rnk"]), int(r["keep_id"]),
+             int(r["q"])) for _, r in df.iterrows())
+
+    def test_budget_and_rank_order(self):
+        clusters = [(1, 10), (2, 10), (3, 10), (4, 20)]
+        quality = [(1, 5), (2, 9), (3, 9), (4, 1)]
+        got = self._run(clusters, quality, k=2)
+        # cluster 10: rank1 = id 2 (q 9, min id of the tied 9s),
+        # rank2 = id 3; id 1 dropped by the budget
+        assert got == [(10, 1, 2, 9), (10, 2, 3, 9), (20, 1, 4, 1)]
+
+    def test_k1_equals_keep_best(self):
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from reden_ray.stages.dedup import (keep_best_per_cluster,
+                                            keep_topk_per_cluster)
+
+        clusters = [{"doc_id": i, "cluster": i % 3} for i in range(30)]
+        quality = [{"doc_id": i, "q": (i * 7) % 11} for i in range(30)]
+        cds = rd.from_arrow(pa.Table.from_pylist(clusters))
+        qds = rd.from_arrow(pa.Table.from_pylist(quality))
+        best = keep_best_per_cluster(cds, qds, "q").to_pandas()
+        topk = keep_topk_per_cluster(cds, qds, "q", k=1).to_pandas()
+        a = best[["cluster", "keep_id", "q"]].sort_values("cluster") \
+            .reset_index(drop=True)
+        b = topk[["cluster", "keep_id", "q"]].sort_values("cluster") \
+            .reset_index(drop=True)
+        assert a.equals(b)
+
+    def test_block_split_invariant(self):
+        clusters = [(i, i % 4) for i in range(60)]
+        quality = [(i, (i * 13) % 17) for i in range(60)]
+        one = self._run(clusters, quality, k=3)
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from reden_ray.stages.dedup import keep_topk_per_cluster
+
+        cds = rd.from_arrow(pa.Table.from_pylist(
+            [{"doc_id": i, "cluster": c} for i, c in clusters])).repartition(7)
+        qds = rd.from_arrow(pa.Table.from_pylist(
+            [{"doc_id": i, "q": v} for i, v in quality])).repartition(5)
+        df = keep_topk_per_cluster(cds, qds, "q", k=3).to_pandas()
+        many = sorted(
+            (int(r["cluster"]), int(r["rnk"]), int(r["keep_id"]),
+             int(r["q"])) for _, r in df.iterrows())
+        assert one == many

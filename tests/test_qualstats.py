@@ -199,3 +199,36 @@ class TestSourceAffinity:
                     assert got["dot"] == int(np.dot(vecs[a], vecs[b]))
                     assert got["na2"] == int(np.dot(vecs[a], vecs[a]))
                     assert got["nb2"] == int(np.dot(vecs[b], vecs[b]))
+
+
+from reden_ray.pipelines.qualstats import vocab_novelty
+
+
+class TestVocabNovelty:
+    def _run(self, rows):
+        return {int(r["day"]): int(r["n_new"]) for _, r in
+                vocab_novelty(_docs(rows)).iterrows()}
+
+    def test_first_appearance_attribution(self):
+        rows = [
+            {"doc_id": 0, "day": 0, "text": "alpha beta"},
+            {"doc_id": 1, "day": 1, "text": "beta gamma"},   # gamma new
+            {"doc_id": 2, "day": 2, "text": "alpha beta"},   # nothing new
+            {"doc_id": 3, "day": 2, "text": "delta"},
+        ]
+        assert self._run(rows) == {0: 2, 1: 1, 2: 1}
+
+    def test_out_of_order_days_take_min(self):
+        rows = [
+            {"doc_id": 0, "day": 5, "text": "late"},
+            {"doc_id": 1, "day": 2, "text": "late"},  # earlier sighting
+        ]
+        assert self._run(rows) == {2: 1}
+
+    def test_block_split_invariant(self):
+        rows = [{"doc_id": i, "day": i % 6,
+                 "text": f"w{i % 17} w{i % 23}"} for i in range(120)]
+        one = vocab_novelty(_docs(rows))
+        many = vocab_novelty(_docs(rows).repartition(9))
+        assert one.sort_values("day").reset_index(drop=True).equals(
+            many.sort_values("day").reset_index(drop=True))
